@@ -1,0 +1,177 @@
+"""Query registry: one named query per implemented operator (SURVEY.md §2),
+each with a DuckDB-oracle SQL twin.
+
+Contract (driver): every entry in QUERIES is ``name -> fn(spark, sf_dir) ->
+DataFrame``; ORACLE[name] is ANSI SQL DuckDB runs over the same parquet
+views. Column names are aliased identically on both sides; computed doubles
+are rounded to a fixed scale and money aggregates use DECIMAL so the
+order-insensitive value hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.timeout_join import (
+    left_join_on_timeout,
+    timeout_only,
+    window_inner_join,
+)
+from left_join_on_timeout_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _events_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Flagship fixture (FIXTURES.md F6): views = left stream, purchases =
+    right stream, keyed by user_id with event-time ts."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts")
+    right = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts")
+    return left, right
+
+
+def _concat_joiner(l: DataFrame, r: DataFrame) -> F.Column:
+    """The reference test's ValueJoiner (O7): `lhs + "+" + rhs` on match,
+    `lhs + "+"` on timeout (LeftJoinOnTimeoutTest.java:205)."""
+    return F.when(
+        r["event_id"].isNull(),
+        F.concat(l["event_id"].cast("string"), F.lit("+")),
+    ).otherwise(
+        F.concat(l["event_id"].cast("string"), F.lit("+"),
+                 r["event_id"].cast("string"))
+    )
+
+
+_FLAGSHIP_ORACLE = """
+SELECT l.user_id AS user_id,
+       l.event_id AS event_id,
+       l.ts AS ts,
+       r.event_id AS r_event_id,
+       CASE WHEN r.event_id IS NULL
+            THEN CAST(l.event_id AS VARCHAR) || '+'
+            ELSE CAST(l.event_id AS VARCHAR) || '+' || CAST(r.event_id AS VARCHAR)
+       END AS joined
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("timeout_left_join", _FLAGSHIP_ORACLE)
+def q_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — LEFT JOIN ON TIMEOUT (flagship). view left-joins purchase per
+    user within ±30 min; unmatched views are the 'timeout' emissions with
+    the original left event timestamp."""
+    left, right = _events_split(spark, sf_dir)
+    out = left_join_on_timeout(
+        left, right, on="user_id", window="30 minutes",
+        joiner=_concat_joiner,
+    )
+    return out.select("user_id", "event_id", "ts", "r_event_id", "joined")
+
+
+@query("window_inner_join", """
+SELECT l.user_id AS user_id,
+       l.event_id AS event_id,
+       r.event_id AS r_event_id,
+       CAST(l.event_id AS VARCHAR) || '+' || CAST(r.event_id AS VARCHAR) AS joined
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+""")
+def q_window_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — the windowed inner equi-join the reference delegates to Kafka
+    Streams (LeftJoinOnTimeoutBuilder.java:112-115)."""
+    left, right = _events_split(spark, sf_dir)
+    out = window_inner_join(
+        left, right, on="user_id", window="30 minutes", joiner=_concat_joiner,
+    )
+    return out.select("user_id", "event_id", "r_event_id", "joined")
+
+
+@query("timeout_only", """
+SELECT l.user_id AS user_id, l.event_id AS event_id, l.ts AS ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+WHERE NOT EXISTS (
+  SELECT 1 FROM events r
+  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+    AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+)
+""")
+def q_timeout_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — just the timeout emissions, planned as LEFT ANTI (no
+    null-padding shuffle amplification)."""
+    left, right = _events_split(spark, sf_dir)
+    return timeout_only(left, right, on="user_id", window="30 minutes")
+
+
+@query("multi_match_cardinality", """
+SELECT l.event_id AS event_id,
+       count(r.event_id) AS n_matches
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+GROUP BY l.event_id
+""")
+def q_multi_match_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 — per-key multimap semantics: every pending left matches every
+    in-window right independently (two lefts + one right ⇒ two outputs,
+    LeftJoinOnTimeoutTest.java:85-91). Counts matches per left record."""
+    left, right = _events_split(spark, sf_dir)
+    out = left_join_on_timeout(left, right, on="user_id", window="30 minutes")
+    return out.groupBy("event_id").agg(
+        F.count("r_event_id").alias("n_matches"))
+
+
+@query("json_extract_props", """
+SELECT event_id AS event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 — JSON deserialize as a scalar expression (reference
+    JsonGenericDeserializer.java:15-30 → from_json)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.from_json("props", "k INT")["k"].alias("k"),
+    )
+
+
+@query("key_partition_hist", """
+SELECT user_id % 32 AS bucket,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_keys
+FROM events
+GROUP BY user_id % 32
+""")
+def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 — key-partitioned routing: records for the same key land in the
+    same partition. Deterministic modulo bucketing stands in for the hash
+    partitioner so the oracle can reproduce it."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy((F.col("user_id") % 32).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
