@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize counts via a
+cheap action). A warmup pass on sf0.001 first touches the JVM/codegen paths
+so the measured numbers reflect steady-state execution, like a resident
+cluster would see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from left_join_on_timeout_spark import queries as q  # noqa: E402
+from left_join_on_timeout_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference operator (timeout join family) + the heavy
+# relational/pipeline queries. Cheap point lookups are excluded — they
+# measure overhead, not the engine.
+HEADLINE = [
+    "timeout_left_join",
+    "window_inner_join",
+    "timeout_only",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "window_top3_per_customer",
+    "rollup_revenue",
+    "sessionization",
+    "tumbling_window_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_brute_cosine",
+    "text_quality_score",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = q.QUERIES[name](spark, sf_dir)
+    # foreach-noop forces full materialization without driver collect
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = [n for n in HEADLINE if n in q.QUERIES]
+    # warmup: exercise codegen/shuffle machinery on the tiny SF
+    for n in names:
+        try:
+            run_query(spark, n, "/root/testdata/sf0.001")
+        except Exception:
+            pass
+    timings = {}
+    for n in names:
+        timings[n] = round(run_query(spark, n, SF_DIR), 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

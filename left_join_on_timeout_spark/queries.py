@@ -175,3 +175,14 @@ def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_keys"),
     )
+
+
+# Register the rest of the surface (import side effects fill QUERIES/ORACLE).
+from left_join_on_timeout_spark import queries_relational  # noqa: E402,F401
+
+for _mod in ("queries_dedup", "queries_similarity", "queries_text"):
+    try:
+        __import__(f"left_join_on_timeout_spark.{_mod}")
+    except ImportError:
+        pass  # module lands in a later milestone
+

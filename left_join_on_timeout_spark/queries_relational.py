@@ -1,0 +1,394 @@
+"""Standard relational surface (SURVEY.md §2.2): filter/agg/join/window/
+sort/limit/set-op/rollup/pivot queries over the TPC-H-ish tables, each with
+a DuckDB oracle.
+
+Numeric discipline for cross-engine hash stability: per-row arithmetic in
+DOUBLE (IEEE — bit-identical in Spark and DuckDB), then CAST to
+DECIMAL(25,6) before SUM (exact, order-independent — a raw double sum
+depends on partition order), then CAST the total back to DOUBLE. All plans
+are pure Catalyst: scans get pushdown + pruning, dimension joins broadcast,
+aggregations are partial (map-side) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.sources.tables import load_table
+
+
+def _dsum(col):
+    """Exact, order-independent sum of a double expression."""
+    return F.sum(col.cast("decimal(25,6)")).cast("double")
+
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate; partial agg map-side, one
+    shuffle on (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query("q3_shipping_priority", """
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate,
+       o.o_orderpriority AS o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dimension filter → fact joins → agg → global top-k.
+    customer is broadcast (small side); lineitem↔orders shuffle on
+    orderkey. Deterministic LIMIT via unique tiebreak."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query("q5_local_supplier_volume", """
+SELECT n.n_name AS n_name,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. region/nation/supplier broadcast;
+    the only real shuffles are customer⋈orders and orders⋈lineitem."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query("q6_revenue_delta", """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive pushdown filters + scalar agg
+    — the canonical predicate-pushdown check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+@query("top_k_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""")
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — no full sort at
+    scale, each partition keeps k rows."""
+    return (load_table(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(25)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@query("window_top3_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""")
+def q_window_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 orders per customer. One shuffle on
+    o_custkey; unique tiebreak keeps row_number deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load_table(spark, sf_dir, "orders")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rnk"))
+
+
+@query("window_running_revenue", """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_total,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""")
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: running sum frame + lag."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (load_table(spark, sf_dir, "orders")
+            .withColumn("running_total",
+                        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("double"))
+            .withColumn("prev_orderkey", F.lag("o_orderkey").over(w))
+            .select("o_custkey", "o_orderkey", "running_total", "prev_orderkey"))
+
+
+@query("set_ops_customers", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+""")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey"))
+    open_o = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey"))
+    big = o.where(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(open_o).exceptAll(big).distinct()
+
+
+@query("union_all_keys", """
+SELECT c_custkey AS key, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS key, 'supplier' AS src FROM supplier
+""")
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src"))
+    return c.unionAll(s)
+
+
+@query("rollup_revenue", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP) — grouping-set expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+@query("cube_order_status", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@query("scalar_functions", """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 3)) AS pri_name,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       date_trunc('month', o_orderdate) AS month_start,
+       floor(o_totalprice) AS price_floor,
+       abs(o_totalprice - 100000.0) AS dist_100k,
+       length(o_orderstatus) AS status_len,
+       concat_ws('#', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS tag,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       o_orderkey % 7 AS mod7
+FROM orders
+""")
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar function surface (all JVM codegen)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.expr("substr(o_orderpriority, 3)")).alias("pri_name"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_100k"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("#", "o_orderstatus", F.col("o_orderkey").cast("string")).alias("tag"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+    )
+
+
+@query("distinct_counts", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n"))
+
+
+@query("pivot_event_types", """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+""")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix. Explicit value list so the
+    plan needs no extra distinct pass."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    return (ev.groupBy("user_id").pivot("event_type", kinds)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, kinds))
+
+
+@query("tumbling_window_events", """
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""")
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch analog of the
+    streaming groupBy(window(...)))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("value")).alias("total_value")))
+
+
+@query("sessionization", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+""")
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection: lag + cumulative sum — the batch
+    twin of streaming session_window(ts, gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+@query("exists_semi_join", """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""")
+def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")

