@@ -1,0 +1,123 @@
+"""Text-analysis column expressions for the LLM-data-pipeline surface:
+tokenization, token counting, quality scoring, language ID, fingerprints.
+
+Everything is a built-in-function Column (JVM codegen, no Python UDFs);
+each expression has an exact ANSI-SQL twin used in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace + BPE-ish word/number/punct pieces — same pattern both engines.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Small inline stopword list (English) for the quality heuristic.
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Language marker words for the n-gram-heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "las", "es", "una"],
+}
+
+
+def normalize(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.lower(t))
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (1-based `element_at`)."""
+    return F.split(normalize(text), r"\s+")
+
+
+def n_words(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def token_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punct marks."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+
+
+def _count_re(t: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return _count_re(t, r"[^\w\s]") / F.greatest(F.length(t), F.lit(1))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return _count_re(t, r"[0-9]") / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_count(text: Column | str) -> Column:
+    t = normalize(text)
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return _count_re(t, pat)
+
+
+def avg_word_len(text: Column | str) -> Column:
+    t = normalize(text)
+    total_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return total_chars / F.greatest(n_words(text), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: long enough, low punctuation
+    noise, some stopword mass (natural prose), sane mean word length.
+    Per-row double math — deterministic across engines."""
+    nw = n_words(text).cast("double")
+    length_score = F.least(nw / 100.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * punct_ratio(text))
+    stop_score = F.least(
+        3.0 * stopword_count(text).cast("double") / F.greatest(nw, F.lit(1.0)),
+        F.lit(1.0))
+    wl = avg_word_len(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (0.3 * length_score + 0.3 * punct_pen + 0.2 * stop_score
+            + 0.2 * wl_score)
+
+
+def lang_marker_score(text: Column | str, lang: str) -> Column:
+    """Marker-word hits per whitespace token for one language."""
+    t = normalize(text)
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return _count_re(t, pat).cast("double") / F.greatest(n_words(text), F.lit(1))
+
+
+def han_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    # Java regex: \p{IsHan}; the DuckDB (RE2) twin uses \p{Han}.
+    return _count_re(t, r"\p{IsHan}") / F.greatest(F.length(t), F.lit(1))
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-heuristic language ID over {en,de,fr,es,zh}: CJK-ratio check
+    first, else argmax of marker scores with a fixed precedence order so
+    ties are deterministic."""
+    scores = {lang: lang_marker_score(text, lang) for lang in LANG_MARKERS}
+    pred = F.lit("unknown")
+    # reversed so the first language in the dict wins ties
+    for lang in reversed(list(LANG_MARKERS)):
+        others = [s for l2, s in scores.items() if l2 != lang]
+        pred = F.when(scores[lang] >= F.greatest(*others), F.lit(lang)).otherwise(pred)
+    no_hits = sum(scores.values(), F.lit(0.0)) == 0.0
+    return (F.when(han_ratio(text) > 0.05, F.lit("zh"))
+            .when(no_hits, F.lit("unknown"))
+            .otherwise(pred))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-collapsed
+    normalized text (stable under reflow)."""
+    t = F.regexp_replace(normalize(text), r"\s+", " ")
+    return F.md5(t)

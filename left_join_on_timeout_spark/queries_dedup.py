@@ -1,0 +1,118 @@
+"""Dedup queries over the documents table, with generated DuckDB-oracle
+twins. The md5-string MinHash family makes signatures engine-portable, so
+even the LSH pipeline is oracle-checked end to end (SURVEY.md §2.2
+extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from left_join_on_timeout_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash16,
+)
+from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.sources.tables import load_table
+
+# --- shared SQL fragments (the DuckDB twins of functions/text helpers) ---
+
+_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# word-3-gram shingles; docs under 3 words contribute one whole-text shingle
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2]
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+)"""
+
+_SIG_COLS = ",\n       ".join(
+    f"min(md5(shingle || '#{j}')) AS m{j}" for j in range(DEFAULT_K))
+
+_ROWS = DEFAULT_K // DEFAULT_BANDS
+_PIPE = " || '|' || "
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5({_PIPE.join(f'm{b * _ROWS + r}' for r in range(_ROWS))}) AS h "
+    f"FROM sig"
+    for b in range(DEFAULT_BANDS))
+
+
+@query("dedup_exact", """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+       min(doc_id) AS keep_id,
+       count(*) AS n
+FROM documents
+GROUP BY 1
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on a normalized digest (the shuffle
+    carries 32-byte digests, not documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@query("dedup_minhash_lsh", f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BAND_SELECTS})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+WHERE a.doc_id < b.doc_id
+""")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({DEFAULT_K} perms) + LSH({DEFAULT_BANDS} bands) candidate
+    pairs — near-dup detection as equi-joins, zero O(n²) stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    return lsh_candidate_pairs(sig, "doc_id")
+
+
+_SIMHASH_BITS = ",\n       ".join(
+    "CASE WHEN sum(CASE WHEN substr(h, {i}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+    "THEN '1' ELSE '0' END AS b{b}".format(i=b + 1, b=b)
+    for b in range(16))
+
+
+@query("dedup_simhash", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+SELECT doc_id, {' || '.join(f'b{b}' for b in range(16))} AS simhash
+FROM bits
+""")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document; equal signatures = near-dup
+    bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard", f"""
+WITH {_SHINGLES_CTE},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5
+""")
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 over shared-shingle candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
