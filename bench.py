@@ -57,7 +57,10 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    names = [n for n in HEADLINE if n in q.QUERIES]
+    unknown = [n for n in HEADLINE if n not in q.QUERIES]
+    if unknown:
+        raise SystemExit(f"bench: headline queries not registered: {unknown}")
+    names = HEADLINE
     # warmup: exercise codegen/shuffle machinery on the tiny SF
     for n in names:
         try:

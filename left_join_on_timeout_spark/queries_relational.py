@@ -267,7 +267,7 @@ SELECT o_orderkey,
        year(o_orderdate) AS yr,
        month(o_orderdate) AS mo,
        date_trunc('month', o_orderdate) AS month_start,
-       floor(o_totalprice) AS price_floor,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
        abs(o_totalprice - 100000.0) AS dist_100k,
        length(o_orderstatus) AS status_len,
        concat_ws('#', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS tag,
@@ -356,8 +356,8 @@ WITH g AS (
   FROM events),
 s AS (
   SELECT user_id, ts, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
@@ -368,8 +368,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of streaming session_window(ts, gap)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # µs precision to match the oracle's `> INTERVAL 30 MINUTE` exactly
+    # (a whole-seconds cast misclassifies gaps in (1800 s, 1801 s)).
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = (ev.withColumn("new_sess", new_sess)
             .withColumn("session_id",
                         F.sum("new_sess").over(

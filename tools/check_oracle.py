@@ -21,16 +21,33 @@ from left_join_on_timeout_spark.session import get_spark
 from left_join_on_timeout_spark.sources.tables import TABLES
 
 
+def type_class(s: pd.Series) -> str:
+    """Coarse type class the driver's value-hash distinguishes. int vs float
+    vs datetime vs bool vs other — same values in different classes hash
+    differently, so the local gate must treat a class mismatch as FAIL
+    (r1 lesson: floor→BIGINT vs floor→DOUBLE passed here, failed the driver)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns + rows only; keep dtypes type-strict (no int→float
+    unification, no timestamp truncation) so local PASS predicts the
+    driver's hash."""
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype("int64")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
+            df[c] = s.astype("datetime64[us]")  # canonical unit, not a value change
         elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("float64")  # unify int widths/nullables
+            df[c] = s.astype("Int64")  # one width; stays an *int* class
         elif s.dtype == object or pd.api.types.is_string_dtype(s):
             df[c] = s.astype(object).where(s.notna(), None)
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
@@ -44,8 +61,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
+    for c in sorted(spark_pdf.columns):
+        ta, tb = type_class(spark_pdf[c]), type_class(duck_pdf[c])
+        if ta != tb:
+            problems.append(f"col {c}: TYPE mismatch spark={ta}({spark_pdf[c].dtype}) duck={tb}({duck_pdf[c].dtype})")
+    if problems:
+        return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
+        if type_class(a[c]) == "datetime":
+            a[c] = a[c].astype("int64")
+            b[c] = b[c].astype("int64")
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             bad = ~((pd.isna(av) & pd.isna(bv)) | (av == bv))
@@ -58,7 +84,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     i = int(np.nonzero(bad)[0][0])
                     problems.append(f"col {c}: {bad.sum()} value diffs, e.g. row{i}: {av[i]!r} vs {bv[i]!r}")
         else:
-            neq = [(x, y) for x, y in zip(av, bv) if (x != y and not (pd.isna(x) and pd.isna(y)))]
+            def _diff(x, y):
+                xa, ya = pd.isna(x) is True, pd.isna(y) is True
+                if xa or ya:
+                    return xa != ya
+                return bool(x != y)
+            neq = [(x, y) for x, y in zip(av, bv) if _diff(x, y)]
             if neq:
                 problems.append(f"col {c}: {len(neq)} value diffs, e.g. {neq[0]!r}")
     return problems
