@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_brute_cosine",
+    "ann_top1_srp",
     "text_quality_score",
 ]
 

@@ -35,14 +35,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def srp_bucket(v: Column, n_bits: int) -> Column:
-    """Sign-random-projection bucket from the signs of the first ``n_bits``
-    components (axis-aligned hyperplanes — deterministic, reproducible in
-    plain SQL). Nearby vectors share buckets with high probability; the
-    bucket string is the LSH key for the scale path: candidate generation
-    becomes an equi-join instead of an O(n²) cross join."""
+def srp_planes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """``n_bits`` random Gaussian hyperplanes for sign-random-projection
+    LSH, deterministically seeded so the DuckDB oracle reproduces the
+    buckets bit-for-bit (weights rendered as identical double literals in
+    both engines). Rounded to 6 dp to keep SQL literals short; rounding
+    does not affect the LSH guarantee."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[round(float(w), 6) for w in row]
+            for row in rng.standard_normal((n_bits, dim))]
+
+
+def srp_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket string: bit b is the sign of
+    ``dot(v, planes[b])``. True random hyperplanes (not axis signs), so
+    P[same bucket] = (1 − θ/π)^n_bits for angle θ — recall is
+    data-independent and bits can be sized to bound expected bucket size
+    (bits ≈ log₂(n / target_bucket)). The bucket string is the LSH key:
+    candidate generation becomes an equi-join instead of an O(n²) cross
+    join. Dot products are the same sequential fold both engines use, so
+    the sign — hence the bucket — is engine-portable."""
     bits = [
-        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(n_bits)
+        F.when(dot(v, F.array(*[F.lit(w) for w in plane])) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
     ]
     return F.concat(*bits)
+
+
+def srp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """The DuckDB twin of :func:`srp_bucket` over the same plane literals."""
+    bits = [
+        "CASE WHEN list_dot_product({v}, [{w}]::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END".format(
+            v=vec_expr, w=", ".join(repr(w) for w in plane))
+        for plane in planes
+    ]
+    return " || ".join(bits)

@@ -5,10 +5,14 @@ Two tiers, as a 100 TB design demands:
 * ``brute_force_knn`` — exact cosine top-k against a (broadcast) query
   vector: one scan, no shuffle but the final top-k (TakeOrdered). The
   correctness baseline.
-* ``ann_bucketed_top1`` — the scale path: sign-random-projection buckets
-  (``srp_bucket``) turn neighbor search into an equi-join within buckets;
-  candidate count drops ~2^bits-fold and the join shuffles digests+ids,
-  not raw vectors, until the final scoring join.
+* ``srp_candidate_pairs`` / ``ann_top_neighbor`` — the scale path:
+  multi-band sign-random-projection LSH (seeded Gaussian hyperplanes,
+  ``functions.vectors.srp_planes``) turns neighbor search into equi-joins
+  within (band, bucket) groups. Bits per band are sized so expected bucket
+  size stays small (bits ≈ log₂(n / target)); a hard per-bucket cap drops
+  degenerate buckets before the self-join, so no bucket can go quadratic —
+  the capped rows are an explicit recall tradeoff, never a runtime risk.
+  Multiple bands OR the candidates back together for recall.
 
 All vector math is JVM-side higher-order functions in double
 (``functions.vectors``), bit-compatible with the DuckDB oracle.
@@ -16,10 +20,20 @@ All vector math is JVM-side higher-order functions in double
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from left_join_on_timeout_spark.functions.vectors import as_double, cosine, srp_bucket
+from left_join_on_timeout_spark.functions.vectors import (
+    as_double,
+    cosine,
+    srp_bucket,
+    srp_planes,
+)
+
+DEFAULT_BANDS = 4
+DEFAULT_BITS = 8
+DEFAULT_SEED = 42
+DEFAULT_BUCKET_CAP = 200
 
 
 def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
@@ -40,43 +54,99 @@ def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
-def ann_bucketed_top1(emb: DataFrame, n_bits: int = 8,
-                      id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Approximate nearest neighbor per vector, searched within its SRP
-    bucket only: (vec_id, neighbor_id, cos_sim). Vectors alone in their
-    bucket are absent from the output (honest ANN recall semantics)."""
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"),
-                   srp_bucket(as_double(vec_col), n_bits).alias("bucket"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = (a.join(b, "bucket")
-             .where(F.col("id_a") != F.col("id_b"))
-             .select("id_a", "id_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), 6)
-                     .alias("cos_sim")))
-    best = pairs.groupBy("id_a").agg(
-        F.max(F.struct(F.col("cos_sim"), (-F.col("id_b")).alias("neg_id")))
+def _banded(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+            bands: int, n_bits: int, seed: int, bucket_cap: int) -> DataFrame:
+    """(id, v, band, bucket) rows, one per band, degenerate buckets dropped.
+
+    The cap is enforced with a window count over (band, bucket) — the same
+    shuffle partitioning the candidate self-join needs, so AQE can reuse
+    the exchange. At 100 TB a popular bucket is bounded before any pairing
+    happens, which is what keeps the stage linear."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            srp_bucket(F.col("v"), srp_planes(dim, n_bits, seed + b))
+            .alias("bucket"))
+        for b in range(bands)
+    ]
+    banded = (v.select(id_col, "v",
+                       F.explode(F.array(*band_structs)).alias("bb"))
+              .select(id_col, "v",
+                      F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    w = Window.partitionBy("band", "bucket")
+    return (banded.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= bucket_cap)
+            .drop("bsz"))
+
+
+def srp_candidate_pairs(emb: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int = 64,
+                        bands: int = DEFAULT_BANDS,
+                        n_bits: int = DEFAULT_BITS,
+                        seed: int = DEFAULT_SEED,
+                        bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b, with both vectors) that share
+    at least one (band, bucket). The join key is a ≤``n_bits``-char string
+    + a tiny band int — the shuffle carries ids and short keys, and the
+    vectors ride along only into the scoring projection."""
+    banded = _banded(emb, id_col, vec_col, dim, bands, n_bits, seed, bucket_cap)
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                      "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+def ann_top_neighbor(emb: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dim: int = 64,
+                     bands: int = DEFAULT_BANDS,
+                     n_bits: int = DEFAULT_BITS,
+                     seed: int = DEFAULT_SEED,
+                     bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Approximate nearest neighbor per vector among its SRP candidates:
+    (vec_id, neighbor_id, cos_sim). Vectors with no candidate are absent
+    (honest ANN recall semantics). Ties break to the smaller neighbor id."""
+    pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
+                                seed, bucket_cap)
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+    both = scored.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nbr"), "cos_sim"
+    ).unionAll(scored.select(
+        F.col("id_b").alias("vec_id"), F.col("id_a").alias("nbr"), "cos_sim"))
+    best = both.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
         .alias("best"))
     return best.select(
-        F.col("id_a").alias("vec_id"),
+        "vec_id",
         (-F.col("best.neg_id")).alias("neighbor_id"),
         F.col("best.cos_sim").alias("cos_sim"))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
-                             n_bits: int = 8,
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above ``threshold``, bucketed
-    by SRP so candidate generation is an equi-join (the dedup scale path)."""
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"),
-                   srp_bucket(as_double(vec_col), n_bits).alias("bucket"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
-    return (a.join(b, "bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), 6)
-                    .alias("cos_sim"))
-            .where(F.col("cos_sim") >= threshold))
+                             vec_col: str = "embedding",
+                             dim: int = 64,
+                             bands: int = DEFAULT_BANDS,
+                             n_bits: int = DEFAULT_BITS,
+                             seed: int = DEFAULT_SEED,
+                             bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold`` among SRP
+    candidates (the dedup scale path: candidates from equi-joins, exact
+    cosine verify only on candidates)."""
+    pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
+                                seed, bucket_cap)
+    return (pairs.select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold))

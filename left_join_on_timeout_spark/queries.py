@@ -178,11 +178,10 @@ def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Register the rest of the surface (import side effects fill QUERIES/ORACLE).
-from left_join_on_timeout_spark import queries_relational  # noqa: E402,F401
-
-for _mod in ("queries_dedup", "queries_similarity", "queries_text"):
-    try:
-        __import__(f"left_join_on_timeout_spark.{_mod}")
-    except ImportError:
-        pass  # module lands in a later milestone
+from left_join_on_timeout_spark import (  # noqa: E402,F401
+    queries_dedup,
+    queries_relational,
+    queries_similarity,
+    queries_text,
+)
 

@@ -1,0 +1,117 @@
+"""Similarity-search queries over the embeddings table, each with a DuckDB
+oracle built from the same seeded SRP hyperplane literals — the LSH
+pipeline is oracle-checked end to end, not just the brute-force baseline.
+
+The dot product is a sequential left-fold in both engines
+(``functions.vectors`` ⇄ DuckDB ``list_dot_product`` — verified
+bit-identical), so cosine scores and bucket signs compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from left_join_on_timeout_spark.functions.vectors import srp_bucket_sql, srp_planes
+from left_join_on_timeout_spark.operators.similarity import (
+    DEFAULT_BANDS,
+    DEFAULT_BITS,
+    DEFAULT_BUCKET_CAP,
+    DEFAULT_SEED,
+    ann_top_neighbor,
+    brute_force_knn,
+    embedding_near_dup_pairs,
+)
+from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.sources.tables import load_table
+
+_DIM = 64
+_KNN_QUERY_ID = 0
+_KNN_K = 10
+_NEAR_DUP_T = 0.35
+
+# cosine(a, b) with the exact operation order of functions.vectors.cosine
+_COS = ("round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT vec_id, v, {b} AS band, "
+    + srp_bucket_sql("v", srp_planes(_DIM, DEFAULT_BITS, DEFAULT_SEED + b))
+    + " AS bucket FROM e"
+    for b in range(DEFAULT_BANDS))
+
+# shared candidate-generation CTE: banded → bucket-capped → distinct pairs
+_PAIRS_CTE = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS (
+{_BAND_SELECTS}
+),
+capped AS (
+  SELECT vec_id, v, band, bucket FROM (
+    SELECT vec_id, v, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM banded) t
+  WHERE bsz <= {DEFAULT_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b, {_COS.format(a="va.v", b="vb.v")} AS cos_sim
+  FROM pairs
+  JOIN e va ON va.vec_id = id_a
+  JOIN e vb ON vb.vec_id = id_b
+)"""
+
+
+@query("knn_brute_cosine", f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {_KNN_QUERY_ID}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id <> {_KNN_QUERY_ID})
+SELECT e.vec_id AS vec_id, {_COS.format(a="v", b="qv")} AS cos_sim
+FROM e, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_KNN_K}
+""")
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against one query vector — the ANN correctness
+    baseline. Broadcast query row, TakeOrdered top-k, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, query_id=_KNN_QUERY_ID, k=_KNN_K)
+
+
+@query("ann_top1_srp", f"""
+WITH {_PAIRS_CTE},
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored
+)
+SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM bidir) t
+WHERE rn = 1
+""")
+def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor per vector via multi-band SRP LSH —
+    candidate generation is (band, bucket) equi-joins with a hard bucket
+    cap; exact cosine scoring only on candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_top_neighbor(emb, dim=_DIM)
+
+
+@query("embedding_near_dup", f"""
+WITH {_PAIRS_CTE}
+SELECT id_a, id_b, cos_sim
+FROM scored
+WHERE cos_sim >= {_NEAR_DUP_T}
+""")
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ threshold among SRP
+    candidates — the dedup-by-embedding scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_T, dim=_DIM)

@@ -1,0 +1,136 @@
+"""Text-analysis queries over the documents table: quality scoring, token
+counting, language ID, fingerprinting — every expression a built-in-
+function Column (``functions.text``) with an exact ANSI-SQL DuckDB twin.
+
+Regex parity notes: ``\\s``, ``\\w``, ``\\b``, and char classes behave the
+same in Java regex (Spark) and RE2 (DuckDB) for these patterns; the one
+divergence is Han script (``\\p{IsHan}`` vs ``\\p{Han}``), mirrored
+explicitly. Per-row double math is IEEE-identical in both engines; the
+final scores are rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    n_words,
+    quality_score,
+    token_count,
+)
+from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.sources.tables import load_table
+
+# --- SQL twins of the functions.text building blocks -----------------------
+
+_T_NORM = "trim(lower(text))"
+_N_WORDS = f"len(regexp_split_to_array({_T_NORM}, '\\s+'))"
+_N_TOKENS = f"len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))"
+_PUNCT_RATIO = "len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1)"
+_STOP_PAT = r"\b(" + "|".join(STOPWORDS) + r")\b"
+_STOP_CNT = f"len(regexp_extract_all({_T_NORM}, '{_STOP_PAT}'))"
+_AVG_WLEN = (f"length(regexp_replace({_T_NORM}, '\\s+', '', 'g'))"
+             f" / greatest({_N_WORDS}, 1)")
+
+# quality_score mirror — same operation order as functions.text.quality_score
+_QUALITY = f"""(
+  0.3 * least(CAST({_N_WORDS} AS DOUBLE) / 100.0, 1.0)
++ 0.3 * greatest(0.0, 1.0 - 4.0 * ({_PUNCT_RATIO}))
++ 0.2 * least(3.0 * CAST({_STOP_CNT} AS DOUBLE)
+              / greatest(CAST({_N_WORDS} AS DOUBLE), 1.0), 1.0)
++ 0.2 * (CASE WHEN ({_AVG_WLEN}) >= 3.0 AND ({_AVG_WLEN}) <= 10.0
+              THEN 1.0 ELSE 0.5 END)
+)"""
+
+
+def _marker_score_sql(lang: str) -> str:
+    pat = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return (f"len(regexp_extract_all({_T_NORM}, '{pat}'))"
+            f"::DOUBLE / greatest({_N_WORDS}, 1)")
+
+
+_HAN_RATIO = ("len(regexp_extract_all(text, '\\p{Han}'))"
+              " / greatest(length(text), 1)")
+
+_LANGS = list(LANG_MARKERS)  # ['en', 'de', 'fr', 'es'] — tie precedence order
+
+_LANG_CASE_ARMS = "\n       ".join(
+    "WHEN s_{l} >= greatest({others}) THEN '{l}'".format(
+        l=lang, others=", ".join(f"s_{o}" for o in _LANGS if o != lang))
+    for lang in _LANGS)
+
+_LANG_ID_SQL = f"""
+scores AS (
+  SELECT doc_id,
+         {", ".join(f"{_marker_score_sql(l)} AS s_{l}" for l in _LANGS)},
+         {_HAN_RATIO} AS han_ratio
+  FROM documents),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN han_ratio > 0.05 THEN 'zh'
+         WHEN (0.0 + {" + ".join(f"s_{l}" for l in _LANGS)}) = 0.0 THEN 'unknown'
+         {_LANG_CASE_ARMS}
+         ELSE 'unknown' END AS pred_lang
+  FROM scores)"""
+
+
+@query("text_quality_score", f"""
+SELECT doc_id,
+       {_N_WORDS} AS n_words,
+       {_N_TOKENS} AS n_tokens,
+       round({_QUALITY}, 6) AS quality
+FROM documents
+""")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic + word/token counts — one scan, pure
+    codegen expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_words("text").alias("n_words"),
+        token_count("text").alias("n_tokens"),
+        F.round(quality_score("text"), 6).alias("quality"))
+
+
+@query("text_lang_dist", f"""
+WITH {_LANG_ID_SQL}
+SELECT pred_lang, count(*) AS n
+FROM pred
+GROUP BY pred_lang
+""")
+def q_text_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID distribution: n-gram-marker heuristic per doc, then a
+    tiny group-by on the predicted code."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(lang_id("text").alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count("*").alias("n")))
+
+
+@query("text_fingerprint_stats", f"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace({_T_NORM}, '\\s+', ' ', 'g')))
+         AS n_unique,
+       CAST(sum({_N_TOKENS}) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round({_QUALITY}, 6) AS DECIMAL(25,6))) AS DOUBLE)
+         AS sum_quality
+FROM documents
+GROUP BY source
+""")
+def q_text_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats: doc counts, distinct rolling-hash
+    fingerprints (dup mass), token volume, summed quality (decimal-cast —
+    order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum(F.round(quality_score("text"), 6).cast("decimal(25,6)"))
+        .cast("double").alias("sum_quality")))
