@@ -5,12 +5,17 @@ Design for 100 TB:
 
 * Exact dedup is one hash aggregation on a text digest — never on the raw
   text (shuffling a 64-char digest instead of multi-KB documents).
-* MinHash is **string-min based**: ``minhash_j(doc) = min(md5(shingle‖'#'‖j))``
-  over the doc's shingles. Min over strings is associative/commutative →
-  partial aggregation map-side; one shuffle per signature build. Banding
-  turns near-dup search into an equi-join on (band_idx, band_hash) — no
-  O(n²) pass anywhere. The md5-based hash family is engine-portable, so
-  the DuckDB oracle reproduces signatures bit-for-bit.
+* MinHash is **string-min based**: the ``k`` permutation values for a
+  shingle are non-overlapping 8-hex-char chunks of ``ceil(k/4)`` md5
+  digests (``md5(shingle)``, ``md5(shingle‖'#1')``, …) — 3 md5 calls per
+  shingle row instead of one per permutation (the r1 plan spent 53% of
+  the whole bench in 12× md5). Min over strings is associative/
+  commutative → partial aggregation map-side; one shuffle per signature
+  build. Banding turns near-dup search into an equi-join on
+  (band_idx, band_hash) with a hard per-bucket cap (a degenerate common
+  band hash is dropped, never joined quadratically). The md5 chunk family
+  is engine-portable, so the DuckDB oracle reproduces signatures
+  bit-for-bit.
 * SimHash packs a 16-bit signature from the high bit of each md5 hex digit
   of every token; Hamming-0 buckets come out of a plain group-by.
 * Jaccard verification joins candidate pairs on shared shingles only —
@@ -19,7 +24,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.functions.text import normalize, words
@@ -38,10 +43,15 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n")))
 
 
-def shingles(text_col: str, n: int = DEFAULT_SHINGLE) -> Column:
-    """Word n-gram shingles (1-based element_at so the SQL twin matches).
-    Docs shorter than n words contribute one whole-text shingle."""
-    w = words(text_col)
+def shingles_of(w: Column, n: int = DEFAULT_SHINGLE) -> Column:
+    """Word n-gram shingles of a *materialized* words-array column
+    (1-based element_at so the SQL twin matches). Docs shorter than n
+    words contribute one whole-text shingle.
+
+    ``w`` must be a plain column reference, not the tokenizer expression:
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, so an inlined ``split(lower(text))`` would re-run the regex
+    ~3× per shingle (this was 85% of the r1 minhash cost)."""
     make = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
@@ -51,27 +61,64 @@ def shingles(text_col: str, n: int = DEFAULT_SHINGLE) -> Column:
         F.array(F.concat_ws(" ", w)))
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(id, shingle) rows: tokenize once into a words column, then
+    explode the n-gram shingles of that column."""
+    return (df.select(F.col(id_col), words(text_col).alias("_w"))
+            .select(F.col(id_col),
+                    F.explode(shingles_of(F.col("_w"), n)).alias("shingle")))
+
+
+CHUNKS_PER_MD5 = 4  # 32 hex chars → 4 non-overlapping 8-char chunks
+
+
+def minhash_digest_plan(k: int) -> list[tuple[int, int]]:
+    """Permutation j ← (digest index, 1-based substr offset). Digest 0 is
+    ``md5(shingle)``, digest d>0 is ``md5(shingle‖'#d')``; each digest
+    yields 4 independent 32-bit (8-hex-char) chunks."""
+    return [(j // CHUNKS_PER_MD5, (j % CHUNKS_PER_MD5) * 8 + 1)
+            for j in range(k)]
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       k: int = DEFAULT_K,
                       shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(id, m0..m{k-1}): per-doc minhash signature. One explode + one
-    partial-aggregated group-by; duplicates among shingles are harmless
-    (min is idempotent) so no distinct pass is spent."""
-    sh = df.select(F.col(id_col),
-                   F.explode(shingles(text_col, shingle_n)).alias("shingle"))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"m{j}")
-        for j in range(k)
+    """(id, m0..m{k-1}): per-doc minhash signature. One explode, a
+    projection computing ceil(k/4) md5 digests per shingle, then one
+    partial-aggregated group-by of substring-mins; duplicates among
+    shingles are harmless (min is idempotent) so no distinct pass is
+    spent."""
+    plan = minhash_digest_plan(k)
+    n_digests = max(d for d, _ in plan) + 1
+    sh = shingle_rows(df, id_col, text_col, shingle_n)
+    digests = [
+        F.md5(F.col("shingle") if d == 0
+              else F.concat(F.col("shingle"), F.lit(f"#{d}"))).alias(f"h{d}")
+        for d in range(n_digests)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    hashed = sh.select(F.col(id_col), *digests)
+    aggs = [
+        F.min(F.substring(F.col(f"h{d}"), off, 8)).alias(f"m{j}")
+        for j, (d, off) in enumerate(plan)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+DEFAULT_LSH_BUCKET_CAP = 200
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str,
                         k: int = DEFAULT_K,
-                        bands: int = DEFAULT_BANDS) -> DataFrame:
+                        bands: int = DEFAULT_BANDS,
+                        bucket_cap: int = DEFAULT_LSH_BUCKET_CAP) -> DataFrame:
     """Band the signature and equi-join on (band_idx, band_hash):
     distinct candidate pairs (id_a < id_b). The self-join key is a 32-char
-    digest — tiny shuffle payload regardless of document size."""
+    digest — tiny shuffle payload regardless of document size. Buckets
+    bigger than ``bucket_cap`` (a degenerate common band hash — e.g. a
+    boilerplate shingle set shared by millions of docs) are dropped before
+    the self-join: an explicit recall tradeoff instead of an O(bucket²)
+    stage."""
     rows = k // bands
     band_cols = []
     for b in range(bands):
@@ -82,6 +129,10 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str,
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("bh"),
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    w = Window.partitionBy("band", "h")
+    banded = (banded.withColumn("bsz", F.count("*").over(w))
+              .where(F.col("bsz") <= bucket_cap)
+              .drop("bsz"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "h")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "h")
     return (a.join(b, ["band", "h"])
@@ -115,9 +166,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (the join prunes everything else): (id_a, id_b, jaccard ≥ threshold).
     At scale this runs AFTER LSH candidate generation; standalone it is
     still shuffle-bounded by the shared-shingle join, not n²."""
-    sh = df.select(F.col(id_col),
-                   F.explode(shingles(text_col, shingle_n)).alias("shingle")
-                   ).distinct()
+    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

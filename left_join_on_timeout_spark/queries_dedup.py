@@ -10,9 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 from left_join_on_timeout_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_K,
+    DEFAULT_LSH_BUCKET_CAP,
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
+    minhash_digest_plan,
     minhash_signature,
     simhash16,
 )
@@ -33,8 +35,14 @@ sh AS (
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
 )"""
 
+_PLAN = minhash_digest_plan(DEFAULT_K)
+_N_DIGESTS = max(d for d, _ in _PLAN) + 1
+_DIGEST_COLS = ",\n       ".join(
+    ("md5(shingle)" if d == 0 else f"md5(shingle || '#{d}')") + f" AS h{d}"
+    for d in range(_N_DIGESTS))
 _SIG_COLS = ",\n       ".join(
-    f"min(md5(shingle || '#{j}')) AS m{j}" for j in range(DEFAULT_K))
+    f"min(substr(h{d}, {off}, 8)) AS m{j}"
+    for j, (d, off) in enumerate(_PLAN))
 
 _ROWS = DEFAULT_K // DEFAULT_BANDS
 _PIPE = " || '|' || "
@@ -61,10 +69,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
-bands AS ({_BAND_SELECTS})
+hashed AS (SELECT doc_id, {_DIGEST_COLS} FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+capped AS (
+  SELECT doc_id, band, h FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bsz
+    FROM bands) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}
+)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h
 WHERE a.doc_id < b.doc_id
 """)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
