@@ -11,8 +11,6 @@ arrives within the join window. In Spark that semantic is native:
   (``streaming.timeout_join``); the watermark passing ``left.ts + window``
   plays the role of the reference's wall-clock timer
   (reference ``LeftJoinOnTimeoutBuilder.java:95-122``)
-* **exact-timer parity** — ``streaming.timer_join`` re-creates the
-  reference's processing-time timers with ``transformWithStateInPandas``
 
 plus the driver-mandated large-scale training-data-pipeline extensions
 (dedup, similarity search, text analysis, multimodal plumbing).
@@ -24,11 +22,17 @@ from left_join_on_timeout_spark.operators.timeout_join import (
     window_inner_join,
 )
 from left_join_on_timeout_spark.session import get_spark
+from left_join_on_timeout_spark.streaming.timeout_join import (
+    left_join_on_timeout_stream,
+    timeout_only_stream,
+)
 
 __all__ = [
     "TimeoutJoinConfig",
     "get_spark",
     "left_join_on_timeout",
+    "left_join_on_timeout_stream",
+    "timeout_only_stream",
     "window_inner_join",
 ]
 

@@ -89,6 +89,23 @@ def q_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "r_event_id", "joined")
 
 
+@query("stream_timeout_left_join", _FLAGSHIP_ORACLE)
+def q_stream_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 streaming form — the same flagship semantics through the *real*
+    streaming plan (file source → watermarked stream-stream leftOuter
+    join → sink), drained deterministically and hash-checked against the
+    identical SQL oracle as the batch form. This is the reference's
+    actual operating mode (a Kafka Streams topology)."""
+    from left_join_on_timeout_spark.streaming.harness import (
+        run_timeout_join_stream,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = run_timeout_join_stream(
+        spark, left, right, on="user_id", window="30 minutes",
+        joiner=_concat_joiner)
+    return out.select("user_id", "event_id", "ts", "r_event_id", "joined")
+
+
 @query("window_inner_join", """
 SELECT l.user_id AS user_id,
        l.event_id AS event_id,

@@ -1,0 +1,90 @@
+"""Run a streaming timeout join to completion over bounded inputs.
+
+The driver's correctness gate compares batch DataFrames, and the reference
+tests assert on fully-drained topologies — this harness gives both: feed
+bounded keyed streams through the *real* streaming operator (file source →
+stream-stream join → memory sink), advance the watermark past everything
+with sentinel flush rows, and hand back the sink contents as a batch
+DataFrame.
+
+Flush rows use negative keys (real keys in the test tables are ≥ 0) and a
+far-future timestamp; they advance both sides' watermarks so every
+pending left either matched or timed out, then are filtered from the
+result. This mirrors the reference tests' Awaitility polling
+(``LeftJoinOnTimeoutTest.java:221-235``) — wait-until-drained — without
+wall-clock races.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.timeout_join import Joiner
+from left_join_on_timeout_spark.streaming.timeout_join import (
+    left_join_on_timeout_stream,
+)
+
+FLUSH_TS = "2100-01-01 00:00:00"
+
+
+def run_timeout_join_stream(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window: str | int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    timeout: str | int | None = None,
+    joiner: Joiner | None = None,
+    joined_col: str = "joined",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Feed two *batch* DataFrames through the streaming operator and
+    return the drained sink as a batch DataFrame (flush rows removed).
+
+    The inputs are staged as parquet and re-read with ``readStream`` so
+    the plan under test is the real ``StreamingSymmetricHashJoinExec``
+    with watermark state eviction, not a batch rewrite."""
+    base = tempfile.mkdtemp(prefix="ljot_stream_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    qname = "ljot_sink_" + uuid.uuid4().hex[:12]
+
+    def flush_row(df: DataFrame, key_val: int, ts_col: str) -> DataFrame:
+        """One sentinel row regardless of input contents (an empty input
+        still must advance its side's watermark): nulls everywhere except
+        the (negative) key and the far-future event time."""
+        cols = [
+            F.lit(key_val).cast(df.schema[on].dataType).alias(on)
+            if f.name == on else
+            F.lit(FLUSH_TS).cast("timestamp").alias(ts_col)
+            if f.name == ts_col else
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        return df.sparkSession.range(1).select(*cols)
+
+    left.unionAll(flush_row(left, -1, left_ts)) \
+        .write.mode("overwrite").parquet(ldir)
+    right.unionAll(flush_row(right, -2, right_ts)) \
+        .write.mode("overwrite").parquet(rdir)
+
+    lstream = spark.readStream.schema(left.schema).parquet(ldir)
+    rstream = spark.readStream.schema(right.schema).parquet(rdir)
+    out = left_join_on_timeout_stream(
+        lstream, rstream, on=on, window=window, left_ts=left_ts,
+        right_ts=right_ts, timeout=timeout, joiner=joiner,
+        joined_col=joined_col, right_prefix=right_prefix)
+
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).where(F.col(on) >= 0)
