@@ -11,6 +11,9 @@ arrives within the join window. In Spark that semantic is native:
   (``streaming.timeout_join``); the watermark passing ``left.ts + window``
   plays the role of the reference's wall-clock timer
   (reference ``LeftJoinOnTimeoutBuilder.java:95-122``)
+* **exact-timer parity** — ``streaming.timer_join`` re-creates the
+  reference's explicit timer state store (schedule/cancel/capacity,
+  incl. the strict cancel-all-per-key quirk) on stateful processors
 
 plus the driver-mandated large-scale training-data-pipeline extensions
 (dedup, similarity search, text analysis, multimodal plumbing).
@@ -26,12 +29,16 @@ from left_join_on_timeout_spark.streaming.timeout_join import (
     left_join_on_timeout_stream,
     timeout_only_stream,
 )
+from left_join_on_timeout_spark.streaming.timer_join import (
+    left_join_on_timeout_timers,
+)
 
 __all__ = [
     "TimeoutJoinConfig",
     "get_spark",
     "left_join_on_timeout",
     "left_join_on_timeout_stream",
+    "left_join_on_timeout_timers",
     "timeout_only_stream",
     "window_inner_join",
 ]

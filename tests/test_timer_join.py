@@ -1,0 +1,205 @@
+"""Exact-timer variant (SURVEY M3): unit tests of the pure semantics
+core (reference mechanism O4/O5/O6/O11/O12) plus end-to-end
+``applyInPandasWithState`` scenario runs, including the strict
+cancel-all-per-key quirk (``ScheduledStateStore.java:95-106``)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from left_join_on_timeout_spark.streaming import timer_core
+from left_join_on_timeout_spark.streaming.timer_join import (
+    left_join_on_timeout_timers,
+    left_join_on_timeout_tws,
+)
+
+US = 1_000_000
+
+
+# --- timer_core unit tests (no Spark) --------------------------------------
+
+def test_core_schedule_and_match():
+    """Two pending lefts each match one right independently (O12,
+    reference LeftJoinOnTimeoutTest.java:85-91)."""
+    rows = [(1 * US, "l1", "L"), (20 * US, "l2", "L"), (1 * US, "r", "R")]
+    out, lefts, rights = timer_core.replay(
+        [], [], sorted(rows, key=lambda r: (r[0], r[2])),
+        window_us=100 * US, timeout_ms=100_100, strict=True,
+        capacity=1000, capacity_policy="error")
+    assert [(o[1], o[2]) for o in out] == [("l1", "r"), ("l2", "r")]
+    assert all(not l[3] for l in lefts)  # all disarmed by the join
+
+
+def test_core_timeout_fires_with_original_ts():
+    """O6: a fired timer emits (left, null) with the left's event time."""
+    out, lefts, _ = timer_core.replay(
+        [], [], [(1 * US, "l", "L")], window_us=100_000,
+        timeout_ms=200, strict=True, capacity=10, capacity_policy="error")
+    assert out == [] and lefts[0][3] is True
+    fired, kept = timer_core.fire_due(lefts, now_ms=10_000, window_us=100_000)
+    assert fired == [(1 * US, "l", None)] and kept == []
+
+
+def test_core_lazy_cancel_skips_fire():
+    """O5 + removeOnCancelPolicy=false: a cancelled entry stays queued
+    but must not emit at fire time."""
+    _, lefts, _ = timer_core.replay(
+        [], [], [(1 * US, "l", "L"), (2 * US, "r", "R")],
+        window_us=100 * US, timeout_ms=200_000, strict=True,
+        capacity=10, capacity_policy="error")
+    fired, _ = timer_core.fire_due(lefts, now_ms=10**9, window_us=100 * US)
+    assert fired == []
+
+
+def test_core_strict_cancel_all_quirk():
+    """The reference's cancel-all-per-key: a join output disarms even a
+    pending left whose own window does NOT contain the right record —
+    that left emits nothing (SURVEY §2.1 fine print 2)."""
+    rows = [(1 * US, "L1", "L"), (50 * US, "L2", "L"), (120 * US, "R", "R")]
+    _, lefts, _ = timer_core.replay(
+        [], [], rows, window_us=100 * US, timeout_ms=100_100,
+        strict=True, capacity=10, capacity_policy="error")
+    assert all(not l[3] for l in lefts)
+    fired, _ = timer_core.fire_due(lefts, now_ms=10**9, window_us=100 * US)
+    assert fired == []
+
+
+def test_core_sql_mode_cancels_only_matched():
+    rows = [(1 * US, "L1", "L"), (50 * US, "L2", "L"), (120 * US, "R", "R")]
+    _, lefts, _ = timer_core.replay(
+        [], [], rows, window_us=100 * US, timeout_ms=100_100,
+        strict=False, capacity=10, capacity_policy="error")
+    armed = {l[1] for l in lefts if l[3]}
+    assert armed == {"L1"}
+    fired, _ = timer_core.fire_due(lefts, now_ms=10**9, window_us=100 * US)
+    assert [(f[1], f[2]) for f in fired] == [("L1", None)]
+
+
+def test_core_capacity_error_and_drop():
+    """O11: the reference blocks at capacity
+    (BlockingScheduledExecutor.java:19-31); ours fails fast or sheds."""
+    rows = [(i * US, f"l{i}", "L") for i in range(3)]
+    with pytest.raises(timer_core.CapacityExceeded):
+        timer_core.replay([], [], rows, window_us=US, timeout_ms=2000,
+                          strict=True, capacity=2, capacity_policy="error")
+    _, lefts, _ = timer_core.replay(
+        [], [], rows, window_us=US, timeout_ms=2000,
+        strict=True, capacity=2, capacity_policy="drop")
+    assert [l[3] for l in lefts] == [True, True, False]
+    # the dropped (never-armed) left still joins
+    out, lefts, _ = timer_core.replay(
+        lefts, [], [(2 * US + 1, "r", "R")], window_us=2 * US,
+        timeout_ms=2000, strict=True, capacity=2, capacity_policy="drop")
+    assert ("l2", "r") in {(o[1], o[2]) for o in out}
+
+
+# --- end-to-end scenarios through applyInPandasWithState -------------------
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("v", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def TS(seconds: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=seconds)
+
+
+def concat_joiner(l, r):
+    return F.when(r["v"].isNull(), F.concat(l["v"], F.lit("+"))) \
+            .otherwise(F.concat(l["v"], F.lit("+"), r["v"]))
+
+
+def run_timer(spark, lrows, rrows, window="100 seconds", **kw):
+    base = tempfile.mkdtemp(prefix="ljot_timer_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    spark.createDataFrame(lrows + [(-1, "flushL", TS(100_000))], SCHEMA) \
+        .coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(rrows + [(-2, "flushR", TS(100_000))], SCHEMA) \
+        .coalesce(1).write.parquet(rdir)
+    out = left_join_on_timeout_timers(
+        spark.readStream.schema(SCHEMA).parquet(ldir),
+        spark.readStream.schema(SCHEMA).parquet(rdir),
+        on="k", window=window, joiner=concat_joiner, **kw)
+    qn = "timer_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted((r.k, r.joined) for r in
+                  spark.table(qn).where(F.col("k") >= 0)
+                  .select("k", "joined").collect())
+
+
+def test_timers_join_left_with_right(spark):
+    """Reference shouldJoinLeftWithRight through the timer mechanism."""
+    got = run_timer(spark,
+                    [(1, "left_1", TS(1)), (1, "left_2", TS(20))],
+                    [(1, "right", TS(1))])
+    assert got == [(1, "left_1+right"), (1, "left_2+right")]
+
+
+def test_timers_left_join_on_timeout(spark):
+    """Reference shouldLeftJoinOnTimeout through the timer mechanism."""
+    got = run_timer(spark, [(1, "left", TS(1))], [], window="100 ms")
+    assert got == [(1, "left+")]
+
+
+def test_timers_strict_cancel_all_quirk(spark):
+    """End-to-end quirk reproduction: R matches L2 only; strict mode
+    cancels L1's timer too — L1 emits nothing at all."""
+    got = run_timer(spark,
+                    [(1, "L1", TS(1)), (1, "L2", TS(50))],
+                    [(1, "R", TS(120))])
+    assert got == [(1, "L2+R")]
+
+
+def test_timers_sql_mode_times_out_unmatched(spark):
+    got = run_timer(spark,
+                    [(1, "L1", TS(1)), (1, "L2", TS(50))],
+                    [(1, "R", TS(120))],
+                    strict_reference_semantics=False)
+    assert got == [(1, "L1+"), (1, "L2+R")]
+
+
+def test_timers_capacity_drop_sheds_timeouts(spark):
+    """O11 'drop' policy: the third pending left never times out (but
+    still joined nothing here), the first two do."""
+    got = run_timer(spark,
+                    [(1, "a", TS(1)), (1, "b", TS(2)), (1, "c", TS(3))],
+                    [], window="1 second",
+                    scheduled_capacity=2, capacity_policy="drop")
+    assert got == [(1, "a+"), (1, "b+")]
+
+
+def test_tws_adapter_gated_without_protobuf(spark):
+    """The transformWithStateInPandas tier needs protobuf; absent, the
+    adapter must fail with a clear message pointing at the working
+    adapter (and with it installed, it must build a plan)."""
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+    left = spark.readStream.format("rate").load() \
+        .withColumnRenamed("value", "k")
+    if have_protobuf:
+        df = left_join_on_timeout_tws(
+            left, left, on="k", window="10 seconds",
+            left_ts="timestamp", right_ts="timestamp")
+        assert df.isStreaming
+    else:
+        with pytest.raises(ImportError, match="protobuf"):
+            left_join_on_timeout_tws(
+                left, left, on="k", window="10 seconds",
+                left_ts="timestamp", right_ts="timestamp")
