@@ -34,6 +34,17 @@ DEFAULT_K = 12       # minhash permutations
 DEFAULT_BANDS = 4    # 4 bands × 3 rows
 
 
+def streaming_exact_dedup(stream: DataFrame, keys: list[str], ts_col: str,
+                          delay: str) -> DataFrame:
+    """Streaming exact dedup (SURVEY §2.2): keep the first record per key
+    among records within ``delay`` of each other on the event clock —
+    ``dropDuplicatesWithinWatermark``, so per-key state is evicted once
+    the watermark passes (bounded state at 100 TB, unlike a plain
+    streaming ``dropDuplicates`` whose state grows forever)."""
+    return (stream.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups keyed by a whitespace-normalized md5 digest:
     (digest, keep_id = min id, n copies)."""

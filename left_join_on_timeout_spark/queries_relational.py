@@ -382,6 +382,44 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("ts").alias("session_end")))
 
 
+@query("approx_sketches", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       TRUE AS acd_within_5pct,
+       round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 6) AS median_price,
+       TRUE AS approx_median_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (SURVEY §2.2 extension row):
+    ``approx_count_distinct`` (HLL++) and ``percentile_approx``
+    (KLL-style quantile sketch) validated against their exact twins
+    inside the query — the output carries the exact values plus booleans
+    asserting the sketch landed within its error contract, so the DuckDB
+    oracle (exact values + TRUE) hash-checks sketch correctness without
+    requiring cross-engine sketch bit-equality. At 100 TB you drop the
+    exact columns and keep the sketches: both are single-pass,
+    partial-aggregated, fixed-size state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+    )
+    rel_err = lambda a, b: F.abs(a.cast("double") - b.cast("double")) / b.cast("double")  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n_parts",
+        (rel_err(F.col("n_parts_approx"), F.col("n_parts")) <= 0.05)
+        .alias("acd_within_5pct"),
+        F.round("median_exact", 6).alias("median_price"),
+        (rel_err(F.col("median_approx"), F.col("median_exact")) <= 0.05)
+        .alias("approx_median_within_5pct"),
+    )
+
+
 @query("exists_semi_join", """
 SELECT c_custkey, c_name
 FROM customer c
