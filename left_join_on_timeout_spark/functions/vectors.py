@@ -48,21 +48,30 @@ def srp_planes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
             for row in rng.standard_normal((n_bits, dim))]
 
 
-def srp_bucket(v: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket string: bit b is the sign of
-    ``dot(v, planes[b])``. True random hyperplanes (not axis signs), so
-    P[same bucket] = (1 − θ/π)^n_bits for angle θ — recall is
-    data-independent and bits can be sized to bound expected bucket size
-    (bits ≈ log₂(n / target_bucket)). The bucket string is the LSH key:
-    candidate generation becomes an equi-join instead of an O(n²) cross
-    join. Dot products are the same sequential fold both engines use, so
-    the sign — hence the bucket — is engine-portable."""
-    bits = [
-        F.when(dot(v, F.array(*[F.lit(w) for w in plane])) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat(*bits)
+def srp_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket string over the column named by
+    ``vec_sql``: bit b is the sign of ``dot(v, planes[b])``. True random
+    hyperplanes (not axis signs), so P[same bucket] = (1 − θ/π)^n_bits
+    for angle θ — recall is data-independent and bits can be sized to
+    bound expected bucket size (bits ≈ log₂(n / target_bucket)). The
+    bucket string is the LSH key: candidate generation becomes an
+    equi-join instead of an O(n²) cross join. Dot products are the same
+    sequential fold both engines use, so the sign — hence the bucket —
+    is engine-portable.
+
+    Built as ONE SQL expression string: plane weights as array literals
+    inside a single ``F.expr`` keep query construction at one py4j call
+    per bucket (per-weight ``F.lit`` round-trips made plan construction
+    dominate execution)."""
+    def dot_sql(plane: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+        return (f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)")
+
+    bits = ", ".join(
+        f"CASE WHEN {dot_sql(p)} >= 0 THEN '1' ELSE '0' END"
+        for p in planes)
+    return F.expr(f"concat({bits})")
 
 
 def srp_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from left_join_on_timeout_spark.functions.vectors import (
     as_double,
     cosine,
+    dot,
+    l2_norm,
     srp_bucket,
     srp_planes,
 )
@@ -56,7 +58,9 @@ def brute_force_knn(emb: DataFrame, query_id: int, k: int = 10,
 
 def _banded(emb: DataFrame, id_col: str, vec_col: str, dim: int,
             bands: int, n_bits: int, seed: int, bucket_cap: int) -> DataFrame:
-    """(id, v, band, bucket) rows, one per band, degenerate buckets dropped.
+    """(id, band, bucket) rows — ids and short keys only, never vectors:
+    the banded self-join must shuffle ≤``n_bits``-char strings, not
+    64-double arrays (bands× amplified).
 
     The cap is enforced with a window count over (band, bucket) — the same
     shuffle partitioning the candidate self-join needs, so AQE can reuse
@@ -66,13 +70,13 @@ def _banded(emb: DataFrame, id_col: str, vec_col: str, dim: int,
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            srp_bucket(F.col("v"), srp_planes(dim, n_bits, seed + b))
+            srp_bucket("v", srp_planes(dim, n_bits, seed + b))
             .alias("bucket"))
         for b in range(bands)
     ]
-    banded = (v.select(id_col, "v",
+    banded = (v.select(id_col,
                        F.explode(F.array(*band_structs)).alias("bb"))
-              .select(id_col, "v",
+              .select(id_col,
                       F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
     w = Window.partitionBy("band", "bucket")
@@ -89,19 +93,36 @@ def srp_candidate_pairs(emb: DataFrame,
                         n_bits: int = DEFAULT_BITS,
                         seed: int = DEFAULT_SEED,
                         bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b, with both vectors) that share
-    at least one (band, bucket). The join key is a ≤``n_bits``-char string
-    + a tiny band int — the shuffle carries ids and short keys, and the
-    vectors ride along only into the scoring projection."""
+    """Distinct candidate pairs (id_a, id_b, va, vb) sharing ≥1
+    (band, bucket). Pair generation and dedup run on bare ids; the
+    vectors are re-attached afterwards by two id-equi-joins, so each
+    vector crosses the wire once per side instead of once per band row."""
     banded = _banded(emb, id_col, vec_col, dim, bands, n_bits, seed, bucket_cap)
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                      "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                      "band", "bucket")
-    return (a.join(b, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-            .dropDuplicates(["id_a", "id_b"]))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (a.join(b, ["band", "bucket"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+    # attach vectors with their norms precomputed once per vector —
+    # scoring then costs one dot product per pair instead of three
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    return pairs.join(va, "id_a").join(vb, "id_b")
+
+
+def _score(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, cos_sim): cosine from the pair's single dot product
+    and the precomputed norms — same IEEE operation order as
+    ``functions.vectors.cosine`` (dot / (norm_a * norm_b))."""
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
 
 
 def ann_top_neighbor(emb: DataFrame,
@@ -117,13 +138,16 @@ def ann_top_neighbor(emb: DataFrame,
     (honest ANN recall semantics). Ties break to the smaller neighbor id."""
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
                                 seed, bucket_cap)
-    scored = pairs.select(
-        "id_a", "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
-    both = scored.select(
-        F.col("id_a").alias("vec_id"), F.col("id_b").alias("nbr"), "cos_sim"
-    ).unionAll(scored.select(
-        F.col("id_b").alias("vec_id"), F.col("id_a").alias("nbr"), "cos_sim"))
+    scored = _score(pairs)
+    # both directions from one evaluation of the scoring subtree — a
+    # union of two selects over `scored` would re-run the whole
+    # pairs+score plan per branch
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
+    )).alias("e")).select("e.*")
     best = both.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
         .alias("best"))
@@ -146,7 +170,4 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
     cosine verify only on candidates)."""
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
                                 seed, bucket_cap)
-    return (pairs.select(
-        "id_a", "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold))
+    return _score(pairs).where(F.col("cos_sim") >= threshold)

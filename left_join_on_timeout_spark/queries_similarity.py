@@ -39,15 +39,19 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
     + " AS bucket FROM e"
     for b in range(DEFAULT_BANDS))
 
-# shared candidate-generation CTE: banded → bucket-capped → distinct pairs
+# shared candidate-generation CTE: banded → bucket-capped → distinct pairs;
+# norms precomputed per vector, cosine = dot / (na * nb) — the exact
+# operation order of operators.similarity._score
 _PAIRS_CTE = f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
 banded AS (
 {_BAND_SELECTS}
 ),
 capped AS (
-  SELECT vec_id, v, band, bucket FROM (
-    SELECT vec_id, v, band, bucket,
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
            count(*) OVER (PARTITION BY band, bucket) AS bsz
     FROM banded) t
   WHERE bsz <= {DEFAULT_BUCKET_CAP}
@@ -58,7 +62,8 @@ pairs AS (
   WHERE a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT id_a, id_b, {_COS.format(a="va.v", b="vb.v")} AS cos_sim
+  SELECT id_a, id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6) AS cos_sim
   FROM pairs
   JOIN e va ON va.vec_id = id_a
   JOIN e vb ON vb.vec_id = id_b
