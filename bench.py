@@ -44,6 +44,8 @@ HEADLINE = [
     "knn_brute_cosine",
     "ann_top1_srp",
     "text_quality_score",
+    "multimodal_features",
+    "kafka_sink_encode",
 ]
 
 

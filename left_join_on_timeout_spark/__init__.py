@@ -16,7 +16,10 @@ arrives within the join window. In Spark that semantic is native:
   incl. the strict cancel-all-per-key quirk) on stateful processors
 
 plus the driver-mandated large-scale training-data-pipeline extensions
-(dedup, similarity search, text analysis, multimodal plumbing).
+(dedup, similarity search, text analysis, multimodal binary columns in
+``operators.multimodal``) and the source/sink surface (``sources.streams``
+for keyed stream sources O1, ``sinks`` for stream sinks O8 and the
+``to_json`` Kafka record layout O13).
 """
 
 from left_join_on_timeout_spark.config import TimeoutJoinConfig

@@ -1,0 +1,112 @@
+"""Multimodal + sink-encode queries, each with an exact DuckDB twin.
+
+The asset fixture derives a real ``binary`` column from the documents
+table (container magic + utf-8 text bytes — ``operators.multimodal.
+documents_as_assets``), so the oracle can rebuild byte-identical content
+with ``unhex(magic) || encode(text)`` and check the Arrow/mapInPandas
+path hash-for-hash. Digests use md5-over-uppercase-hex on both sides
+(DuckDB's md5 is text-only); frames compare as hex strings (DuckDB blobs
+don't slice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.multimodal import (
+    MAGIC_HEX,
+    documents_as_assets,
+    extract_features,
+    sample_frames,
+)
+from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.sinks import encode_json_records
+from left_join_on_timeout_spark.sources.tables import load_table
+
+_TYPES = list(MAGIC_HEX.values())       # cycled by doc_id % len
+_TYPE_LIST = "[" + ", ".join(f"'{t}'" for t in _TYPES) + "]"
+_MAGIC_LIST = "[" + ", ".join(f"'{h}'" for h in MAGIC_HEX) + "]"
+
+# byte-identical rebuild of documents_as_assets in DuckDB
+_ASSETS_CTE = f"""
+assets AS (
+  SELECT doc_id AS asset_id,
+         list_extract({_TYPE_LIST}, CAST(doc_id % {len(_TYPES)} AS INT) + 1)
+           AS media_type,
+         unhex(list_extract({_MAGIC_LIST},
+                            CAST(doc_id % {len(_TYPES)} AS INT) + 1))
+           || encode(text) AS content
+  FROM documents)"""
+
+_SNIFF_CASE = "CASE " + " ".join(
+    f"WHEN hx LIKE '{h}%' THEN '{t}'" for h, t in MAGIC_HEX.items()
+) + " ELSE 'unknown' END"
+
+_FRAME_SIZE = 32
+_FRAME_STRIDE = 4
+
+
+@query("multimodal_features", f"""
+WITH {_ASSETS_CTE},
+hexed AS (SELECT asset_id, media_type, upper(hex(content)) AS hx,
+                 octet_length(content) AS blen
+          FROM assets)
+SELECT asset_id, media_type,
+       blen AS byte_len,
+       md5(hx) AS digest,
+       {_SNIFF_CASE} AS sniffed_type
+FROM hexed
+""")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset feature extraction through the real ``mapInPandas``
+    path: byte length, content digest, magic-number container sniff. The
+    sniffed type independently re-derives ``media_type`` end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(docs), digest_of="hex")
+    return feats.select(
+        "asset_id", "media_type", "byte_len", "digest", "sniffed_type")
+
+
+@query("multimodal_frame_sample", f"""
+WITH {_ASSETS_CTE},
+hexed AS (SELECT asset_id, upper(hex(content)) AS hx,
+                 octet_length(content) // {_FRAME_SIZE} AS n_frames
+          FROM assets),
+nos AS (SELECT asset_id, hx,
+               CAST(unnest(range(0, n_frames, {_FRAME_STRIDE})) AS INT)
+                 AS frame_no
+        FROM hexed)
+SELECT asset_id, frame_no,
+       substring(hx, 1 + frame_no * {_FRAME_SIZE} * 2,
+                 {_FRAME_SIZE} * 2) AS frame_hex
+FROM nos
+""")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over binary content (the video
+    frame-extract batch shape, codec stubbed to byte slicing): every 4th
+    32-byte frame, emitted one row per frame via ``mapInPandas``."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_assets(docs),
+                           frame_size=_FRAME_SIZE, stride=_FRAME_STRIDE)
+    return frames.select(
+        "asset_id", "frame_no", F.upper(F.hex("frame")).alias("frame_hex"))
+
+
+@query("kafka_sink_encode", """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       to_json(struct_pack(event_id := event_id,
+                           event_type := event_type,
+                           props := props)) AS value
+FROM events
+""")
+def q_kafka_sink_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/O13 write side: project a stream to the Kafka record layout —
+    string key + JSON value (``sinks.encode_json_records``), the exact
+    frame a ``format("kafka")`` sink ships. Field order and null policy
+    are deterministic, so the oracle matches byte-for-byte (fields are
+    ints/strings — float formatting is engine-specific, kept out)."""
+    events = load_table(spark, sf_dir, "events")
+    return encode_json_records(
+        events, key_col="user_id",
+        value_cols=["event_id", "event_type", "props"])
