@@ -41,6 +41,8 @@ HEADLINE = [
     "tumbling_window_events",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_jaccard",
+    "ann_top1_ivf",
     "knn_brute_cosine",
     "ann_top1_srp",
     "text_quality_score",

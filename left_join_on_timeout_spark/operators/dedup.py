@@ -152,6 +152,48 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str,
             .distinct())
 
 
+def jaccard_verify(candidates: DataFrame, sh: DataFrame, id_col: str,
+                   threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification restricted to LSH candidate
+    pairs — the scale-path composition (candidates from equi-joins, exact
+    scoring only on candidates). ``candidates`` is (id_a, id_b); ``sh``
+    is distinct (id, shingle) rows. Shingles of non-candidate documents
+    are pruned by the id join *before* any per-pair work, so the verify
+    stage costs O(candidate shingles), not O(corpus shingles²)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (candidates.join(a, "id_a")
+             .join(b, ["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("inter")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (inter.join(na, "id_a").join(nb, "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("n_a") + F.col("n_b") - F.col("inter"))))
+    return (jac.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def lsh_verified_near_dups(df: DataFrame, id_col: str, text_col: str,
+                           threshold: float = 0.5,
+                           k: int = DEFAULT_K,
+                           bands: int = DEFAULT_BANDS,
+                           shingle_n: int = DEFAULT_SHINGLE,
+                           bucket_cap: int = DEFAULT_LSH_BUCKET_CAP
+                           ) -> DataFrame:
+    """The full near-dup pipeline at its 100 TB shape: MinHash → LSH
+    banding → candidate pairs → exact Jaccard ≥ ``threshold`` verify on
+    candidates only. Every stage is an equi-join or partial-agg group-by;
+    nothing is quadratic in the corpus."""
+    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, k, bands, bucket_cap)
+    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 16-bit SimHash as a bit-string. Bit b is the sign of
     Σ_tokens (±1 by the high bit of hex digit b of md5(token))."""
@@ -168,6 +210,52 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(
         F.col(id_col),
         F.concat(*[F.col(f"b{b}") for b in range(16)]).alias("simhash"))
+
+
+def simhash_hamming_pairs(sig: DataFrame, id_col: str,
+                          sim_col: str = "simhash",
+                          max_hamming: int = 1,
+                          bucket_cap: int = DEFAULT_LSH_BUCKET_CAP
+                          ) -> DataFrame:
+    """Near-dup pairs within Hamming distance ≤ ``max_hamming`` of a
+    16-bit simhash — multi-probe beyond the Hamming-0 group-by.
+
+    Pigeonhole banding: split the signature into ``max_hamming + 1``
+    equal slices; two signatures within the distance bound must agree
+    exactly on ≥1 slice, so candidates come from equi-joins on
+    (slice_idx, slice_value) — never an all-pairs scan — and the exact
+    Hamming distance verifies each candidate (16 char compares, pure
+    codegen). Big slice buckets are capped like every other LSH stage."""
+    n_slices = max_hamming + 1
+    if 16 % n_slices:
+        raise ValueError("max_hamming + 1 must divide 16")
+    width = 16 // n_slices
+    slices = F.array(*[
+        F.struct(F.lit(i).alias("slice"),
+                 F.substring(sim_col, i * width + 1, width).alias("val"))
+        for i in range(n_slices)])
+    s = (sig.select(id_col, sim_col, F.explode(slices).alias("sv"))
+         .select(id_col, sim_col,
+                 F.col("sv.slice").alias("slice"),
+                 F.col("sv.val").alias("val")))
+    w = Window.partitionBy("slice", "val")
+    s = (s.withColumn("bsz", F.count("*").over(w))
+         .where(F.col("bsz") <= bucket_cap).drop("bsz"))
+    a = s.select(F.col(id_col).alias("id_a"),
+                 F.col(sim_col).alias("sh_a"), "slice", "val")
+    b = s.select(F.col(id_col).alias("id_b"),
+                 F.col(sim_col).alias("sh_b"), "slice", "val")
+    cand = (a.join(b, ["slice", "val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct())
+    hamming = sum(
+        (F.substring("sh_a", i + 1, 1) != F.substring("sh_b", i + 1, 1))
+        .cast("int")
+        for i in range(16))
+    return (cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

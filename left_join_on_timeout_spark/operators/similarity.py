@@ -157,6 +157,79 @@ def ann_top_neighbor(emb: DataFrame,
         F.col("best.cos_sim").alias("cos_sim"))
 
 
+DEFAULT_IVF_CELLS = 32
+DEFAULT_CELL_CAP = 2000
+
+
+def ivf_assign(emb: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               n_cells: int = DEFAULT_IVF_CELLS) -> DataFrame:
+    """(id, v, nrm, cell): IVF coarse quantization — assign each vector
+    to its nearest anchor by cosine. Anchors are the vectors with
+    ``id < n_cells`` (deterministic, seedless; a k-means pass would drop
+    in here unchanged). The anchor table is tiny and broadcast, so
+    assignment is one narrow scan: n·n_cells dot products, no shuffle."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    anchors = (v.where(F.col(id_col) < n_cells)
+               .select(F.col(id_col).alias("cell"),
+                       F.col("v").alias("av"),
+                       F.col("nrm").alias("anrm")))
+    sims = (v.join(F.broadcast(anchors))
+            .select(id_col, "v", "nrm", "cell",
+                    (dot(F.col("v"), F.col("av"))
+                     / (F.col("nrm") * F.col("anrm"))).alias("sim")))
+    best = sims.groupBy(id_col).agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc")))
+        .alias("b"))
+    assigned = best.select(F.col(id_col),
+                           (-F.col("b.negc")).alias("cell"))
+    return assigned.join(v, id_col).select(id_col, "v", "nrm", "cell")
+
+
+def ivf_top_neighbor(emb: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_cells: int = DEFAULT_IVF_CELLS,
+                     cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+    """Approximate nearest neighbor per vector, IVF variant: pair only
+    within the coarse cell (nprobe=1), exact cosine on cell-mates,
+    bidirectional top-1 — the inverted-file counterpart to
+    :func:`ann_top_neighbor`'s SRP hashing.
+
+    Scale shape: cells shuffle on the cell id; ``n_cells`` is sized to
+    the corpus (cells ≈ n / target_cell_size) and ``cell_cap`` drops
+    degenerate cells before pairing, so within-cell work is bounded by
+    cap² per cell, never corpus-quadratic. Recall comes from cell
+    locality instead of SRP band OR-ing."""
+    assigned = ivf_assign(emb, id_col, vec_col, n_cells)
+    w = Window.partitionBy("cell")
+    assigned = (assigned.withColumn("csz", F.count("*").over(w))
+                .where(F.col("csz") <= cell_cap).drop("csz"))
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cell"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cell"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "va", "na", "vb", "nb"))
+    scored = _score(pairs)
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
+    )).alias("e")).select("e.*")
+    best = both.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
+        .alias("best"))
+    return best.select(
+        "vec_id",
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.col("best.cos_sim").alias("cos_sim"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

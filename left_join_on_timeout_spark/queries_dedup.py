@@ -14,9 +14,11 @@ from left_join_on_timeout_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_verified_near_dups,
     minhash_digest_plan,
     minhash_signature,
     simhash16,
+    simhash_hamming_pairs,
 )
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
@@ -91,6 +93,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, "doc_id")
 
 
+# shared candidate CTE tail: minhash sig → bands → capped buckets → pairs
+_LSH_PAIRS_CTE = f"""
+hashed AS (SELECT doc_id, {{digests}} FROM sh),
+sig AS (SELECT doc_id, {{sigs}} FROM hashed GROUP BY doc_id),
+bands AS ({{bands}}),
+capped AS (
+  SELECT doc_id, band, h FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bsz
+    FROM bands) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+@query("dedup_lsh_jaccard", f"""
+WITH {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS inter
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.id_a
+  JOIN d b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5
+""")
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline composed at its 100 TB shape: MinHash → LSH
+    banding → candidates → exact Jaccard ≥ 0.5 verified on candidates
+    only (the standalone all-shared-shingle join never runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_near_dups(docs, "doc_id", "text", threshold=0.5)
+
+
 _SIMHASH_BITS = ",\n       ".join(
     "CASE WHEN sum(CASE WHEN substr(h, {i}, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
@@ -111,6 +159,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash16(docs, "doc_id", "text")
+
+
+_SIM16 = " || ".join(f"b{b}" for b in range(16))
+_HAMMING = " + ".join(
+    f"(CASE WHEN substr(sh_a, {i + 1}, 1) <> substr(sh_b, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(16))
+
+
+@query("dedup_simhash_hamming1", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, {_SIM16} AS simhash FROM bits),
+slices AS (
+  SELECT doc_id, simhash, 0 AS slice, substr(simhash, 1, 8) AS val FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS slice, substr(simhash, 9, 8) AS val FROM sim),
+capped AS (
+  SELECT doc_id, simhash, slice, val FROM (
+    SELECT doc_id, simhash, slice, val,
+           count(*) OVER (PARTITION BY slice, val) AS bsz
+    FROM slices) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM capped a JOIN capped b ON a.slice = b.slice AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming
+FROM (SELECT id_a, id_b, CAST({_HAMMING} AS INT) AS hamming FROM cand) t
+WHERE hamming <= 1
+""")
+def q_dedup_simhash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 1 — pigeonhole
+    half-signature banding (an exact-match equi-join per half) generates
+    candidates; 16 codegen char-compares verify the distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash16(docs, "doc_id", "text")
+    return simhash_hamming_pairs(sig, "doc_id", max_hamming=1)
 
 
 @query("dedup_ngram_jaccard", f"""

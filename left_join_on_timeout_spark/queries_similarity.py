@@ -16,10 +16,13 @@ from left_join_on_timeout_spark.operators.similarity import (
     DEFAULT_BANDS,
     DEFAULT_BITS,
     DEFAULT_BUCKET_CAP,
+    DEFAULT_CELL_CAP,
+    DEFAULT_IVF_CELLS,
     DEFAULT_SEED,
     ann_top_neighbor,
     brute_force_knn,
     embedding_near_dup_pairs,
+    ivf_top_neighbor,
 )
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
@@ -107,6 +110,55 @@ def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap; exact cosine scoring only on candidates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_top_neighbor(emb, dim=_DIM)
+
+
+@query("ann_top1_ivf", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
+            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
+sims AS (SELECT vec_id, cell,
+                list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+         FROM v, anchors),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM sims) t
+  WHERE rn = 1),
+capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+    FROM assigned) t
+  WHERE csz <= {DEFAULT_CELL_CAP}),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM capped a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored)
+SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM bidir) t
+WHERE rn = 1
+""")
+def q_ann_top1_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-variant approximate nearest neighbor: broadcast coarse
+    anchors, assign by cosine (argmax), pair only within the cell
+    (capped), exact cosine on cell-mates, bidirectional top-1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_neighbor(emb)
 
 
 @query("embedding_near_dup", f"""

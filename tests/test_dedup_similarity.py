@@ -1,0 +1,113 @@
+"""Unit tests for the round-2 dedup/similarity additions: LSH-verified
+Jaccard composition, SimHash Hamming-1 multi-probe, IVF ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.dedup import (
+    jaccard_pairs,
+    lsh_verified_near_dups,
+    simhash_hamming_pairs,
+)
+from left_join_on_timeout_spark.operators.similarity import (
+    ivf_assign,
+    ivf_top_neighbor,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_lsh_verified_subset_of_exact(spark):
+    """Every LSH-verified pair must also be an exact-Jaccard pair with
+    the identical score (LSH can only lose candidates, never invent or
+    rescore them)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_pairs(docs, "doc_id", "text", 0.5).collect()}
+    verified = {(r.id_a, r.id_b): r.jaccard
+                for r in lsh_verified_near_dups(
+                    docs, "doc_id", "text", 0.5).collect()}
+    assert verified  # the fixture contains near-dups
+    for pair, jac in verified.items():
+        assert exact[pair] == jac
+
+
+def test_simhash_hamming_pairs_semantics(spark):
+    """Hand-built signatures: Hamming 0 and 1 pairs surface; a Hamming-2
+    pair whose flips share a half is a candidate (other half matches)
+    but must be rejected by the verify stage."""
+    rows = [
+        (1, "0000000000000000"),
+        (2, "0000000000000000"),   # hamming 0 vs 1
+        (3, "0000000010000000"),   # hamming 1 vs 1/2 (flip in 2nd half)
+        (4, "0000000011000000"),   # hamming 2 vs 1/2 — candidate, rejected
+        (5, "1111111111111111"),   # far from everything
+    ]
+    sig = spark.createDataFrame(rows, "doc_id LONG, simhash STRING")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(sig, "doc_id").collect()}
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1, (3, 4): 1}
+
+
+def test_simhash_hamming_validates():
+    with pytest.raises(ValueError, match="divide 16"):
+        simhash_hamming_pairs(None, "doc_id", max_hamming=2)
+
+
+def test_ivf_assign_picks_nearest_anchor(spark):
+    """Clustered synthetic vectors: ids 0/1 are anchors along different
+    axes; every vector lands in the cell of its dominant axis."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.8, 0.0, 0.1, 0.0]),
+        (20, [0.0, 0.9, 0.1, 0.0]),
+        (21, [0.1, 0.8, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cells = {r.vec_id: r.cell
+             for r in ivf_assign(emb, n_cells=2).collect()}
+    assert cells == {0: 0, 1: 1, 10: 0, 11: 0, 20: 1, 21: 1}
+
+
+def test_ivf_top_neighbor_within_cell(spark):
+    """Top neighbor is the best cosine among cell-mates; every vector in
+    a multi-vector cell gets a row."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (20, [0.0, 0.9, 0.1, 0.0]),
+        (21, [0.1, 0.8, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.vec_id: (r.neighbor_id, r.cos_sim)
+           for r in ivf_top_neighbor(emb, n_cells=2).collect()}
+    assert set(out) == {0, 1, 10, 20, 21}
+    assert out[0][0] == 10 and out[10][0] == 0
+    # in cell 1 = {1, 20, 21}: cos(20,1)=.9939 beats cos(20,21)=.9861,
+    # cos(21,1)=.9923 beats cos(21,20); 1's best is 20
+    assert out[1][0] == 20
+    assert out[20][0] == 1 and out[21][0] == 1
+
+
+def test_ivf_cell_cap_drops_degenerate_cells(spark):
+    """A cell over the cap contributes no pairs (bounded work), and its
+    members simply have no ANN row — honest recall semantics."""
+    rows = [(0, [1.0, 0.0])] + [
+        (i, [1.0, float(i) / 100.0]) for i in range(10, 16)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = ivf_top_neighbor(emb, n_cells=1, cell_cap=3)
+    assert out.count() == 0
+
+
+def test_lsh_jaccard_oracle_counts(spark):
+    """The composed pipeline keeps the anti-join-free plan: no cartesian
+    products anywhere in the physical plan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = lsh_verified_near_dups(
+        docs, "doc_id", "text", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
