@@ -26,8 +26,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def normalize(text: Column | str) -> Column:
+    """Lower-cased, trimmed text; NULL becomes '' so the result is
+    provably non-nullable. This is load-bearing for performance, not just
+    hygiene: a nullable derivation lets Catalyst's
+    InferFiltersFromConstraints synthesize `isnotnull(<whole expensive
+    expression>)` and push it into the (possibly single-partition) scan,
+    serializing the entire tokenize/shingle pipeline inside a filter. A
+    non-nullable input makes those constraints trivially true, so nothing
+    is inferred or pushed."""
     t = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.lower(t))
+    return F.trim(F.lower(F.coalesce(t, F.lit(""))))
 
 
 def words(text: Column | str) -> Column:

@@ -14,8 +14,15 @@ from pyspark.sql import functions as F
 
 
 def as_double(v: Column | str) -> Column:
+    """Vector as non-nullable array<double>; NULL becomes []. The
+    coalesce is load-bearing for performance: with a nullable input,
+    Catalyst's InferFiltersFromConstraints can synthesize
+    `isnotnull(<bucket/dot expression>)` from downstream join keys and
+    push the whole vector computation into the scan as a serial filter
+    (see functions.text.normalize for the same pattern)."""
     v = F.col(v) if isinstance(v, str) else v
-    return v.cast("array<double>")
+    return F.coalesce(v.cast("array<double>"),
+                      F.array().cast("array<double>"))
 
 
 def dot(a: Column, b: Column) -> Column:

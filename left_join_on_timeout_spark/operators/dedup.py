@@ -8,10 +8,11 @@ Design for 100 TB:
 * MinHash is **string-min based**: the ``k`` permutation values for a
   shingle are non-overlapping 8-hex-char chunks of ``ceil(k/4)`` md5
   digests (``md5(shingle)``, ``md5(shingle‖'#1')``, …) — 3 md5 calls per
-  shingle row instead of one per permutation (the r1 plan spent 53% of
-  the whole bench in 12× md5). Min over strings is associative/
-  commutative → partial aggregation map-side; one shuffle per signature
-  build. Banding turns near-dup search into an equi-join on
+  shingle instead of one per permutation (the r1 plan spent 53% of the
+  whole bench in 12× md5). Signatures are computed **row-local** from
+  each doc's distinct-shingle array (``array_min`` over ``transform``):
+  zero shuffles to build, embarrassingly parallel at any corpus size.
+  Banding turns near-dup search into an equi-join on
   (band_idx, band_hash) with a hard per-bucket cap (a degenerate common
   band hash is dropped, never joined quadratically). The md5 chunk family
   is engine-portable, so the DuckDB oracle reproduces signatures
@@ -28,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.functions.text import normalize, words
+from left_join_on_timeout_spark.partitioning import fan_out
 
 DEFAULT_SHINGLE = 3  # word 3-grams
 DEFAULT_K = 12       # minhash permutations
@@ -81,6 +83,21 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
                     F.explode(shingles_of(F.col("_w"), n)).alias("shingle")))
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """(id, sh_set): the *distinct* shingle set of each document as one
+    array column — a pure narrow projection (tokenize → n-gram →
+    array_distinct), no explode and no shuffle. The whole MinHash /
+    Jaccard family derives from this row shape: signature mins and set
+    intersections are per-row array expressions, so signature build costs
+    zero shuffles at any corpus size. The input is fanned out first so
+    the md5-heavy projections use every core even off a tiny scan."""
+    return (fan_out(df).select(F.col(id_col), words(text_col).alias("_w"))
+            .select(F.col(id_col),
+                    F.array_distinct(
+                        shingles_of(F.col("_w"), n)).alias("sh_set")))
+
+
 CHUNKS_PER_MD5 = 4  # 32 hex chars → 4 non-overlapping 8-char chunks
 
 
@@ -92,28 +109,39 @@ def minhash_digest_plan(k: int) -> list[tuple[int, int]]:
             for j in range(k)]
 
 
+def _with_minhash(sets: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Append m0..m{k-1} minhash columns to a (id, sh_set) frame as pure
+    per-row array expressions: one projection concatenates the ceil(k/4)
+    md5 digests of each shingle into ``_hcat`` (md5 runs once per shingle
+    — the separate Project keeps CollapseProject from inlining it k
+    times), a second takes ``array_min`` of each 8-hex-char slice. Zero
+    shuffles — signature build is embarrassingly parallel at any scale."""
+    plan = minhash_digest_plan(k)
+    n_digests = max(d for d, _ in plan) + 1
+    hcat = F.transform(
+        F.col("sh_set"),
+        lambda s: F.concat(*[
+            F.md5(s if d == 0 else F.concat(s, F.lit(f"#{d}")))
+            for d in range(n_digests)]))
+    hashed = sets.withColumn("_hcat", hcat)
+    mins = [
+        F.array_min(F.transform(
+            F.col("_hcat"),
+            lambda h: h.substr(F.lit(d * 32 + off), F.lit(8)))).alias(f"m{j}")
+        for j, (d, off) in enumerate(plan)
+    ]
+    return hashed.select(id_col, "sh_set", *mins)
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
                       k: int = DEFAULT_K,
                       shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
-    """(id, m0..m{k-1}): per-doc minhash signature. One explode, a
-    projection computing ceil(k/4) md5 digests per shingle, then one
-    partial-aggregated group-by of substring-mins; duplicates among
-    shingles are harmless (min is idempotent) so no distinct pass is
-    spent."""
-    plan = minhash_digest_plan(k)
-    n_digests = max(d for d, _ in plan) + 1
-    sh = shingle_rows(df, id_col, text_col, shingle_n)
-    digests = [
-        F.md5(F.col("shingle") if d == 0
-              else F.concat(F.col("shingle"), F.lit(f"#{d}"))).alias(f"h{d}")
-        for d in range(n_digests)
-    ]
-    hashed = sh.select(F.col(id_col), *digests)
-    aggs = [
-        F.min(F.substring(F.col(f"h{d}"), off, 8)).alias(f"m{j}")
-        for j, (d, off) in enumerate(plan)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    """(id, m0..m{k-1}): per-doc minhash signature, computed entirely
+    row-local from the document's distinct-shingle array — no explode, no
+    group-by, no shuffle (duplicate shingles can't change a min, so
+    array_distinct is semantics-preserving)."""
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    return _with_minhash(sets, id_col, k).drop("sh_set")
 
 
 DEFAULT_LSH_BUCKET_CAP = 200
@@ -186,18 +214,36 @@ def lsh_verified_near_dups(df: DataFrame, id_col: str, text_col: str,
                            ) -> DataFrame:
     """The full near-dup pipeline at its 100 TB shape: MinHash → LSH
     banding → candidate pairs → exact Jaccard ≥ ``threshold`` verify on
-    candidates only. Every stage is an equi-join or partial-agg group-by;
-    nothing is quadratic in the corpus."""
-    sig = minhash_signature(df, id_col, text_col, k, shingle_n)
+    candidates only. Signatures are row-local array math (no shuffle);
+    candidates come from a capped equi-join; the verify stage joins the
+    (small) candidate list back to per-doc shingle arrays on id and
+    scores each pair with one ``array_intersect`` — nothing is quadratic
+    in the corpus, and no shingle-level join ever runs."""
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    sig = _with_minhash(sets, id_col, k).drop("sh_set")
     cand = lsh_candidate_pairs(sig, id_col, k, bands, bucket_cap)
-    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
-    return jaccard_verify(cand, sh, id_col, threshold)
+    sized = sets.select(F.col(id_col), "sh_set",
+                        F.size("sh_set").alias("n_sh"))
+    a = sized.select(F.col(id_col).alias("id_a"),
+                     F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col(id_col).alias("id_b"),
+                     F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("n_b"))
+    jac = (cand.join(a, "id_a").join(b, "id_b")
+           .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("n_a") + F.col("n_b") - F.col("inter"))))
+    return (jac.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 16-bit SimHash as a bit-string. Bit b is the sign of
     Σ_tokens (±1 by the high bit of hex digit b of md5(token))."""
-    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    tok = (fan_out(df)
+           .select(F.col(id_col), F.explode(words(text_col)).alias("tok")))
     tok = tok.withColumn("h", F.md5("tok"))
     bit_aggs = []
     for b in range(16):
@@ -265,8 +311,9 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     (the join prunes everything else): (id_a, id_b, jaccard ≥ threshold).
     At scale this runs AFTER LSH candidate generation; standalone it is
     still shuffle-bounded by the shared-shingle join, not n²."""
-    sh = shingle_rows(df, id_col, text_col, shingle_n).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    sh = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
+    sizes = sets.select(F.col(id_col), F.size("sh_set").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (a.join(b, "shingle")

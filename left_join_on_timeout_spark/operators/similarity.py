@@ -31,6 +31,7 @@ from left_join_on_timeout_spark.functions.vectors import (
     srp_bucket,
     srp_planes,
 )
+from left_join_on_timeout_spark.partitioning import fan_out
 
 DEFAULT_BANDS = 4
 DEFAULT_BITS = 8
@@ -66,7 +67,7 @@ def _banded(emb: DataFrame, id_col: str, vec_col: str, dim: int,
     shuffle partitioning the candidate self-join needs, so AQE can reuse
     the exchange. At 100 TB a popular bucket is bounded before any pairing
     happens, which is what keeps the stage linear."""
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -169,8 +170,9 @@ def ivf_assign(emb: DataFrame,
     to its nearest anchor by cosine. Anchors are the vectors with
     ``id < n_cells`` (deterministic, seedless; a k-means pass would drop
     in here unchanged). The anchor table is tiny and broadcast, so
-    assignment is one narrow scan: n·n_cells dot products, no shuffle."""
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    assignment is one narrow scan: n·n_cells dot products, no shuffle —
+    fanned out so those dot products use every core off a tiny scan."""
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     anchors = (v.where(F.col(id_col) < n_cells)
                .select(F.col(id_col).alias("cell"),
