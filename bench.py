@@ -35,6 +35,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q18_large_volume_customer",
     "window_top3_per_customer",
     "rollup_revenue",
     "sessionization",

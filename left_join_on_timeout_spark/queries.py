@@ -201,5 +201,6 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_relational,
     queries_similarity,
     queries_text,
+    queries_tpch,
 )
 
