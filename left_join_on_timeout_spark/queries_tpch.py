@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from left_join_on_timeout_spark.operators.skew import salted_join
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
 
@@ -304,6 +305,28 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30)))
     return j.where(cond).agg(_dsum(_rev()).alias("revenue"))
+
+
+@query("salted_join_revenue", """
+SELECT o.o_orderpriority AS o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""")
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key mitigation path: lineitem⋈orders executed as a salted
+    join (operators.skew) — the skewed fact side gets a deterministic
+    salt, orders is replicated per salt, and the shuffle spreads each
+    orderkey across 8 partitions. Result-identical to the plain join,
+    which is exactly what the oracle asserts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    o, on="o_orderkey", salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(_dsum(_rev()).alias("revenue"),
+                 F.count("*").alias("n_lines")))
 
 
 @query("q22_idle_rich_customers", """
