@@ -200,6 +200,7 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_multimodal,
     queries_relational,
     queries_similarity,
+    queries_streaming,
     queries_text,
     queries_tpch,
 )

@@ -88,3 +88,27 @@ def run_timeout_join_stream(
     finally:
         q.stop()
     return spark.table(qname).where(F.col(on) >= 0)
+
+
+def drain_stream(spark: SparkSession, inp: DataFrame, build) -> DataFrame:
+    """Feed one bounded *batch* DataFrame through a streaming transform
+    and return the drained sink as a batch DataFrame.
+
+    ``build(stream)`` gets the ``readStream`` DataFrame (same schema as
+    ``inp``, staged through parquet so event-time columns survive) and
+    returns the streaming output to materialize. ``processAllAvailable``
+    plus Spark's no-data micro-batches drain watermark-gated emissions,
+    so append-mode windowed aggregations finalize without wall-clock
+    waits — the single-stream sibling of :func:`run_timeout_join_stream`."""
+    base = tempfile.mkdtemp(prefix="ljot_stream1_")
+    src, ckpt = os.path.join(base, "in"), os.path.join(base, "ck")
+    qname = "ljot_sink_" + uuid.uuid4().hex[:12]
+    inp.write.mode("overwrite").parquet(src)
+    out = build(spark.readStream.schema(inp.schema).parquet(src))
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)

@@ -1,0 +1,93 @@
+"""Physical-plan invariants for every registered query — the 100 TB
+design gate: no accidental cartesian products, broadcast-NLJ only where
+a tiny build side makes it intentional, pushdown and pruning reaching
+the scans, dimension joins broadcast.
+
+Plans are inspected at sf0.001 without executing (planning is
+data-size-independent for these checks). Streaming queries are excluded:
+building them runs the streaming harness, and their guarantees are
+covered by semantics tests + oracles instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from left_join_on_timeout_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Intentional broadcast-nested-loop joins: a one-row or dimension-sized
+# broadcast build (query vector, IVF anchors, scalar-subquery row).
+BNLJ_ALLOWED = {
+    "ann_top1_ivf",
+    "knn_brute_cosine",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+}
+
+BATCH_QUERIES = sorted(n for n in q.QUERIES if not n.startswith("stream_"))
+
+
+def plan_of(spark, name: str) -> str:
+    df = q.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", BATCH_QUERIES)
+def test_no_cartesian_or_stray_nlj(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unexpected broadcast nested loop join")
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    scan = plan.split("FileScan parquet")[1].splitlines()[0]
+    # the shipdate predicate reaches the parquet scan...
+    assert "l_shipdate" in scan.split("DataFilters: [")[1].split("]")[0]
+    # ...and unused columns never leave it
+    assert "l_orderkey" not in scan.split("]")[0]
+
+
+def test_q5_dimensions_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/supplier
+
+
+def test_q19_or_of_ands_pushes_common_conjuncts(spark):
+    plan = plan_of(spark, "q19_discounted_revenue")
+    part_scan = [seg for seg in plan.split("FileScan parquet")
+                 if seg.lstrip().startswith("[p_partkey")][0]
+    # the brand disjunction is extracted and pushed into part's scan
+    assert "p_brand" in part_scan.split("PushedFilters: [")[1].split("]")[0]
+
+
+def test_minhash_signature_has_no_shuffle(spark):
+    from left_join_on_timeout_spark.operators.dedup import minhash_signature
+    from left_join_on_timeout_spark.sources.tables import load_table
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (minhash_signature(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the only exchange is fan_out's repartition; signature math itself
+    # never shuffles (no hashpartitioning exchange)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_no_expensive_expr_pushed_into_scans(spark):
+    """The InferFiltersFromConstraints regression guard: no scan's
+    DataFilters may contain the shingle/vector pipeline (md5 / transform /
+    aggregate), which would serialize heavy compute inside a
+    single-partition scan (see functions/text.py::normalize)."""
+    for name in BATCH_QUERIES:
+        plan = plan_of(spark, name)
+        for seg in plan.split("FileScan parquet")[1:]:
+            head = seg.splitlines()[0]
+            if "DataFilters: [" in head:
+                filters = head.split("DataFilters: [")[1].split("], Format")[0]
+                for marker in ("md5(", "transform(", "aggregate("):
+                    assert marker not in filters, (
+                        f"{name}: expensive expression pushed into scan: "
+                        f"{filters[:120]}")
