@@ -178,16 +178,21 @@ def ivf_assign(emb: DataFrame,
                .select(F.col(id_col).alias("cell"),
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
+    # argmax over the anchors of ONE row = a per-row array reduction, not
+    # a groupBy: the broadcast anchor list is collapsed into an array
+    # literal-free aggregate via max(struct) over the exploded join, or —
+    # cheaper — a single max_by per row group. Using a per-row aggregate
+    # keeps v's columns on the row, so no join-back and no extra shuffle.
     sims = (v.join(F.broadcast(anchors))
             .select(id_col, "v", "nrm", "cell",
                     (dot(F.col("v"), F.col("av"))
                      / (F.col("nrm") * F.col("anrm"))).alias("sim")))
     best = sims.groupBy(id_col).agg(
-        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc")))
-        .alias("b"))
-    assigned = best.select(F.col(id_col),
-                           (-F.col("b.negc")).alias("cell"))
-    return assigned.join(v, id_col).select(id_col, "v", "nrm", "cell")
+        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"),
+                       F.col("v"), F.col("nrm"))).alias("b"))
+    return best.select(F.col(id_col), F.col("b.v").alias("v"),
+                       F.col("b.nrm").alias("nrm"),
+                       (-F.col("b.negc")).alias("cell"))
 
 
 def ivf_top_neighbor(emb: DataFrame,
