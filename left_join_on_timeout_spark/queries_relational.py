@@ -346,6 +346,60 @@ def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                  _dsum(F.col("value")).alias("total_value")))
 
 
+@query("sliding_window_events", """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""")
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): each event
+    lands in 4 windows — Spark's window() explodes exactly the k-offset
+    construction the oracle spells out. Epoch-aligned slides in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n"),
+                 _dsum(F.col("value")).alias("total_value"))
+            .select(F.col("w.start").alias("win_start"), "n", "total_value"))
+
+
+@query("session_window_stats", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30 min gap) via session_window() — the
+    merge-on-overlap operator the streaming engine shares. Two events
+    merge iff the later starts strictly inside the earlier's
+    [ts, ts+gap) range, so the oracle's gaps-and-islands flag uses >= for
+    a new session. session_end is the Spark convention: last event + gap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
 @query("sessionization", """
 WITH g AS (
   SELECT user_id, ts, event_id,
