@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_lsh_jaccard",
     "ann_top1_ivf",
+    "ivf_kmeans_cells",
     "knn_brute_cosine",
     "ann_top1_srp",
     "text_quality_score",

@@ -195,6 +195,65 @@ def ivf_assign(emb: DataFrame,
                        (-F.col("b.negc")).alias("cell"))
 
 
+def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
+                       id_col: str) -> DataFrame:
+    """(id, v, nrm, cell): nearest anchor by cosine, ties to the lowest
+    cell id — one broadcast join + partial-aggregated argmax."""
+    sims = (v.join(F.broadcast(anchors))
+            .select(id_col, "v", "nrm", "cell",
+                    (dot(F.col("v"), F.col("av"))
+                     / (F.col("nrm") * F.col("anrm"))).alias("sim")))
+    best = sims.groupBy(id_col).agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"),
+                       F.col("v"), F.col("nrm"))).alias("b"))
+    return best.select(F.col(id_col), F.col("b.v").alias("v"),
+                       F.col("b.nrm").alias("nrm"),
+                       (-F.col("b.negc")).alias("cell"))
+
+
+def kmeans_refined_cells(emb: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_cells: int = DEFAULT_IVF_CELLS,
+                         iters: int = 2) -> DataFrame:
+    """(cell, n_members, centroid_norm): IVF coarse cells after ``iters``
+    Lloyd iterations — the distributed iterative-algorithm path promised
+    by :func:`ivf_assign` ("a k-means pass would drop in here").
+
+    Each iteration is two shuffles: an argmax assignment (broadcast
+    anchors, map-side partial agg) and a centroid recompute
+    (posexplode → per-(cell, dim) mean → rebuild array). Means go
+    through DECIMAL(25,6) so centroids are bit-identical regardless of
+    partition order — the whole loop replays exactly in the unrolled-CTE
+    DuckDB oracle. Work per iteration is linear in rows; no step depends
+    on collect() or driver-side state, so the loop runs unchanged at
+    100 TB (iters stays a small constant)."""
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    anchors = (v.where(F.col(id_col) < n_cells)
+               .select(F.col(id_col).alias("cell"),
+                       F.col("v").alias("av"),
+                       F.col("nrm").alias("anrm")))
+    for _ in range(iters):
+        assigned = _assign_to_anchors(v, anchors, id_col)
+        dims = (assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                      / F.count("*")).alias("m")))
+        cent = (dims.groupBy("cell")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))).alias("a"))
+                .select("cell",
+                        F.transform(F.col("a"), lambda s: s["m"]).alias("av")))
+        anchors = cent.select("cell", "av",
+                              l2_norm(F.col("av")).alias("anrm"))
+    final = _assign_to_anchors(v, anchors, id_col)
+    sizes = final.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return (sizes.join(anchors.select("cell", "anrm"), "cell")
+            .select("cell", "n_members",
+                    F.round("anrm", 6).alias("centroid_norm")))
+
+
 def ivf_top_neighbor(emb: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",

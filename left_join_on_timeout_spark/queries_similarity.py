@@ -23,6 +23,7 @@ from left_join_on_timeout_spark.operators.similarity import (
     brute_force_knn,
     embedding_near_dup_pairs,
     ivf_top_neighbor,
+    kmeans_refined_cells,
 )
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
@@ -172,3 +173,68 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — the dedup-by-embedding scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_T, dim=_DIM)
+
+
+def _kmeans_oracle(n_cells: int, iters: int, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of the Lloyd loop: per iteration, an
+    argmax assignment and a decimal-mean centroid recompute — the same
+    arithmetic the Spark operator runs, so results match bit-for-bit."""
+    ctes = [
+        ("v", "SELECT vec_id, embedding::DOUBLE[] AS v, "
+              "sqrt(list_dot_product(embedding::DOUBLE[], "
+              "embedding::DOUBLE[])) AS nrm FROM embeddings"),
+        ("a0", f"SELECT vec_id AS cell, v AS av, nrm AS anrm FROM v "
+               f"WHERE vec_id < {n_cells}"),
+    ]
+    prev = "a0"
+    for it in range(1, iters + 1):
+        ctes += [
+            (f"s{it}",
+             f"SELECT vec_id, v.v AS v, v.nrm AS nrm, cell, "
+             f"list_dot_product(v.v, av) / (v.nrm * anrm) AS sim "
+             f"FROM v, {prev}"),
+            (f"g{it}",
+             f"SELECT vec_id, v, nrm, cell FROM ("
+             f"SELECT vec_id, v, nrm, cell, row_number() OVER ("
+             f"PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn "
+             f"FROM s{it}) t WHERE rn = 1"),
+            (f"d{it}",
+             f"SELECT cell, i, "
+             f"CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) "
+             f"AS m FROM g{it}, range(1, {dim + 1}) t(i) GROUP BY cell, i"),
+            (f"c{it}",
+             f"SELECT cell, list(m ORDER BY i) AS av FROM d{it} "
+             f"GROUP BY cell"),
+            (f"a{it}",
+             f"SELECT cell, av, sqrt(list_dot_product(av, av)) AS anrm "
+             f"FROM c{it}"),
+        ]
+        prev = f"a{it}"
+    fin = iters + 1
+    ctes += [
+        (f"s{fin}",
+         f"SELECT vec_id, cell, "
+         f"list_dot_product(v.v, av) / (v.nrm * anrm) AS sim "
+         f"FROM v, {prev}"),
+        (f"g{fin}",
+         f"SELECT vec_id, cell FROM ("
+         f"SELECT vec_id, cell, row_number() OVER ("
+         f"PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn "
+         f"FROM s{fin}) t WHERE rn = 1"),
+    ]
+    body = ",\n".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (f"WITH {body}\n"
+            f"SELECT g.cell AS cell, count(*) AS n_members, "
+            f"round(a.anrm, 6) AS centroid_norm\n"
+            f"FROM g{fin} g JOIN {prev} a ON g.cell = a.cell\n"
+            f"GROUP BY g.cell, a.anrm")
+
+
+@query("ivf_kmeans_cells", _kmeans_oracle(DEFAULT_IVF_CELLS, 2))
+def q_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed iterative k-means (2 Lloyd iterations) refining the
+    IVF coarse cells: per-iteration broadcast-argmax assignment +
+    decimal-mean centroid recompute, no driver-side state. The oracle
+    unrolls the identical loop as chained CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refined_cells(emb)

@@ -71,3 +71,45 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = drain_stream(spark, ev.unionAll(sentinel), build)
     return out.where(F.col("event_type") != "__flush__")
+
+
+@query("stream_session_windows", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows: the stateful merge-on-overlap operator
+    under a watermark, finalized (append mode) once the watermark passes
+    each session's close — flushed by the far-future sentinel, which then
+    filters itself out. Oracle: the batch gaps-and-islands rewrite (>= on
+    the gap — Spark merges only on strict overlap)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(_FLUSH_TS).cast("timestamp").alias("ts"))
+
+    def build(s: DataFrame) -> DataFrame:
+        return (s.withWatermark("ts", "1 second")
+                .groupBy("user_id",
+                         F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.col("w.start").alias("session_start"),
+                        "n_events"))
+
+    out = drain_stream(spark, ev.unionAll(sentinel), build)
+    return out.where(F.col("user_id") >= 0)

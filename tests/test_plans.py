@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # broadcast build (query vector, IVF anchors, scalar-subquery row).
 BNLJ_ALLOWED = {
     "ann_top1_ivf",
+    "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q15_top_supplier",
     "q22_idle_rich_customers",
