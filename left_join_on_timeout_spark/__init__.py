@@ -22,6 +22,7 @@ for keyed stream sources O1, ``sinks`` for stream sinks O8 and the
 ``to_json`` Kafka record layout O13).
 """
 
+from left_join_on_timeout_spark.builder import LeftJoinOnTimeoutBuilder
 from left_join_on_timeout_spark.config import TimeoutJoinConfig
 from left_join_on_timeout_spark.operators.timeout_join import (
     left_join_on_timeout,
@@ -37,6 +38,7 @@ from left_join_on_timeout_spark.streaming.timer_join import (
 )
 
 __all__ = [
+    "LeftJoinOnTimeoutBuilder",
     "TimeoutJoinConfig",
     "get_spark",
     "left_join_on_timeout",
