@@ -172,6 +172,48 @@ def decode_dimensions(assets: DataFrame, content_col: str = "content",
     return assets.mapInPandas(batches, out_schema)
 
 
+def resize_images(assets: DataFrame, target_w: int, target_h: int,
+                  content_col: str = "content",
+                  id_col: str = "asset_id") -> DataFrame:
+    """The resize step's Spark plumbing: ``mapInPandas`` emitting
+    ``(id, width, height, resized BINARY)`` — dimensions from the decode
+    stub, resized payload a deterministic byte transform sized
+    proportionally to ``target_w × target_h`` (a real codec's
+    decode→resample→encode drops into the same loop; signature, schema
+    and Arrow batch shape are what it would use). Nulls pass through as
+    null rows, mirroring decoder failure handling."""
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("target dimensions must be positive")
+    id_type = assets.schema[id_col].dataType.simpleString()
+    out_schema = (f"{id_col} {id_type}, width INT, height INT, "
+                  f"resized BINARY")
+    budget = target_w * target_h // 64  # stub: bytes ∝ pixel count
+
+    def resize_stub(b: bytes) -> bytes:
+        if len(b) >= budget:
+            return b[:budget]
+        return (b * (budget // max(len(b), 1) + 1))[:budget]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"id": [], "w": [], "h": [], "r": []}
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                rows["id"].append(aid)
+                if content is None:
+                    rows["w"].append(None)
+                    rows["h"].append(None)
+                    rows["r"].append(None)
+                    continue
+                w, h = fake_decode(content)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["r"].append(resize_stub(content))
+            yield pd.DataFrame({id_col: rows["id"], "width": rows["w"],
+                                "height": rows["h"], "resized": rows["r"]})
+
+    return assets.mapInPandas(batches, out_schema)
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Deterministic asset fixture from the driver's ``documents`` table:
     content = container magic (cycled by doc_id) + utf-8 text bytes, so

@@ -172,3 +172,31 @@ def test_start_sink_validates(spark):
         start_sink(stream, fmt="kafka")
     with pytest.raises(ValueError, match="needs a path"):
         start_sink(stream, fmt="parquet")
+
+
+def test_resize_images_plumbing(spark):
+    from left_join_on_timeout_spark.operators.multimodal import (
+        fake_decode,
+        resize_images,
+    )
+    rows = [(1, b"\x89PNG\r\n\x1a\n" + b"x" * 100),
+            (2, b"\xff\xd8\xff" + b"y" * 10),
+            (3, None)]
+    assets = spark.createDataFrame(rows, "asset_id LONG, content BINARY")
+    out = {r.asset_id: r
+           for r in resize_images(assets, 64, 64).collect()}
+    budget = 64 * 64 // 64
+    # dims come from the decode stub; payload is exactly the pixel budget
+    w, h = fake_decode(rows[0][1])
+    assert (out[1].width, out[1].height) == (w, h)
+    assert len(out[1].resized) == budget and len(out[2].resized) == budget
+    # short content is tiled up, long content truncated — deterministic
+    assert bytes(out[2].resized[:13]) == rows[1][1]
+    # nulls pass through as null rows (decoder-failure convention)
+    assert out[3].width is None and out[3].resized is None
+
+
+def test_resize_images_validates(spark):
+    from left_join_on_timeout_spark.operators.multimodal import resize_images
+    with pytest.raises(ValueError, match="positive"):
+        resize_images(None, 0, 64)
