@@ -73,6 +73,31 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("event_type") != "__flush__")
 
 
+@query("stream_sliding_counts", """
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+       count(*) AS n
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""")
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming sliding windows (1 h / 15 min): each event
+    feeds 4 overlapping windows; append mode finalizes each as the
+    watermark passes its end, flushed by the sentinel. Oracle: the batch
+    k-offset construction."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    sentinel = spark.range(1).select(
+        F.lit(_FLUSH_TS).cast("timestamp").alias("ts"))
+
+    def build(s: DataFrame) -> DataFrame:
+        return (s.withWatermark("ts", "1 second")
+                .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("win_start"), "n"))
+
+    out = drain_stream(spark, ev.unionAll(sentinel), build)
+    return out.where(F.col("win_start") < "2099-01-01")
+
+
 @query("stream_session_windows", """
 WITH flagged AS (
   SELECT user_id, ts,
