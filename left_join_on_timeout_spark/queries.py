@@ -106,6 +106,23 @@ def q_stream_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "r_event_id", "joined")
 
 
+@query("timer_timeout_left_join", _FLAGSHIP_ORACLE)
+def q_timer_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 exact-timer form (SURVEY M3) — the same flagship semantics
+    through the reference's literal mechanism: per-key timer state via
+    ``applyInPandasWithState`` (schedule O4 / cancel O5 / timeout-emit
+    O6), run in SQL mode (cancel only the matched left) so the drained
+    output hash-matches the identical oracle as the other two tiers."""
+    from left_join_on_timeout_spark.streaming.harness import (
+        run_timer_join_stream,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = run_timer_join_stream(
+        spark, left, right, on="user_id", window="30 minutes",
+        joiner=_concat_joiner)
+    return out.select("user_id", "event_id", "ts", "r_event_id", "joined")
+
+
 @query("window_inner_join", """
 SELECT l.user_id AS user_id,
        l.event_id AS event_id,

@@ -112,3 +112,55 @@ def drain_stream(spark: SparkSession, inp: DataFrame, build) -> DataFrame:
     finally:
         q.stop()
     return spark.table(qname)
+
+
+def run_timer_join_stream(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window: str | int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    joiner: Joiner | None = None,
+) -> DataFrame:
+    """Drain the exact-timer tier (``streaming.timer_join``) over bounded
+    inputs — same flush-row discipline as :func:`run_timeout_join_stream`.
+    Runs with ``strict_reference_semantics=False`` (cancel only the
+    matched left), the SQL-equivalent mode whose drained output is the
+    batch left join's multiset."""
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        left_join_on_timeout_timers,
+    )
+
+    base = tempfile.mkdtemp(prefix="ljot_timer_stream_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    qname = "ljot_timer_sink_" + uuid.uuid4().hex[:12]
+
+    def flush_row(df: DataFrame, key_val: int, ts_col: str) -> DataFrame:
+        cols = [
+            F.lit(key_val).cast(df.schema[on].dataType).alias(on)
+            if f.name == on else
+            F.lit(FLUSH_TS).cast("timestamp").alias(ts_col)
+            if f.name == ts_col else
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        return df.sparkSession.range(1).select(*cols)
+
+    left.unionAll(flush_row(left, -1, left_ts)) \
+        .write.mode("overwrite").parquet(ldir)
+    right.unionAll(flush_row(right, -2, right_ts)) \
+        .write.mode("overwrite").parquet(rdir)
+    out = left_join_on_timeout_timers(
+        spark.readStream.schema(left.schema).parquet(ldir),
+        spark.readStream.schema(right.schema).parquet(rdir),
+        on=on, window=window, left_ts=left_ts, right_ts=right_ts,
+        joiner=joiner, strict_reference_semantics=False)
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).where(F.col(on) >= 0)

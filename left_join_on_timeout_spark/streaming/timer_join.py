@@ -79,6 +79,13 @@ _OUT_FIELDS = [
 ]
 
 
+# JSON serde keeps full microsecond event time: the default
+# timestampFormat truncates to milliseconds, silently shifting timeout
+# rows' ts (the reference propagates the original timestamp exactly,
+# LeftJoinOnTimeoutBuilder.java:166)
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+
 def _tag(left: DataFrame, right: DataFrame, on: str,
          left_ts: str, right_ts: str, delay_ms: int) -> DataFrame:
     """Union the two streams into (k, ts, payload, side) with a shared
@@ -86,11 +93,11 @@ def _tag(left: DataFrame, right: DataFrame, on: str,
     schema-generic like the reference's serde-parameterized store."""
     l_tagged = left.select(
         F.col(on).alias("k"), F.col(left_ts).alias("ts"),
-        F.to_json(F.struct(*left.columns)).alias("payload"),
+        F.to_json(F.struct(*left.columns), _TS_OPTS).alias("payload"),
         F.lit("L").alias("side"))
     r_tagged = right.select(
         F.col(on).alias("k"), F.col(right_ts).alias("ts"),
-        F.to_json(F.struct(*right.columns)).alias("payload"),
+        F.to_json(F.struct(*right.columns), _TS_OPTS).alias("payload"),
         F.lit("R").alias("side"))
     return l_tagged.unionByName(r_tagged) \
         .withWatermark("ts", f"{delay_ms / 1000.0} seconds")
@@ -119,8 +126,10 @@ def _expand(raw: DataFrame, left: DataFrame, right: DataFrame,
             joiner, joined_col: str, right_prefix: str) -> DataFrame:
     """JSON payloads → typed columns: left columns verbatim, right
     columns under ``{right_prefix}``, optional joiner column."""
-    l_struct = F.from_json("l_payload", StructType(left.schema.fields))
-    r_struct = F.from_json("r_payload", StructType(right.schema.fields))
+    l_struct = F.from_json("l_payload", StructType(left.schema.fields),
+                           _TS_OPTS)
+    r_struct = F.from_json("r_payload", StructType(right.schema.fields),
+                           _TS_OPTS)
     out = raw.select(
         *[l_struct[c].alias(c) for c in left.columns],
         *[r_struct[c].alias(f"{right_prefix}{c}") for c in right.columns])
