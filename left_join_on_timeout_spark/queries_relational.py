@@ -223,6 +223,27 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.intersect(open_o).exceptAll(big).distinct()
 
 
+@query("set_ops_all_multiset", """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL) — duplicate
+    counts carry through, completing the set-op matrix next to the
+    distinct variants."""
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey"))
+    big = o.where(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey"))
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return open_o.intersectAll(big).exceptAll(urgent)
+
+
 @query("union_all_keys", """
 SELECT c_custkey AS key, 'customer' AS src FROM customer
 UNION ALL

@@ -144,3 +144,20 @@ def test_composite_key(spark):
     out = left_join_on_timeout(lhs, rhs, on=["k1", "k2"], window="1 s")
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["r_value"] == "r"
+
+
+def test_null_key_left_emits_timeout_only(spark):
+    """SQL null semantics on the join key: a null-keyed left matches
+    nothing (NULL = NULL is not true) but still emits its timeout row —
+    and a null-keyed right never cancels anything."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "key LONG, value STRING, ts TIMESTAMP"
+    left = spark.createDataFrame(
+        [(None, "l_null", t0), (1, "l_one", t0)], schema)
+    right = spark.createDataFrame(
+        [(None, "r_null", t0), (1, "r_one", t0)], schema)
+    out = left_join_on_timeout(left, right, on="key", window="1 minute")
+    got = {r.value: r.r_value for r in out.collect()}
+    assert got == {"l_null": None, "l_one": "r_one"}
