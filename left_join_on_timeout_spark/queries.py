@@ -220,5 +220,6 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_streaming,
     queries_text,
     queries_tpch,
+    queries_tpch2,
 )
 
