@@ -213,6 +213,7 @@ def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the rest of the surface (import side effects fill QUERIES/ORACLE).
 from left_join_on_timeout_spark import (  # noqa: E402,F401
+    queries_asof,
     queries_dedup,
     queries_multimodal,
     queries_relational,
