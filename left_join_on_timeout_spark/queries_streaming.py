@@ -138,3 +138,62 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = drain_stream(spark, ev.unionAll(sentinel), build)
     return out.where(F.col("user_id") >= 0)
+
+
+@query("stream_timeout_only", """
+SELECT l.user_id AS user_id, l.event_id AS event_id, l.ts AS ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+WHERE NOT EXISTS (
+  SELECT 1 FROM events r
+  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+    AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+)
+""")
+def q_stream_timeout_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 streaming form: only the timeout emissions, through the real
+    watermarked stream-stream plan (outer join filtered to null-padded
+    rows — stream-stream LEFT ANTI isn't supported, the filter drops
+    matches before the sink). Same oracle as the batch ``timeout_only``."""
+    from left_join_on_timeout_spark.queries import _events_split
+    from left_join_on_timeout_spark.streaming.harness import (
+        drain_two_streams,
+    )
+    from left_join_on_timeout_spark.streaming.timeout_join import (
+        timeout_only_stream,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = drain_two_streams(
+        spark, left, right, on="user_id",
+        build=lambda ls, rs: timeout_only_stream(
+            ls, rs, on="user_id", window="30 minutes"))
+    return out.select("user_id", "event_id", "ts")
+
+
+@query("stream_semi_join", """
+SELECT l.user_id AS user_id, l.event_id AS event_id, l.ts AS ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+WHERE EXISTS (
+  SELECT 1 FROM events r
+  WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+    AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+)
+""")
+def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The matched-only complement, as a native stream-stream leftSemi
+    join: each view that found an in-window purchase, once. With
+    ``stream_timeout_only`` this partitions the left stream exactly —
+    the reference's matched/timeout dichotomy as two driver-checked
+    queries."""
+    from left_join_on_timeout_spark.queries import _events_split
+    from left_join_on_timeout_spark.streaming.harness import (
+        drain_two_streams,
+    )
+    from left_join_on_timeout_spark.streaming.timeout_join import (
+        semi_join_stream,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = drain_two_streams(
+        spark, left, right, on="user_id",
+        build=lambda ls, rs: semi_join_stream(
+            ls, rs, on="user_id", window="30 minutes"))
+    return out.select("user_id", "event_id", "ts")

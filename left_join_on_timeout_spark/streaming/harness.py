@@ -114,6 +114,49 @@ def drain_stream(spark: SparkSession, inp: DataFrame, build) -> DataFrame:
     return spark.table(qname)
 
 
+def drain_two_streams(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    build,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Two-input generalization of :func:`drain_stream`: stage both batch
+    inputs (plus watermark-advancing flush rows on each side), hand the
+    two ``readStream`` DataFrames to ``build(lstream, rstream)``, drain
+    the result, and return it with flush keys filtered out."""
+    base = tempfile.mkdtemp(prefix="ljot_stream2_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    qname = "ljot_sink_" + uuid.uuid4().hex[:12]
+
+    def flush_row(df: DataFrame, key_val: int, ts_col: str) -> DataFrame:
+        cols = [
+            F.lit(key_val).cast(df.schema[on].dataType).alias(on)
+            if f.name == on else
+            F.lit(FLUSH_TS).cast("timestamp").alias(ts_col)
+            if f.name == ts_col else
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        return df.sparkSession.range(1).select(*cols)
+
+    left.unionAll(flush_row(left, -1, left_ts)) \
+        .write.mode("overwrite").parquet(ldir)
+    right.unionAll(flush_row(right, -2, right_ts)) \
+        .write.mode("overwrite").parquet(rdir)
+    out = build(spark.readStream.schema(left.schema).parquet(ldir),
+                spark.readStream.schema(right.schema).parquet(rdir))
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).where(F.col(on) >= 0)
+
+
 def run_timer_join_stream(
     spark: SparkSession,
     left: DataFrame,

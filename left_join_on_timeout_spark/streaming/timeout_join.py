@@ -109,3 +109,32 @@ def timeout_only_stream(
         joiner=None, right_prefix=right_prefix)
     null_cond = F.col(f"{right_prefix}{keys[0]}").isNull()
     return out.where(null_cond).select(*[F.col(c) for c in left.columns])
+
+
+def semi_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    window: str | int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    timeout: str | int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """The matched-only complement of :func:`timeout_only_stream`: left
+    rows that found at least one in-window right, emitted once each.
+
+    Structured Streaming supports stream-stream ``leftSemi`` natively,
+    so this is a real semi join — right state is dropped at the
+    watermark and matched lefts are never buffered past their first
+    match. Together with ``timeout_only_stream`` this partitions the
+    left stream exactly: every left row appears in precisely one of the
+    two outputs (the reference's matched/timeout dichotomy,
+    ``README.md:5-8``)."""
+    cfg = TimeoutJoinConfig.of(window, timeout)
+    delay_ms = cfg.timeout_ms - cfg.window_ms
+    l = left.withWatermark(left_ts, _delay_str(delay_ms))
+    r, cond, _, _ = _prepare(
+        l, right, on, left_ts, right_ts, cfg.window_ms, right_prefix)
+    r = r.withWatermark(f"{right_prefix}{right_ts}", _delay_str(delay_ms))
+    return l.join(r, cond, "leftSemi")

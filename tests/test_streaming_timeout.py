@@ -189,3 +189,32 @@ def test_stream_invalid_timeout_rejected(spark):
         left_join_on_timeout_stream(
             left, left, on="value", window="10 seconds",
             left_ts="timestamp", right_ts="timestamp", timeout="5 seconds")
+
+
+def test_semi_anti_partition_left_stream(spark):
+    """semi_join_stream + timeout_only_stream partition the left stream
+    exactly: every left row appears in precisely one output (the
+    reference's matched/timeout dichotomy, README.md:5-8)."""
+    from left_join_on_timeout_spark.streaming.harness import drain_two_streams
+    from left_join_on_timeout_spark.streaming.timeout_join import semi_join_stream
+
+    left_rows = [(1, "a", TS(1)), (1, "b", TS(500)), (2, "c", TS(1)),
+                 (3, "d", TS(10))]
+    right_rows = [(1, "r1", TS(5)), (3, "r3", TS(400))]
+    left = spark.createDataFrame(left_rows, SCHEMA)
+    right = spark.createDataFrame(right_rows, SCHEMA)
+    semi = drain_two_streams(
+        spark, left, right, on="k",
+        build=lambda ls, rs: semi_join_stream(ls, rs, on="k",
+                                              window="100 seconds"))
+    anti = drain_two_streams(
+        spark, left, right, on="k",
+        build=lambda ls, rs: timeout_only_stream(ls, rs, on="k",
+                                                 window="100 seconds"))
+    got_semi = sorted((r.k, r.v) for r in semi.collect())
+    got_anti = sorted((r.k, r.v) for r in anti.collect())
+    # a matched r1@5 (window 100s), c never matches, b@500 is out of
+    # window for r1@5, d@10 is out of window for r3@400.
+    assert got_semi == [(1, "a")]
+    assert got_anti == [(1, "b"), (2, "c"), (3, "d")]
+    assert sorted(got_semi + got_anti) == sorted((k, v) for k, v, _ in left_rows)
