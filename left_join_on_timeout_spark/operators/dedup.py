@@ -273,12 +273,16 @@ def simhash_hamming_pairs(sig: DataFrame, id_col: str,
     Hamming distance verifies each candidate (16 char compares, pure
     codegen). Big slice buckets are capped like every other LSH stage."""
     n_slices = max_hamming + 1
-    if 16 % n_slices:
-        raise ValueError("max_hamming + 1 must divide 16")
-    width = 16 // n_slices
+    if n_slices > 16:
+        raise ValueError("max_hamming must be < 16")
+    # Near-equal slice widths (pigeonhole needs any partition into
+    # max_hamming+1 slices, not equal ones): 16 = e.g. 6+5+5 for h=2.
+    base, rem = divmod(16, n_slices)
+    widths = [base + (1 if i < rem else 0) for i in range(n_slices)]
+    starts = [1 + sum(widths[:i]) for i in range(n_slices)]
     slices = F.array(*[
         F.struct(F.lit(i).alias("slice"),
-                 F.substring(sim_col, i * width + 1, width).alias("val"))
+                 F.substring(sim_col, starts[i], widths[i]).alias("val"))
         for i in range(n_slices)])
     s = (sig.select(id_col, sim_col, F.explode(slices).alias("sv"))
          .select(id_col, sim_col,

@@ -221,3 +221,41 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard ≥ 0.5 over shared-shingle candidate pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@query("dedup_simhash_hamming2", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (SELECT doc_id, {_SIMHASH_BITS} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, {_SIM16} AS simhash FROM bits),
+slices AS (
+  SELECT doc_id, simhash, 0 AS slice, substr(simhash, 1, 6) AS val FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS slice, substr(simhash, 7, 5) AS val FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 2 AS slice, substr(simhash, 12, 5) AS val FROM sim),
+capped AS (
+  SELECT doc_id, simhash, slice, val FROM (
+    SELECT doc_id, simhash, slice, val,
+           count(*) OVER (PARTITION BY slice, val) AS bsz
+    FROM slices) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM capped a JOIN capped b ON a.slice = b.slice AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming
+FROM (SELECT id_a, id_b, CAST({_HAMMING} AS INT) AS hamming FROM cand) t
+WHERE hamming <= 2
+""")
+def q_dedup_simhash_hamming2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 2 — pigeonhole
+    banding with three near-equal slices (6+5+5 bits): any two
+    signatures ≤2 bits apart agree exactly on at least one slice, so
+    candidates are still equi-join buckets, with the same per-bucket
+    cap; recall over Hamming-1 widens without any all-pairs stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash16(docs, "doc_id", "text")
+    return simhash_hamming_pairs(sig, "doc_id", max_hamming=2)

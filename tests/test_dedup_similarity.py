@@ -52,8 +52,34 @@ def test_simhash_hamming_pairs_semantics(spark):
 
 
 def test_simhash_hamming_validates():
-    with pytest.raises(ValueError, match="divide 16"):
-        simhash_hamming_pairs(None, "doc_id", max_hamming=2)
+    with pytest.raises(ValueError, match="must be < 16"):
+        simhash_hamming_pairs(None, "doc_id", max_hamming=16)
+
+
+def test_simhash_hamming2_matches_brute_force(spark):
+    """Hamming-2 multi-probe (unequal 6+5+5 slices) returns exactly the
+    brute-force pairs at distance ≤ 2 — pigeonhole guarantees recall,
+    the verify stage precision."""
+    sigs = [
+        "0000000000000000",
+        "0000000000000001",   # h=1 vs [0]
+        "0000010000010000",   # h=2 vs [0]: flips in slice 0 and slice 2
+        "0000011000010000",   # h=3 vs [0]
+        "1100000000000000",   # h=2 vs [0]: both flips inside slice 0
+        "1111100000011111",
+    ]
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    sig = spark.createDataFrame(rows, "doc_id LONG, simhash STRING")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_pairs(sig, "doc_id",
+                                          max_hamming=2).collect()}
+    expect = {}
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = sum(x != y for x, y in zip(a, sigs[j]))
+            if d <= 2:
+                expect[(i, j)] = d
+    assert got == expect
 
 
 def test_ivf_assign_picks_nearest_anchor(spark):
