@@ -38,6 +38,10 @@ HEADLINE = [
     "q7_nation_volume",
     "q8_market_share",
     "q18_large_volume_customer",
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q21_waiting_suppliers",
+    "asof_backward_join",
     "window_top3_per_customer",
     "rollup_revenue",
     "sessionization",
