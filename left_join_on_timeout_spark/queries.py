@@ -216,6 +216,7 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_asof,
     queries_dedup,
     queries_multimodal,
+    queries_range,
     queries_relational,
     queries_similarity,
     queries_streaming,
