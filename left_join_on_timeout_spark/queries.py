@@ -218,6 +218,7 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_multimodal,
     queries_range,
     queries_relational,
+    queries_sampling,
     queries_similarity,
     queries_streaming,
     queries_text,
