@@ -507,3 +507,26 @@ def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
         "c_custkey", "c_name")
+
+
+@query("cdc_latest_per_key", """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""")
+def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: resolve each key to its latest record —
+    the standard log-compaction read at 100 TB (changelog -> current
+    state). One hash aggregate with ``max_by`` over the (ts, id) order
+    struct: map-side partial agg, shuffle carries one row per key per
+    partition, no window sort. (event_id tiebreak keeps simultaneous
+    updates deterministic.)"""
+    events = load_table(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return events.groupBy("user_id").agg(
+        F.max_by("event_id", order).alias("event_id"),
+        F.max("ts").alias("ts"),
+        F.max_by("event_type", order).alias("event_type"))

@@ -203,3 +203,49 @@ def test_tws_adapter_gated_without_protobuf(spark):
             left_join_on_timeout_tws(
                 left, left, on="k", window="10 seconds",
                 left_ts="timestamp", right_ts="timestamp")
+
+
+def test_timers_checkpoint_restart(spark):
+    """O9/O10 for the exact-timer tier: pending-left ListState and armed
+    timers survive a stop/restart through the checkpoint (the reference's
+    ``shouldLeftJoinOnTimeoutAfterRestoration``, LeftJoinOnTimeoutTest
+    .java:131-153, where the state store is rebuilt from the changelog).
+    After restart, one left matches and one times out — each exactly
+    once."""
+    base = tempfile.mkdtemp(prefix="ljot_timer_restart_")
+    ldir, rdir, ckpt, sink = (os.path.join(base, d)
+                              for d in ("l", "r", "ck", "out"))
+    os.makedirs(ldir); os.makedirs(rdir)
+
+    def write(d, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    def start_query():
+        out = left_join_on_timeout_timers(
+            spark.readStream.schema(SCHEMA).parquet(ldir),
+            spark.readStream.schema(SCHEMA).parquet(rdir),
+            on="k", window="10 seconds", joiner=concat_joiner,
+            strict_reference_semantics=False)
+        return (out.writeStream.format("parquet").option("path", sink)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .start())
+
+    # phase 1: two pending lefts, no rights — nothing may emit yet
+    write(ldir, [(1, "left_a", TS(1)), (2, "left_b", TS(2))])
+    write(rdir, [(5, "unrelated", TS(1))])
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).where(F.col("k") >= 0).count() == 0
+
+    # phase 2: restart from the checkpoint; k=1 gets an in-window match,
+    # then flush rows fire the remaining timer for k=2
+    write(ldir, [(-1, "flushL", TS(100_000))])
+    write(rdir, [(1, "right_a", TS(3)), (-2, "flushR", TS(100_000))])
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.k, r.joined) for r in
+                 spark.read.parquet(sink).where(F.col("k") >= 0).collect())
+    assert got == [(1, "left_a+right_a"), (2, "left_b+")]
