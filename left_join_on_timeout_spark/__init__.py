@@ -17,9 +17,12 @@ arrives within the join window. In Spark that semantic is native:
 
 plus the driver-mandated large-scale training-data-pipeline extensions
 (dedup, similarity search, text analysis, multimodal binary columns in
-``operators.multimodal``) and the source/sink surface (``sources.streams``
-for keyed stream sources O1, ``sinks`` for stream sinks O8 and the
-``to_json`` Kafka record layout O13).
+``operators.multimodal``, deterministic sampling in
+``operators.sampling``), the wider time-join family (nearest-match
+``operators.asof_join``, keyless ``operators.range_join``), and the
+source/sink surface (``sources.streams`` for keyed stream sources O1,
+``sinks`` for stream sinks O8 and the ``to_json`` Kafka record layout
+O13).
 """
 
 from left_join_on_timeout_spark.builder import LeftJoinOnTimeoutBuilder

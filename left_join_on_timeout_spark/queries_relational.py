@@ -530,3 +530,21 @@ def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", order).alias("event_id"),
         F.max("ts").alias("ts"),
         F.max_by("event_type", order).alias("event_type"))
+
+
+@query("exact_median_prices", """
+SELECT o_orderpriority,
+       median(o_totalprice) AS median_price,
+       CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+""")
+def q_exact_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) median and p90 per group — the sort-based
+    exact quantile, complementing ``approx_sketches``' mergeable
+    percentile_approx: exact answers need a per-group sort, which is
+    why the approx path exists for 100 TB; both are available."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"))

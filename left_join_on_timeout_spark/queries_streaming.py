@@ -197,3 +197,29 @@ def q_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         build=lambda ls, rs: semi_join_stream(
             ls, rs, on="user_id", window="30 minutes"))
     return out.select("user_id", "event_id", "ts")
+
+
+@query("stream_static_enrich", """
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       c.c_name AS c_name, c.c_mktsegment AS c_mktsegment
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""")
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a streaming fact joined to a batch
+    dimension — the standard streaming-ETL lookup. The static side is
+    re-planned per micro-batch (picking up dimension updates) and is
+    broadcast, so the stream never shuffles; no watermark is needed
+    because the static side holds no state."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "event_type")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment"))
+    out = drain_stream(
+        spark, ev,
+        lambda s: s.join(cust, s.user_id == cust.c_custkey)
+        .select("event_id", "user_id", "c_name", "c_mktsegment"))
+    return out

@@ -23,8 +23,19 @@ BNLJ_ALLOWED = {
     "ann_top1_ivf",
     "ivf_kmeans_cells",
     "knn_brute_cosine",
+    "q11_important_parts",
     "q15_top_supplier",
     "q22_idle_rich_customers",
+}
+
+# Queries whose *own* predicate is an md5 gate evaluated at the scan —
+# the deterministic sampling design (operators/sampling.py): cheap,
+# parallel across scan partitions, and exactly what we want pushed.
+# The InferFilters hazard this test guards against is Catalyst adding
+# an *inferred* isnotnull(<heavy pipeline>) filter, not a user gate.
+SCAN_EXPR_ALLOWED = {
+    "sample_uniform_events",
+    "sample_stratified_docs",
 }
 
 BATCH_QUERIES = sorted(n for n in q.QUERIES if not n.startswith("stream_"))
@@ -83,6 +94,8 @@ def test_no_expensive_expr_pushed_into_scans(spark):
     aggregate), which would serialize heavy compute inside a
     single-partition scan (see functions/text.py::normalize)."""
     for name in BATCH_QUERIES:
+        if name in SCAN_EXPR_ALLOWED:
+            continue
         plan = plan_of(spark, name)
         for seg in plan.split("FileScan parquet")[1:]:
             head = seg.splitlines()[0]
