@@ -215,6 +215,7 @@ def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_asof,
     queries_dedup,
+    queries_formats,
     queries_multimodal,
     queries_range,
     queries_relational,

@@ -92,3 +92,26 @@ def start_sink(
     if path is None:
         raise ValueError(f"{fmt} sink needs a path")
     return writer.start(path)
+
+
+def write_partitioned(
+    df,
+    path: str,
+    partition_by: list[str],
+    sort_within: list[str] | None = None,
+    fmt: str = "parquet",
+):
+    """Hive-style partitioned write — the lake layout that turns a
+    partition-column predicate into directory pruning (the scan never
+    opens non-matching files; at 100 TB this is the difference between
+    reading one day and reading three years).
+
+    ``sort_within`` additionally sorts rows inside each output file so
+    downstream range/as-of merges and parquet min-max row-group skipping
+    work without a re-sort."""
+    w = df
+    if sort_within:
+        w = df.sortWithinPartitions(*sort_within)
+    writer = w.write.mode("overwrite").partitionBy(*partition_by)
+    getattr(writer, fmt)(path)
+    return path

@@ -200,3 +200,32 @@ def test_resize_images_validates(spark):
     from left_join_on_timeout_spark.operators.multimodal import resize_images
     with pytest.raises(ValueError, match="positive"):
         resize_images(None, 0, 64)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """write_partitioned + a partition-column predicate: the read plan
+    must show partition pruning (one matching directory, PartitionFilters
+    set) and in-file sort order must hold."""
+    from left_join_on_timeout_spark.sinks import write_partitioned
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("day"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 13 % 101).alias("v"))
+    path = str(tmp_path / "lake")
+    write_partitioned(df, path, partition_by=["day"],
+                      sort_within=["event_id"])
+
+    back = spark.read.parquet(path).where(F.col("day") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the day predicate lands in PartitionFilters (directory pruning),
+    # not DataFilters (row filtering after reading everything)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in pf and "= 3" in pf
+    assert back.count() == sum(1 for i in range(10_000) if i % 7 == 3)
+    # in-FILE ordering survived (order is per file, not across files)
+    import glob as _glob
+    for f in _glob.glob(path + "/day=3/*.parquet"):
+        rows = [r.event_id
+                for r in spark.read.parquet(f).select("event_id").collect()]
+        assert rows == sorted(rows)
