@@ -10,8 +10,15 @@ bit-identical), so cosine scores and bucket signs compare exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from left_join_on_timeout_spark.functions.vectors import srp_bucket_sql, srp_planes
+from left_join_on_timeout_spark.functions.vectors import (
+    as_double,
+    l2_norm,
+    srp_bucket_sql,
+    srp_planes,
+)
+from left_join_on_timeout_spark.partitioning import fan_out
 from left_join_on_timeout_spark.operators.similarity import (
     DEFAULT_BANDS,
     DEFAULT_BITS,
@@ -238,3 +245,41 @@ def q_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical loop as chained CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_refined_cells(emb)
+
+
+@query("label_centroids", """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (
+  SELECT label, i,
+         CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS m
+  FROM v, range(1, 65) t(i)
+  GROUP BY label, i),
+c AS (SELECT label, list(m ORDER BY i) AS cv FROM d GROUP BY label),
+n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT n.label AS label, n.n_vectors AS n_vectors,
+       round(sqrt(list_dot_product(cv, cv)), 6) AS centroid_norm
+FROM n JOIN c ON n.label = c.label
+""")
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the element-wise mean embedding per label — the
+    few-shot / retrieval-anchor aggregate a training pipeline computes
+    over the full corpus. posexplode -> per-(label, dim) decimal mean ->
+    array rebuild: two shuffles total, map-side partial aggs, centroids
+    bit-identical regardless of partition order (same discipline as
+    kmeans_refined_cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(emb).select("label", as_double("embedding").alias("v"))
+    dims = (v.select("label", F.posexplode("v").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                  / F.count("*")).alias("m")))
+    cent = (dims.groupBy("label")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "m"))).alias("a"))
+            .select("label",
+                    F.transform(F.col("a"), lambda s: s["m"]).alias("cv")))
+    sizes = v.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return (sizes.join(cent, "label")
+            .select("label", "n_vectors",
+                    F.round(l2_norm(F.col("cv")), 6).alias("centroid_norm")))
