@@ -20,6 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # Intentional broadcast-nested-loop joins: a one-row or dimension-sized
 # broadcast build (query vector, IVF anchors, scalar-subquery row).
 BNLJ_ALLOWED = {
+    "ann_recall_srp",   # broadcast 10% sample x corpus ground-truth pass
     "ann_top1_ivf",
     "ivf_kmeans_cells",
     "knn_brute_cosine",
@@ -34,6 +35,7 @@ BNLJ_ALLOWED = {
 # The InferFilters hazard this test guards against is Catalyst adding
 # an *inferred* isnotnull(<heavy pipeline>) filter, not a user gate.
 SCAN_EXPR_ALLOWED = {
+    "ann_recall_srp",
     "sample_uniform_events",
     "sample_stratified_docs",
 }
