@@ -192,8 +192,14 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
             now = state.getCurrentProcessingTimeMs()
             for l in lefts[n_before:]:
                 l[2] = now + timeout_ms
-        rights = timer_core.gc_rights(
-            rights, state.getCurrentWatermarkMs(), window_us)
+        # right-side GC horizon: the watermark in event-time mode; in
+        # wall-clock mode there is no watermark (it reads 0), so use the
+        # batch's event-time high-water instead — the analog of the
+        # reference's stream-time windowed store retention
+        gc_wm = state.getCurrentWatermarkMs()
+        if not event_time and rows:
+            gc_wm = max(r[0] for r in rows) // 1000
+        rights = timer_core.gc_rights(rights, gc_wm, window_us)
         _save(state, lefts, rights, event_time)
         yield _out_pdf(key, joined)
 
@@ -204,16 +210,22 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
             return
         state.update((json.dumps(lefts), json.dumps(rights)))
         deadline = timer_core.next_deadline(lefts)
-        if deadline is None and rights:
-            # nothing armed: schedule a GC tick after the rights' window
+        if deadline is None and rights and event_time:
+            # nothing armed: schedule a GC tick after the rights' window.
+            # Event-time mode only — this deadline is on the event clock,
+            # and comparing it against wall-clock now would arm an
+            # immediately-due timer that spins forever; in wall-clock
+            # mode rights are GC'd on data batches instead.
             deadline = max(r[0] for r in rights) // 1000 + timeout_ms
         if deadline is not None:
             if event_time:
                 state.setTimeoutTimestamp(
                     max(deadline, state.getCurrentWatermarkMs() + 1))
             else:
-                state.setTimeoutTimestamp(
-                    max(deadline, state.getCurrentProcessingTimeMs() + 1))
+                # ProcessingTimeTimeout GroupState takes a *duration*
+                # from now, not an absolute timestamp
+                now = state.getCurrentProcessingTimeMs()
+                state.setTimeoutDuration(max(deadline - now, 1))
 
     return fn
 

@@ -249,3 +249,50 @@ def test_timers_checkpoint_restart(spark):
     got = sorted((r.k, r.joined) for r in
                  spark.read.parquet(sink).where(F.col("k") >= 0).collect())
     assert got == [(1, "left_a+right_a"), (2, "left_b+")]
+
+
+def test_timers_processing_time_mode(spark):
+    """The reference's literal wall-clock mode
+    (``ScheduledStateStore.java:45``): timers fire on the processing
+    clock, independent of event times. With ProcessingTimeTimeout the
+    engine keeps scheduling no-data micro-batches
+    (``FlatMapGroupsWithStateExec.shouldRunAnotherBatch`` is
+    unconditionally true), so ``processAllAvailable`` would never
+    return — the query is driven by its trigger and the sink polled,
+    exactly the reference's Awaitility polling
+    (``LeftJoinOnTimeoutTest.java:221-235``)."""
+    import time
+
+    base = tempfile.mkdtemp(prefix="ljot_timer_proc_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    os.makedirs(ldir); os.makedirs(rdir)
+
+    def write(d, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    write(ldir, [(1, "left_a", TS(1))])
+    write(rdir, [(9, "unrelated", TS(1))])
+    out = left_join_on_timeout_timers(
+        spark.readStream.schema(SCHEMA).parquet(ldir),
+        spark.readStream.schema(SCHEMA).parquet(rdir),
+        on="k", window="1 seconds", timeout="2 seconds",
+        joiner=concat_joiner, time_mode="ProcessingTime",
+        strict_reference_semantics=False)
+    qn = "timer_proc_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append").trigger(processingTime="250 milliseconds")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        deadline = time.time() + 90
+        got = []
+        while time.time() < deadline and not got:
+            time.sleep(1.0)
+            got = [(r.k, r.joined) for r in
+                   spark.table(qn).where(F.col("k") == 1).collect()]
+        # the only k=1 output is the wall-clock timeout emission — had
+        # the unrelated k=9 right joined it, `joined` would carry a
+        # right payload
+        assert got == [(1, "left_a+")]
+    finally:
+        q.stop()
