@@ -217,6 +217,7 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_dedup,
     queries_formats,
     queries_multimodal,
+    queries_nested,
     queries_range,
     queries_relational,
     queries_sampling,
