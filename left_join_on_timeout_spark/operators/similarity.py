@@ -227,9 +227,20 @@ def kmeans_refined_cells(emb: DataFrame,
     partition order — the whole loop replays exactly in the unrolled-CTE
     DuckDB oracle. Work per iteration is linear in rows; no step depends
     on collect() or driver-side state, so the loop runs unchanged at
-    100 TB (iters stays a small constant)."""
+    100 TB (iters stays a small constant).
+
+    Iterative-lineage discipline (the MLlib k-means pattern): without
+    caching, every broadcast of iteration i's centroids replays
+    iterations 1..i-1 from the scan — O(iters²) passes. The parsed
+    vectors are persisted once (MEMORY_AND_DISK: the corpus must fit
+    cluster memory+disk, the standing cost of any iterative pass), and
+    each iteration's centroid table (n_cells rows) is persisted to
+    truncate lineage, so every pass over the data runs exactly once."""
+    from pyspark import StorageLevel
+
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
-    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     anchors = (v.where(F.col(id_col) < n_cells)
                .select(F.col(id_col).alias("cell"),
                        F.col("v").alias("av"),
@@ -246,7 +257,8 @@ def kmeans_refined_cells(emb: DataFrame,
                 .select("cell",
                         F.transform(F.col("a"), lambda s: s["m"]).alias("av")))
         anchors = cent.select("cell", "av",
-                              l2_norm(F.col("av")).alias("anrm"))
+                              l2_norm(F.col("av")).alias("anrm")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     final = _assign_to_anchors(v, anchors, id_col)
     sizes = final.groupBy("cell").agg(F.count("*").alias("n_members"))
     return (sizes.join(anchors.select("cell", "anrm"), "cell")
