@@ -532,6 +532,69 @@ def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", order).alias("event_type"))
 
 
+@query("merge_upsert_orders", """
+WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders),
+src AS (
+  SELECT o_orderkey, 'U' AS op, o_totalprice + 1000.0 AS new_price,
+         o_custkey, o_orderstatus
+  FROM o WHERE o_orderkey % 100 < 10
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', o_totalprice, o_custkey, o_orderstatus
+  FROM o WHERE o_orderkey % 100 = 50
+  UNION ALL
+  SELECT o_orderkey, 'D', CAST(NULL AS DOUBLE), o_custkey, o_orderstatus
+  FROM o WHERE o_orderkey % 100 = 20
+)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN s.o_custkey
+            ELSE t.o_custkey END AS o_custkey,
+       CASE WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+            ELSE t.o_orderstatus END AS o_orderstatus,
+       CASE WHEN t.o_orderkey IS NULL THEN s.new_price
+            WHEN s.op = 'U' THEN s.new_price
+            ELSE t.o_totalprice END AS o_totalprice
+FROM o t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+           AND s.op = 'D')
+  AND NOT (t.o_orderkey IS NULL AND s.op <> 'I')
+""")
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (operators/merge.py): apply a deterministic CDC batch —
+    price updates (keys ending 00-09), deletes (ending 20), inserts (new
+    keys ending 50, shifted out of range) — to the orders snapshot in one
+    full-outer join + CASE projection, the same physical plan Delta runs
+    for a non-pruning merge. The full merged table is hashed, so every
+    clause's effect on every row is oracle-checked."""
+    from left_join_on_timeout_spark.operators.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    key = F.col("o_orderkey")
+    src = (o.where(key % 100 < 10).select(
+               "o_orderkey", F.lit("U").alias("op"),
+               (F.col("o_totalprice") + 1000.0).alias("new_price"),
+               "o_custkey", "o_orderstatus")
+           .unionByName(o.where(key % 100 == 50).select(
+               (key + 10000000).alias("o_orderkey"), F.lit("I").alias("op"),
+               F.col("o_totalprice").alias("new_price"),
+               "o_custkey", "o_orderstatus"))
+           .unionByName(o.where(key % 100 == 20).select(
+               "o_orderkey", F.lit("D").alias("op"),
+               F.lit(None).cast("double").alias("new_price"),
+               "o_custkey", "o_orderstatus")))
+    return merge_into(
+        o, src, on="o_orderkey",
+        matched_update=lambda t, s: {
+            "o_totalprice": F.when(s.op == "U", s.new_price)
+            .otherwise(t.o_totalprice)},
+        matched_delete=lambda t, s: s.op == "D",
+        not_matched_insert=lambda s: {
+            "o_orderkey": s.o_orderkey, "o_custkey": s.o_custkey,
+            "o_orderstatus": s.o_orderstatus, "o_totalprice": s.new_price},
+        not_matched_condition=lambda s: s.op == "I")
+
+
 @query("exact_median_prices", """
 SELECT o_orderpriority,
        median(o_totalprice) AS median_price,
