@@ -56,6 +56,10 @@ HEADLINE = [
     "text_quality_score",
     "multimodal_features",
     "kafka_sink_encode",
+    "merge_upsert_orders",
+    "global_price_rank",
+    "tfidf_top_terms",
+    "events_daily_resample",
 ]
 
 

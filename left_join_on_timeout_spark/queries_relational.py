@@ -595,6 +595,82 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         not_matched_condition=lambda s: s.op == "I")
 
 
+@query("events_daily_resample", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM spans)
+SELECT g.user_id AS user_id, g.day AS day,
+       COALESCE(d.n, 0) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.day = d.day
+""")
+def q_events_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with gap fill: every (user, day) cell of each
+    user's span, zero-filled where no events landed — the regularization
+    step before any windowed feature computation. The grid is
+    ``sequence`` + ``explode`` (rows generated distributed, proportional
+    to span x users, never a cartesian with a calendar table), joined
+    back to the daily aggregate on (user, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dsum(F.col("value")).alias("total_value")))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
+        .alias("day"))
+    return (grid.join(daily, ["user_id", "day"], "left")
+            .select("user_id", "day",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+                    F.coalesce(F.col("total_value"), F.lit(0.0))
+                    .alias("total_value")))
+
+
+@query("analytic_order_moves", """
+SELECT o_orderkey, o_custkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       o_totalprice - lag(o_totalprice) OVER w AS delta,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice, o_orderkey) AS INT)
+         AS quartile,
+       round(percent_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey), 6)
+         AS pr
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_analytic_order_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function family over a keyed window (lag / ntile /
+    percent_rank): per-customer order-to-order price movement and
+    within-customer price quartiles. Windows are partitioned by customer,
+    so the sort is per-key and scales with the largest key, not the
+    table."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                 "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w))
+        .alias("delta"),
+        F.ntile(4).over(wp).alias("quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("pr"))
+
+
 @query("exact_median_prices", """
 SELECT o_orderpriority,
        median(o_totalprice) AS median_price,

@@ -134,3 +134,53 @@ def q_text_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count("text")).alias("total_tokens"),
         F.sum(F.round(quality_score("text"), 6).cast("decimal(25,6)"))
         .cast("double").alias("sum_quality")))
+
+
+@query("tfidf_top_terms", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * round(ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term, n)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn
+FROM (SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rn
+      FROM scored) t
+WHERE rn <= 3
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salience feature a
+    training pipeline materializes corpus-wide. Three aggregates (term
+    frequency, document frequency, corpus size), one broadcast of the
+    df/N tables, and a per-doc window; every stage partial-aggregates
+    before its shuffle, and nothing is corpus-quadratic.
+
+    Determinism across engines: idf is rounded to 6 dp *before* the
+    tf multiply, so ranking compares bit-identical doubles (int x
+    rounded-double is one IEEE multiply in both engines); ties break on
+    the term string."""
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+              .withColumn("idf", F.round(
+                  F.log(F.col("n").cast("double") / F.col("df")), 6))
+              .withColumn("tfidf", F.col("tf") * F.col("idf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("doc_id", "term",
+                    F.round("tfidf", 6).alias("tfidf"), "rn"))

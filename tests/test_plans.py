@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "q11_important_parts",
     "q15_top_supplier",
     "q22_idle_rich_customers",
+    "tfidf_top_terms",  # broadcast one-row corpus-size N
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
