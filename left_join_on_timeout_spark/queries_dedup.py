@@ -6,6 +6,7 @@ extensions)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.operators.dedup import (
     DEFAULT_BANDS,
@@ -308,3 +309,39 @@ def q_dedup_simhash_hamming3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash16(docs, "doc_id", "text")
     return simhash_hamming_pairs(sig, "doc_id", max_hamming=3)
+
+
+@query("dedup_cc_clusters", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+und AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach AS (
+  SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t)
+SELECT s AS doc_id, min(t) AS cluster_id
+FROM reach
+GROUP BY s
+""")
+def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: LSH candidate pairs → hash-min
+    connected components (operators/components.py). One row per document
+    that appears in any near-dup pair, labelled with the minimum doc_id
+    of its transitive cluster — the id a pipeline keeps as the cluster
+    representative. The oracle walks the same pair list with a recursive
+    transitive-closure CTE (tractable at oracle scale; the Spark side is
+    the iterative formulation that survives 100 TB)."""
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))

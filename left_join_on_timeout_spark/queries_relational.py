@@ -687,3 +687,78 @@ def q_exact_median_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"))
+
+
+@query("window_rolling_7d", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(25,6))) AS rev_d,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       round(CAST(sum(rev_d) OVER w AS DOUBLE)
+             / (sum(n) OVER w), 6) AS avg_7d_per_event,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""")
+def q_window_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate via a RANGE (value-distance)
+    frame, not a ROWS frame — missing days shrink the window instead of
+    silently stretching it across gaps. Spark's rangeBetween needs a
+    numeric ordering column, so the frame runs over the epoch-day number
+    (exact integer, same frame the oracle's INTERVAL range selects).
+    The rolling numerator is a DECIMAL sum (order-independent) divided
+    by the rolling event count; one shuffle for the daily aggregate,
+    one for the per-type window."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("rev_d"),
+                  F.count(F.lit(1)).alias("n")))
+    dayn = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("event_type").orderBy(dayn)
+         .rangeBetween(-6, 0))
+    return daily.select(
+        "event_type", "day",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(F.sum("rev_d").over(w).cast("double")
+                / F.sum("n").over(w), 6).alias("avg_7d_per_event"),
+        F.sum("n").over(w).cast("bigint").alias("n_7d"))
+
+
+@query("incremental_agg_refresh", """
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+""")
+def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly-revenue MV
+    is kept as PARTIAL aggregates (DECIMAL sum + count — a commutative
+    monoid), so a refresh scans only the delta and merges partials with
+    the existing state instead of recomputing from the full history.
+    Here the 'state' is the pre-cutoff partials and the 'refresh' merges
+    the post-cutoff delta; at 100 TB the base partials are a few rows
+    per month while a full recompute would rescan everything. The merged
+    result is bit-identical to the oracle's full recompute because
+    decimal partial-sum merge is exact and order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (df.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                           .alias("month"))
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                     .alias("rev_part"),
+                     F.count(F.lit(1)).alias("n_part")))
+
+    state = partials(orders.where(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.where(F.col("o_orderdate") >= cutoff))
+    return (state.unionByName(delta)
+            .groupBy("month")
+            .agg(F.sum("rev_part").cast("double").alias("revenue"),
+                 F.sum("n_part").alias("n_orders")))

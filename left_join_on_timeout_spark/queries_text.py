@@ -184,3 +184,41 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3)
             .select("doc_id", "term",
                     F.round("tfidf", 6).alias("tfidf"), "rn"))
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_v,
+       CAST(max({c}) AS VARCHAR) AS max_v
+FROM documents""" for c in _PROFILE_COLS)
+
+
+@query("profile_documents", _PROFILE_ORACLE)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column null count, exact distinct count,
+    and min/max, computed in ONE aggregate pass (Catalyst expands the
+    multi-distinct into one multiplexed scan, not one job per column —
+    the unpivot to (col, stats) rows happens on the single result row).
+    min/max are taken on the native type, then rendered to string, so
+    numeric columns order numerically."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast("bigint").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS)
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col, n_nulls, n_distinct, min_v, max_v)")
