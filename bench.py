@@ -60,6 +60,12 @@ HEADLINE = [
     "global_price_rank",
     "tfidf_top_terms",
     "events_daily_resample",
+    "dedup_cc_clusters",
+    "dedup_edit_distance",
+    "window_rolling_7d",
+    "incremental_agg_refresh",
+    "zscore_anomalies",
+    "text_token_entropy",
 ]
 
 

@@ -333,3 +333,52 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (jac.where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def edit_distance_near_dups(df: DataFrame, id_col: str, text_col: str,
+                            max_dist: int = 5, prefix_len: int = 80,
+                            bucket_width: int = 25,
+                            bucket_cap: int = DEFAULT_LSH_BUCKET_CAP
+                            ) -> DataFrame:
+    """Edit-distance near-dup pairs, length-blocked so the quadratic
+    verify only ever runs inside small buckets.
+
+    Blocking key = (lang, len(key) div ``bucket_width``); a pair within
+    ``max_dist`` edits differs in length by at most ``max_dist``, so
+    probing a doc's own bucket and the next one is exhaustive when
+    ``max_dist < bucket_width`` (asserted). Buckets above ``bucket_cap``
+    are dropped (explicit recall tradeoff, same policy as every LSH
+    stage). Verification is one built-in ``levenshtein`` per candidate
+    pair over an ASCII-normalized prefix — byte distance == char
+    distance on both engines, and O(prefix²) cost is constant per pair."""
+    if max_dist >= bucket_width:
+        raise ValueError("bucket probing requires max_dist < bucket_width")
+    key = F.substring(
+        F.regexp_replace(normalize(F.col(text_col)), "[^a-z0-9 ]", ""),
+        1, prefix_len)
+    base = df.select(F.col(id_col), F.col("lang"), key.alias("key"),
+                     (F.length(key) / bucket_width).cast("int").alias("bkt"))
+    w = Window.partitionBy("lang", "bkt")
+    base = (base.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= bucket_cap).drop("bsz"))
+    a = base.select(F.col(id_col).alias("id_a"), "lang",
+                    F.col("key").alias("key_a"), F.col("bkt").alias("bkt_a"))
+    b = base.select(F.col(id_col).alias("id_b"),
+                    F.col("lang").alias("lang_b"),
+                    F.col("key").alias("key_b"), F.col("bkt").alias("bkt_b"))
+    # each row probes its own bucket and the next; the join key is the
+    # full (lang, bucket) pair, so bucket size bounds every hash bucket
+    probes = a.select(
+        "id_a", "lang", "key_a", "bkt_a",
+        F.explode(F.array(F.col("bkt_a"), F.col("bkt_a") + 1)).alias("pb"))
+    cand = (probes.join(b, (F.col("lang") == F.col("lang_b")) &
+                        (F.col("pb") == F.col("bkt_b")))
+            # orient by (bucket, id): each unordered pair matches once
+            .where((F.col("bkt_a") < F.col("bkt_b")) |
+                   ((F.col("bkt_a") == F.col("bkt_b")) &
+                    (F.col("id_a") < F.col("id_b")))))
+    return (cand.withColumn("dist", F.levenshtein("key_a", "key_b"))
+            .where(F.col("dist") <= max_dist)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "dist"))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.operators.dedup import (
     DEFAULT_BANDS,
+    edit_distance_near_dups,
     DEFAULT_K,
     DEFAULT_LSH_BUCKET_CAP,
     exact_dedup_groups,
@@ -345,3 +346,40 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"),
                      F.col("component").alias("cluster_id"))
+
+
+@query("dedup_edit_distance", f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         substr(regexp_replace(trim(lower(COALESCE(text, ''))),
+                               '[^a-z0-9 ]', '', 'g'), 1, 80) AS key
+  FROM documents),
+bkts AS (
+  SELECT doc_id, lang, key,
+         CAST(floor(length(key) / 25) AS INT) AS bkt
+  FROM base),
+capped AS (
+  SELECT doc_id, lang, key, bkt FROM (
+    SELECT doc_id, lang, key, bkt,
+           count(*) OVER (PARTITION BY lang, bkt) AS bsz
+    FROM bkts) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a, b.key AS key_b
+  FROM capped a JOIN capped b
+    ON a.lang = b.lang AND b.bkt - a.bkt IN (0, 1)
+  WHERE a.bkt < b.bkt OR (a.bkt = b.bkt AND a.doc_id < b.doc_id))
+SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+       levenshtein(key_a, key_b) AS dist
+FROM cand
+WHERE levenshtein(key_a, key_b) <= 5
+""")
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: (lang, length-bucket) blocking with
+    adjacent-bucket probing — exhaustive for dist ≤ 5 because a 5-edit
+    pair differs by ≤ 5 chars in key length — then one built-in
+    ``levenshtein`` per candidate over an ASCII-normalized 80-char
+    prefix. The oracle's within-lang pairing is tractable at oracle
+    scale; the Spark side equi-joins on the full (lang, bucket) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_near_dups(docs, "doc_id", "text")

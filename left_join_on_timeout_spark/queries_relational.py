@@ -762,3 +762,40 @@ def q_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("month")
             .agg(F.sum("rev_part").cast("double").alias("revenue"),
                  F.sum("n_part").alias("n_orders")))
+
+
+@query("zscore_anomalies", """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1)
+SELECT event_id, e.event_type AS event_type, value,
+       round((value - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(round((value - s1 / n)
+                / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)) > 3
+""")
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection. Mean and variance come from
+    exact DECIMAL power sums (s1, s2) so both engines feed bit-identical
+    doubles into the same IEEE arithmetic — no order-dependent float
+    aggregation anywhere. The per-type stats are a broadcast-sized dim
+    joined back to the fact scan: one aggregate pass + one broadcast
+    join, no window over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(25,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dv).cast("double").alias("s1"),
+        F.sum(dv * dv).cast("double").alias("s2"))
+    z = F.round((F.col("value") - F.col("s1") / F.col("n")) /
+                F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                       / (F.col("n") - 1)), 4)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) > 3)
+            .select("event_id", "event_type", "value", "z"))

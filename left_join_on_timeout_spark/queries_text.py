@@ -222,3 +222,37 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col, n_nulls, n_distinct, min_v, max_v)")
+
+
+@query("text_token_entropy", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1)
+SELECT tf.doc_id AS doc_id, n AS n_tokens,
+       round(-sum((CAST(tf AS DOUBLE) / n) * ln(CAST(tf AS DOUBLE) / n)), 6)
+         AS entropy
+FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+GROUP BY tf.doc_id, n
+""")
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per document — the
+    boilerplate/repetition signal quality filters cut on (low entropy =
+    repeated tokens). Two key-partitioned aggregates (term counts, then
+    the entropy sum) over the exploded token stream; the per-term
+    p·ln p values are identical doubles in both engines, and the final
+    sum is rounded to 6 dp to absorb association-order noise."""
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    p = F.col("tf").cast("double") / F.col("n")
+    return (tf.join(tot, "doc_id")
+            .groupBy("doc_id", "n")
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+            .select("doc_id", F.col("n").alias("n_tokens"), "entropy"))
