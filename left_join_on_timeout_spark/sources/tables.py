@@ -37,6 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise infer as
+    # TIMESTAMP_NTZ (Spark ≥3.4), which breaks watermarks
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), unix_micros, and µs-precision
+    # JSON roundtrips. Reading it as LTZ keeps the stored micros verbatim
+    # (the type tag changes, never the value) and matches DuckDB's naive
+    # reading of the same file under a UTC session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_ts_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
