@@ -157,6 +157,45 @@ def drain_two_streams(
     return spark.table(qname).where(F.col(on) >= 0)
 
 
+def run_tws_join_stream(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window: str | int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    joiner: Joiner | None = None,
+) -> DataFrame:
+    """Drain the ``transformWithStateInPandas`` tier over bounded inputs.
+
+    tws requires a state store with column families, so the query runs
+    under ``RocksDBStateStoreProvider`` (bundled rocksdbjni); the
+    session's provider conf is restored afterwards. Same SQL-equivalent
+    mode and flush discipline as :func:`run_timer_join_stream`."""
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        left_join_on_timeout_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        return drain_two_streams(
+            spark, left, right, on,
+            lambda l, r: left_join_on_timeout_tws(
+                l, r, on=on, window=window, left_ts=left_ts,
+                right_ts=right_ts, joiner=joiner,
+                strict_reference_semantics=False),
+            left_ts=left_ts, right_ts=right_ts)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_timer_join_stream(
     spark: SparkSession,
     left: DataFrame,

@@ -70,7 +70,12 @@ from pyspark.sql.types import (
 )
 
 from left_join_on_timeout_spark.config import TimeoutJoinConfig
-from left_join_on_timeout_spark.streaming import timer_core
+from left_join_on_timeout_spark.streaming import timer_core, tws_runtime
+
+# Module-level so Python *workers* (which import this module while
+# unpickling TimeoutJoinProcessor) get google.protobuf on their import
+# path before the state-server client's first lazy *_pb2 import.
+_TWS_READY = tws_runtime.ensure_protobuf()
 
 _OUT_FIELDS = [
     StructField("ts", TimestampType()),
@@ -114,11 +119,14 @@ def _rows_from_batch(pdf: pd.DataFrame):
 
 
 def _out_pdf(key, rows) -> pd.DataFrame:
+    # explicit dtypes: an empty batch would otherwise produce float64
+    # columns, which Arrow refuses to cast to timestamp (tws path)
     return pd.DataFrame({
-        "k": [key[0]] * len(rows),
-        "ts": [pd.Timestamp(ts_us, unit="us") for ts_us, _, _ in rows],
-        "l_payload": [l for _, l, _ in rows],
-        "r_payload": [r for _, _, r in rows],
+        "k": pd.Series([key[0]] * len(rows)),
+        "ts": pd.Series([pd.Timestamp(ts_us, unit="us")
+                         for ts_us, _, _ in rows], dtype="datetime64[us]"),
+        "l_payload": pd.Series([l for _, l, _ in rows], dtype=object),
+        "r_payload": pd.Series([r for _, _, r in rows], dtype=object),
     })
 
 
@@ -276,11 +284,7 @@ def left_join_on_timeout_timers(
 # ---------------------------------------------------------------------------
 
 def _tws_available() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    return _TWS_READY or tws_runtime.ensure_protobuf()
 
 
 try:
@@ -383,8 +387,9 @@ def left_join_on_timeout_tws(
     timers). Requires ``protobuf`` in the Python environment."""
     if not _tws_available():
         raise ImportError(
-            "transformWithStateInPandas needs the `protobuf` package for "
-            "its Python worker protocol; it is not installed here. Use "
+            "transformWithStateInPandas needs `google.protobuf` for its "
+            "Python worker protocol; neither the pip package nor a host "
+            "copy (tws_runtime.PROTOBUF_HOST_ROOTS) was found. Use "
             "left_join_on_timeout_timers (applyInPandasWithState) — same "
             "semantics, same timer_core.")
     cfg, delay_ms = _validated(window, timeout, scheduled_capacity,

@@ -205,6 +205,31 @@ def test_tws_adapter_gated_without_protobuf(spark):
                 left_ts="timestamp", right_ts="timestamp")
 
 
+def test_tws_join_and_timeout_e2e(spark):
+    """Full ``transformWithStateInPandas`` run — RocksDB state store,
+    ListState multimap, one *native* timer per scheduled left
+    (registerTimer/handleExpiredTimer, the structural twin of the
+    reference's per-record ``ScheduledFuture``s): one left matches
+    in-window, the other's timer fires a timeout emission."""
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        _tws_available,
+    )
+    if not _tws_available():
+        pytest.skip("no google.protobuf for the tws worker protocol")
+    from left_join_on_timeout_spark.streaming.harness import (
+        run_tws_join_stream,
+    )
+    left = spark.createDataFrame(
+        [(1, "left_a", TS(1)), (2, "left_b", TS(2))], SCHEMA)
+    right = spark.createDataFrame([(1, "right_a", TS(3))], SCHEMA)
+    out = run_tws_join_stream(
+        spark, left, right, on="k", window="10 seconds",
+        joiner=concat_joiner)
+    got = sorted((r.k, r.joined) for r in
+                 out.select("k", "joined").collect())
+    assert got == [(1, "left_a+right_a"), (2, "left_b+")]
+
+
 def test_timers_checkpoint_restart(spark):
     """O9/O10 for the exact-timer tier: pending-left ListState and armed
     timers survive a stop/restart through the checkpoint (the reference's
