@@ -169,9 +169,10 @@ def ivf_assign(emb: DataFrame,
     """(id, v, nrm, cell): IVF coarse quantization — assign each vector
     to its nearest anchor by cosine. Anchors are the vectors with
     ``id < n_cells`` (deterministic, seedless; a k-means pass would drop
-    in here unchanged). The anchor table is tiny and broadcast, so
-    assignment is one narrow scan: n·n_cells dot products, no shuffle —
-    fanned out so those dot products use every core off a tiny scan."""
+    in here unchanged). The anchor table is tiny and broadcast, so the
+    n·n_cells dot products happen in the scanning tasks; the argmax
+    ``groupBy(id)`` is a shuffle, but partial aggregation collapses the
+    candidates map-side so only one row per id crosses the wire."""
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     anchors = (v.where(F.col(id_col) < n_cells)

@@ -79,19 +79,44 @@ def _cancel(lefts: list, strict: bool, matched_ids: set) -> None:
             l[3] = False
 
 
-def fire_due(lefts: list, now_ms: int, window_us: int):
+def fire_due(lefts: list, now_ms: int, window_us: int,
+             retention_horizon_us: int | None = None):
     """O6: emit ``(left, null)`` for every still-armed left whose
-    deadline has passed; drop it. Disarmed lefts are kept only while
-    they can still match a future right (join retention)."""
+    deadline has passed. A fired left is *disarmed, not dropped*: the
+    reference's windowed join store retains it independently of the
+    timer (``LeftJoinOnTimeoutBuilder.java:112-115``), so a right
+    arriving after the timeout fired still joins it — the wall-clock
+    double-emission race (``ScheduledStateStoreTest.java:62-101``).
+
+    ``now_ms`` is whatever clock arms the deadlines (event-time
+    watermark or processing time). ``retention_horizon_us`` is always
+    on the *event* clock; it defaults to ``now_ms`` (correct in
+    event-time mode, where firing implies the watermark passed the
+    join window too, so fired lefts are dropped immediately —
+    no double emission is possible by construction). Wall-clock
+    adapters pass their event-time high-water instead, keeping
+    recently-fired lefts joinable."""
     out, keep = [], []
-    horizon_us = now_ms * 1000
+    horizon_us = (now_ms * 1000 if retention_horizon_us is None
+                  else retention_horizon_us)
     for l in lefts:
         ts_us, payload, deadline, armed = l
         if armed and deadline <= now_ms:
             out.append((ts_us, payload, None))
-        elif armed or ts_us + window_us >= horizon_us:
+            l[3] = False  # lazily cancelled; join retention below
+        if l[3] or ts_us + window_us >= horizon_us:
             keep.append(l)
     return out, keep
+
+
+def gc_lefts(lefts: list, watermark_ms: int, window_us: int) -> list:
+    """Evict *disarmed* lefts whose join window the event clock has
+    passed (armed ones are dropped by their own timer). Bounds state
+    between timer callbacks; same retention rule as :func:`gc_rights`."""
+    if watermark_ms <= 0:
+        return lefts
+    horizon_us = watermark_ms * 1000
+    return [l for l in lefts if l[3] or l[0] + window_us >= horizon_us]
 
 
 def gc_rights(rights: list, watermark_ms: int, window_us: int) -> list:

@@ -178,7 +178,16 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
             lefts, rights = (json.loads(s) for s in state.get)
             now = (state.getCurrentWatermarkMs() if event_time
                    else state.getCurrentProcessingTimeMs())
-            fired, lefts = timer_core.fire_due(lefts, now, window_us)
+            # wall-clock mode: retention runs on the *event* clock (the
+            # key's high-water), so a just-fired left stays joinable for
+            # late rights — the reference's double-emission race
+            horizon = None
+            if not event_time:
+                horizon = max(
+                    [l[0] for l in lefts] + [r[0] for r in rights],
+                    default=0)
+            fired, lefts = timer_core.fire_due(
+                lefts, now, window_us, retention_horizon_us=horizon)
             rights = timer_core.gc_rights(
                 rights, state.getCurrentWatermarkMs(), window_us)
             _save(state, lefts, rights, event_time)
@@ -208,6 +217,7 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
         if not event_time and rows:
             gc_wm = max(r[0] for r in rows) // 1000
         rights = timer_core.gc_rights(rights, gc_wm, window_us)
+        lefts = timer_core.gc_lefts(lefts, gc_wm, window_us)
         _save(state, lefts, rights, event_time)
         yield _out_pdf(key, joined)
 

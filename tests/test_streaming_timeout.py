@@ -157,6 +157,81 @@ def test_timeout_after_checkpoint_restart(spark):
     assert got == [(1, "left_a+"), (2, "left_b+")]
 
 
+def test_restart_exactly_once_across_partitions(spark):
+    """Partition-handoff analog of reference
+    ``LeftJoinOnTimeoutTest.java:155-177`` (``shouldLeftJoinOnTimeout
+    AfterRebalancing``): Kafka Streams migrates state between consumers
+    on rebalance; Structured Streaming's equivalent boundary is
+    restoring every state partition from the checkpoint on restart —
+    Spark pins ``spark.sql.shuffle.partitions`` for the life of a
+    stateful query precisely so state never needs redistribution, and
+    true executor-count rebalancing is a cluster-side reassignment of
+    those fixed state partitions. So the honest single-process analog
+    is: keys spread over *all* shuffle partitions, a restart mid-flight
+    with pending state in every partition, then per-key exactly-once
+    accounting — no partition may lose or duplicate an emission across
+    the boundary (plus an idle third run: pure re-open, zero new
+    emissions)."""
+    n_keys, n_parts = 40, spark.conf.get("spark.sql.shuffle.partitions")
+    base = tempfile.mkdtemp(prefix="ljot_rebalance_")
+    ldir, rdir, ckpt, sink = (os.path.join(base, d)
+                              for d in ("l", "r", "ck", "out"))
+    os.makedirs(ldir); os.makedirs(rdir)
+
+    def write(d, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    def start_query():
+        out = left_join_on_timeout_stream(
+            spark.readStream.schema(SCHEMA).parquet(ldir),
+            spark.readStream.schema(SCHEMA).parquet(rdir),
+            on="k", window="10 seconds", joiner=concat_joiner)
+        return (out.writeStream.format("parquet").option("path", sink)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .start())
+
+    # every shuffle partition must hold pending state at the restart
+    spread = spark.createDataFrame(
+        [(k,) for k in range(n_keys)], "k BIGINT").selectExpr(
+        f"count(distinct pmod(hash(k), {n_parts})) AS p").head().p
+    assert spread == int(n_parts), "keys must cover every state partition"
+
+    # phase 1: a pending left in every partition; even keys match
+    # immediately, odd keys stay pending across the restart
+    write(ldir, [(k, f"L{k}", TS(1 + k * 0.01)) for k in range(n_keys)])
+    write(rdir, [(k, f"R{k}", TS(2)) for k in range(0, n_keys, 2)])
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    # phase 2: restart from the checkpoint; keys ≡ 1 (mod 4) get a
+    # late-but-in-window match, the rest of the odd keys time out
+    write(ldir, [(-1, "flushL", TS(10_000))])
+    write(rdir, [(k, f"R{k}", TS(3)) for k in range(1, n_keys, 4)]
+          + [(-2, "flushR", TS(10_000))])
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(sink).where(F.col("k") >= 0).collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.k, []).append(r.joined)
+    assert sorted(per_key) == list(range(n_keys))     # no key lost
+    for k, emits in per_key.items():
+        assert len(emits) == 1, f"key {k} emitted {emits}"  # no dupes
+        expect = f"L{k}+R{k}" if k % 2 == 0 or k % 4 == 1 else f"L{k}+"
+        assert emits == [expect]
+
+    # phase 3: idle re-open — replaying the committed offsets must not
+    # re-emit anything (state-partition stability across restarts)
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).where(F.col("k") >= 0).count() == n_keys
+
+
 def test_stream_matches_batch(spark):
     """Streaming/batch equivalence on a randomized keyed workload: the
     streaming operator must produce exactly the batch operator's rows."""

@@ -82,6 +82,52 @@ def test_core_sql_mode_cancels_only_matched():
     assert [(f[1], f[2]) for f in fired] == [("L1", None)]
 
 
+def test_core_wallclock_late_right_after_fire_double_emits():
+    """The reference's wall-clock race, deterministically: the timer
+    clock (``now_ms``) and the event-time retention horizon are both
+    injected, so we can fire a timeout while the left's *event* window
+    is still open, then deliver a late in-window right. Strict mode
+    double-emits — first ``(left, null)``, then ``(left, right)`` —
+    because the join store retains the left independently of its timer
+    (``ScheduledStateStoreTest.java:62-101``)."""
+    _, lefts, rights = timer_core.replay(
+        [], [], [(1 * US, "l", "L")], window_us=100 * US,
+        timeout_ms=200, strict=True, capacity=10, capacity_policy="error")
+    lefts[0][2] = 50_000 + 200  # wall-clock re-arm: arrival t0 + timeout
+    fired, lefts = timer_core.fire_due(
+        lefts, now_ms=50_300, window_us=100 * US,
+        retention_horizon_us=1 * US)
+    assert fired == [(1 * US, "l", None)]            # timeout emission
+    assert lefts and lefts[0][3] is False            # retained, disarmed
+    out, lefts, _ = timer_core.replay(
+        lefts, rights, [(2 * US, "r", "R")], window_us=100 * US,
+        timeout_ms=200, strict=True, capacity=10, capacity_policy="error")
+    assert out == [(1 * US, "l", "r")]               # late join: 2nd emit
+    # event-time mode has no such race: timeout > window (the config
+    # invariant), so when the watermark reaches the deadline it has
+    # passed the join window too — the default horizon (= the firing
+    # watermark) evicts the fired left in the same call
+    _, lefts2, _ = timer_core.replay(
+        [], [], [(1 * US, "l", "L")], window_us=100 * US,
+        timeout_ms=100_100, strict=True, capacity=10,
+        capacity_policy="error")
+    fired2, kept2 = timer_core.fire_due(
+        lefts2, now_ms=101_100, window_us=100 * US)
+    assert fired2 == [(1 * US, "l", None)] and kept2 == []
+
+
+def test_core_gc_lefts_keeps_armed_and_recent():
+    """gc_lefts bounds disarmed state between timer callbacks: armed
+    lefts always stay; disarmed ones only while their window can still
+    see a future right."""
+    lefts = [[1 * US, "old_disarmed", 99, False],
+             [1 * US, "old_armed", 10**12, True],
+             [300 * US, "recent_disarmed", 99, False]]
+    kept = timer_core.gc_lefts(lefts, watermark_ms=250_000,
+                               window_us=100 * US)
+    assert [l[1] for l in kept] == ["old_armed", "recent_disarmed"]
+
+
 def test_core_capacity_error_and_drop():
     """O11: the reference blocks at capacity
     (BlockingScheduledExecutor.java:19-31); ours fails fast or sheds."""
