@@ -124,6 +124,18 @@ def lang_id(text: Column | str) -> Column:
             .otherwise(pred))
 
 
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """All word ``n``-grams (space-joined) of the normalized text, in
+    order. Guarded to an empty array below ``n`` words — ``sequence(1,
+    size-k)`` with a negative stop would *descend*, not stay empty."""
+    w = words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, grams) \
+            .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-collapsed
     normalized text (stable under reflow)."""

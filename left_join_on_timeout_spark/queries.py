@@ -298,6 +298,8 @@ _PRIORITY: list[str] = [
     # -- sampling (never driver-checked) ---------------------------- 2
     "sample_uniform_events",
     "sample_stratified_docs",
+    # -- corpus contamination / repetition (round 3, never checked) -- 1
+    "contamination_ngram_overlap",
     # -- MERGE / CDC (never driver-checked) ------------------------- 2
     "cdc_latest_per_key",
     "merge_upsert_orders",

@@ -23,6 +23,7 @@ from left_join_on_timeout_spark.functions.text import (
     n_words,
     quality_score,
     token_count,
+    word_ngrams,
 )
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
@@ -222,6 +223,169 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col, n_nulls, n_distinct, min_v, max_v)")
+
+
+# DuckDB word-n-gram CTE fragment: 1-based inclusive list slicing, range
+# upper bound exclusive, guarded to empty below n words (same as the
+# Spark-side functions.text.word_ngrams guard).
+def _grams_sql(n: int, distinct: bool = True) -> str:
+    return f"""
+toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+         FROM documents),
+grams AS (
+  SELECT {"DISTINCT" if distinct else ""} doc_id,
+         md5(array_to_string(w[i:i+{n - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i))"""
+
+
+@query("contamination_ngram_overlap", f"""
+WITH {_grams_sql(5)},
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+         FROM train t JOIN bench b ON t.h = b.h GROUP BY t.doc_id)
+SELECT tot.doc_id AS doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(hits.n_contaminated, 0) AS DOUBLE)
+             / tot.n_grams, 6) AS contamination,
+       round(CAST(coalesce(hits.n_contaminated, 0) AS DOUBLE)
+             / tot.n_grams, 6) > 0.05 AS flagged
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+""")
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct word 5-grams that appear anywhere in the eval set (docs
+    with ``doc_id % 20 == 0`` stand in for a benchmark). The eval
+    n-gram set is the *broadcast* side — eval benchmarks stay MB-sized
+    no matter how big the training corpus grows, so the probe is a
+    map-side semi-join against every training shard: one shuffle total
+    (the per-doc count), nothing corpus-quadratic. Grams travel as md5
+    digests, not strings."""
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (fan_out(docs)
+             .select("doc_id",
+                     F.explode(word_ngrams("text", 5)).alias("g"))
+             .select("doc_id", F.md5("g").alias("h"))
+             .distinct())
+    bench = (grams.where(F.col("doc_id") % 20 == 0)
+             .select("h").distinct().withColumn("m", F.lit(1)))
+    train = grams.where(F.col("doc_id") % 20 != 0)
+    # one broadcast left-join + ONE per-doc aggregate: count(m) counts
+    # only matched grams, so the train-side gram pipeline runs once
+    probed = train.join(F.broadcast(bench), "h", "left")
+    out = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("m").alias("n_contaminated"))
+    contamination = F.round(
+        F.col("n_contaminated") / F.col("n_grams"), 6)
+    return (out.withColumn("contamination", contamination)
+            .withColumn("flagged", contamination > 0.05))
+
+
+@query("repetition_quality_flags", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+       GROUP BY doc_id, term),
+ws AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(max(tf) AS BIGINT) AS top_tf
+       FROM tf GROUP BY doc_id),
+bi AS (SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bi,
+              CAST(count(DISTINCT h) AS BIGINT) AS n_bi_distinct
+       FROM (
+         SELECT doc_id, md5(array_to_string(w[i:i+1], ' ')) AS h
+         FROM toks, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i))
+       GROUP BY doc_id)
+SELECT ws.doc_id AS doc_id, n_words, n_distinct,
+       round(CAST(top_tf AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       CASE WHEN coalesce(n_bi, 0) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(n_bi_distinct AS DOUBLE) / n_bi, 6)
+       END AS dup_bigram_frac,
+       (round(CAST(top_tf AS DOUBLE) / n_words, 6) > 0.2
+        OR round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) > 0.9)
+         AS flagged
+FROM ws LEFT JOIN bi ON ws.doc_id = bi.doc_id
+""")
+def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per-doc top-word
+    fraction, duplicate-word fraction, duplicate-bigram fraction, and
+    the cut flag. Two key-partitioned aggregates over the exploded
+    token/bigram streams (both partial-aggregate map-side before their
+    shuffle); flags compare the 6-dp-rounded values so the engines
+    agree at thresholds."""
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tf = (docs.select("doc_id", F.explode(words("text")).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    ws = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tf").alias("top_tf"))
+    bi = (docs.select("doc_id",
+                      F.explode(word_ngrams("text", 2)).alias("g"))
+          .select("doc_id", F.md5("g").alias("h"))
+          .groupBy("doc_id").agg(
+              F.count(F.lit(1)).alias("n_bi"),
+              F.countDistinct("h").alias("n_bi_distinct")))
+    top_frac = F.round(F.col("top_tf").cast("double") / F.col("n_words"), 6)
+    dup_frac = F.round(
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+    dup_bi = F.when(F.coalesce(F.col("n_bi"), F.lit(0)) == 0, F.lit(0.0)) \
+        .otherwise(F.round(
+            1.0 - F.col("n_bi_distinct").cast("double") / F.col("n_bi"), 6))
+    return (ws.join(bi, "doc_id", "left")
+            .select("doc_id", "n_words", "n_distinct",
+                    top_frac.alias("top_word_frac"),
+                    dup_frac.alias("dup_word_frac"),
+                    dup_bi.alias("dup_bigram_frac"),
+                    ((top_frac > 0.2) | (dup_frac > 0.9)).alias("flagged")))
+
+
+@query("crossdoc_dup_ngrams", f"""
+WITH {_grams_sql(8)},
+gc AS (SELECT h, count(*) AS nd FROM grams GROUP BY h)
+SELECT g.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(CAST(sum(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS shared_frac
+FROM grams g JOIN gc ON g.h = gc.h
+GROUP BY g.doc_id
+""")
+def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication mass (RefinedWeb-style): per doc, the
+    fraction of its distinct word 8-grams that occur in ≥2 documents.
+    The gram→doc-count aggregate and the gram-level join both hash on
+    the md5 digest, so the corpus-wide stage shuffles 16-byte keys, the
+    groupBy partial-aggregates map-side, and the join reuses the
+    aggregate's partitioning (no second exchange of the big side)."""
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (fan_out(docs)
+             .select("doc_id",
+                     F.explode(word_ngrams("text", 8)).alias("g"))
+             .select("doc_id", F.md5("g").alias("h"))
+             .distinct())
+    gc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (grams.join(gc, "h")
+            .groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                .cast("bigint").alias("n_shared"))
+            .withColumn("shared_frac", F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams"), 6)))
 
 
 @query("text_token_entropy", f"""
