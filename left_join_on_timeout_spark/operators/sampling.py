@@ -39,6 +39,14 @@ def sample_key(id_col: str | Column, seed: str = "42") -> Column:
         1, HASH_WIDTH)
 
 
+def sample_gate(id_col: str | Column, rate: float,
+                seed: str = "42") -> Column:
+    """The boolean keep-gate as a composable Column (True for the
+    ~``rate`` fraction) — for queries mixing per-tier rates in one
+    predicate."""
+    return sample_key(id_col, seed) < F.lit(_threshold(rate))
+
+
 def hash_sample(df: DataFrame, id_col: str, rate: float,
                 seed: str = "42") -> DataFrame:
     """Uniform deterministic sample: keep ~``rate`` of rows, decided per

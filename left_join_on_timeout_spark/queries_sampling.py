@@ -7,6 +7,7 @@ engine-dependent rand() stream.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.operators.sampling import (
     hash_sample,
@@ -28,6 +29,97 @@ def q_sample_uniform_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return hash_sample(events, "event_id", 0.1).select(
         "event_id", "user_id")
+
+
+_N_TOKENS = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+@query("sequence_packing_bins", f"""
+WITH toks AS (
+  SELECT doc_id, source, {_N_TOKENS} AS n_tok FROM documents),
+packed AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks)
+SELECT source,
+       CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY source, (cum - n_tok) // 256
+""")
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate each source shard's docs
+    in deterministic (doc_id) order and split at a 256-token capacity —
+    a doc starting inside bin k belongs to bin k (GPT-style packing
+    with document spillover). Per-bin occupancy stats. The running sum
+    is a *keyed* window (partitioned by source), so packing
+    parallelizes across shards — exactly how a 1000-executor packing
+    job would run, one shard per task, no global sort."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    toks = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tok"))
+    packed = toks.withColumn(
+        "bin", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 256))
+    return (packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens")))
+
+
+@query("quality_gated_sample", """
+WITH q AS (
+  SELECT doc_id, lang, source,
+    round((
+      0.3 * least(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * greatest(0.0, 1.0 - 4.0 * (len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1)))
+    + 0.2 * least(3.0 * CAST(len(regexp_extract_all(trim(lower(text)), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+                  / greatest(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE), 1.0), 1.0)
+    + 0.2 * (CASE WHEN (length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+                        / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)) BETWEEN 3.0 AND 10.0
+                  THEN 1.0 ELSE 0.5 END)
+    ), 6) AS quality
+  FROM documents)
+SELECT doc_id, lang, source, quality,
+       CASE WHEN quality >= 0.9 THEN 'keep'
+            WHEN quality >= 0.75 THEN 'half'
+            ELSE 'tail' END AS tier
+FROM q
+WHERE quality >= 0.9
+   OR (quality >= 0.75 AND
+       substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+   OR (quality < 0.75 AND
+       substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
+""")
+def q_quality_gated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered downsampling — the standard pretraining curation
+    cut: keep every high-quality doc, hash-sample 50% of the middle
+    tier and 10% of the tail. The tier comes from the 6-dp-rounded
+    quality score (both engines agree at the thresholds) and the gate
+    is the same deterministic md5 predicate as ``hash_sample``, pushed
+    to the scan; rerunning yields the identical corpus."""
+    from left_join_on_timeout_spark.functions.text import quality_score
+    from left_join_on_timeout_spark.operators.sampling import sample_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", "source",
+        F.round(quality_score("text"), 6).alias("quality"))
+    gate50 = sample_gate("doc_id", 0.5)
+    gate10 = sample_gate("doc_id", 0.1)
+    tier = (F.when(F.col("quality") >= 0.9, "keep")
+            .when(F.col("quality") >= 0.75, "half")
+            .otherwise("tail"))
+    return (q.withColumn("tier", tier)
+            .where((F.col("quality") >= 0.9)
+                   | ((F.col("quality") >= 0.75) & gate50)
+                   | ((F.col("quality") < 0.75) & gate10)))
 
 
 @query("sample_stratified_docs", """
