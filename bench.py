@@ -66,6 +66,10 @@ HEADLINE = [
     "incremental_agg_refresh",
     "zscore_anomalies",
     "text_token_entropy",
+    "contamination_ngram_overlap",
+    "crossdoc_dup_ngrams",
+    "repetition_quality_flags",
+    "sequence_packing_bins",
 ]
 
 

@@ -366,10 +366,14 @@ GROUP BY g.doc_id
 def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplication mass (RefinedWeb-style): per doc, the
     fraction of its distinct word 8-grams that occur in ≥2 documents.
-    The gram→doc-count aggregate and the gram-level join both hash on
-    the md5 digest, so the corpus-wide stage shuffles 16-byte keys, the
-    groupBy partial-aggregates map-side, and the join reuses the
-    aggregate's partitioning (no second exchange of the big side)."""
+    The per-gram doc count is a *window* over the md5 digest, not a
+    self-join — the expensive shingle/distinct pipeline runs exactly
+    once and the corpus-wide stage shuffles 16-byte keys; a join
+    formulation would scan and shingle the corpus twice (the two
+    aggregate subtrees canonicalize differently, so exchange reuse
+    never kicks in)."""
+    from pyspark.sql import Window
+
     from left_join_on_timeout_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -378,8 +382,8 @@ def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.explode(word_ngrams("text", 8)).alias("g"))
              .select("doc_id", F.md5("g").alias("h"))
              .distinct())
-    gc = grams.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    return (grams.join(gc, "h")
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    return (grams.withColumn("nd", nd)
             .groupBy("doc_id").agg(
                 F.count(F.lit(1)).alias("n_grams"),
                 F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))

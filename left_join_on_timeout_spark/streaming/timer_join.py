@@ -19,11 +19,12 @@ Two adapters over the same core:
 * :class:`TimeoutJoinProcessor` / :func:`left_join_on_timeout_tws` —
   ``transformWithStateInPandas`` (PySpark 4.x ``StatefulProcessor`` with
   ListState + native multi-timer support), the closest structural match
-  to the reference's store. Its Python state-server protocol requires
-  ``protobuf`` at runtime; the adapter raises a clear error when the
-  dependency is absent (it is not shipped in this container), and the
-  semantics are still fully covered by the core unit tests plus the
-  ``applyInPandasWithState`` end-to-end scenarios.
+  to the reference's store. Its Python state-server protocol needs
+  ``google.protobuf`` at runtime; ``tws_runtime.ensure_protobuf``
+  bridges in a public host copy when the pip package is absent (see
+  that module), so the tier runs end-to-end here — under
+  ``RocksDBStateStoreProvider``, which tws requires for column
+  families (``harness.run_tws_join_stream`` sets it per query).
 
 Mechanism parity map (reference file:line):
 
