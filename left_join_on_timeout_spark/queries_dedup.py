@@ -348,6 +348,47 @@ def q_dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("component").alias("cluster_id"))
 
 
+@query("dedup_keep_canonical", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+und AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach AS (
+  SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t),
+clusters AS (
+  SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)
+SELECT d.doc_id AS doc_id, d.source AS source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM clusters c
+  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
+""")
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *deliverable*: the cleaned corpus. MinHash-LSH pairs →
+    connected components → drop every cluster member except the
+    minimum-id representative; untouched docs pass through. One
+    broadcastable anti-join against the (tiny relative to the corpus)
+    non-canonical id list — the full pipeline a 100 TB dedup run
+    materializes, not just the cluster labels."""
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs)
+    drop = (cc.where(F.col("component") != F.col("id"))
+            .select(F.col("id").alias("doc_id")))
+    return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
+            .select("doc_id", "source"))
+
+
 @query("dedup_edit_distance", f"""
 WITH base AS (
   SELECT doc_id, lang,

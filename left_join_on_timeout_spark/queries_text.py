@@ -392,6 +392,39 @@ def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared").cast("double") / F.col("n_grams"), 6)))
 
 
+@query("chunk_documents_windows", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS INT) AS chunk_idx,
+       CAST(least(64, len(w) - s + 1) AS INT) AS n_words,
+       md5(array_to_string(w[s:s+63], ' ')) AS chunk_hash
+FROM toks, UNNEST(range(1, len(w) + 1, 48)) AS t(s)
+""")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-prep chunking: split each doc into 64-word windows with
+    stride 48 (16-word overlap), the standard RAG/embedding-training
+    chunker. Chunk starts come from ``sequence(1, n, 48)`` and the
+    window from ``slice`` — all row-local array ops, one scan, zero
+    shuffles; chunks are identified by content hash so downstream
+    embed/dedup stages join on digests."""
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = words("text")
+    out = docs.select(
+        "doc_id", w.alias("w"),
+        F.explode(F.sequence(F.lit(1), F.size(w), F.lit(48))).alias("s"))
+    return out.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / 48).cast("int").alias("chunk_idx"),
+        F.least(F.lit(64), F.size("w") - F.col("s") + 1)
+         .cast("int").alias("n_words"),
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("s"), 64)))
+         .alias("chunk_hash"))
+
+
 @query("text_token_entropy", f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
