@@ -146,6 +146,34 @@ def test_core_capacity_error_and_drop():
     assert ("l2", "r") in {(o[1], o[2]) for o in out}
 
 
+def test_core_stress_schedule_cancel_drains():
+    """Analog of reference ``BlockingScheduledExecutorTest:115-135``
+    (200-task schedule/cancel stress asserting ``size==0`` after the
+    drain): 200 lefts, ~half matched by rights, then the clock passes
+    every deadline and window — state must drain to empty, and every
+    left must appear exactly once in (join outputs ∪ timeout firings),
+    never both."""
+    import random
+    rnd = random.Random(13)
+    rows = []
+    for i in range(200):
+        rows.append((i * US, f"l{i}", "L"))
+        if rnd.random() < 0.5:
+            rows.append((i * US + 1000, f"r{i}", "R"))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    out, lefts, rights = timer_core.replay(
+        [], [], rows, window_us=1000, timeout_ms=2_000, strict=False,
+        capacity=10**6, capacity_policy="error")
+    fired, lefts = timer_core.fire_due(lefts, now_ms=10**9, window_us=1000)
+    rights = timer_core.gc_rights(rights, 10**9, 1000)
+    lefts = timer_core.gc_lefts(lefts, 10**9, 1000)
+    assert lefts == [] and rights == []          # the size==0 invariant
+    joined_lefts = {o[1] for o in out}
+    timed_out = {f[1] for f in fired}
+    assert joined_lefts.isdisjoint(timed_out)
+    assert joined_lefts | timed_out == {f"l{i}" for i in range(200)}
+
+
 # --- end-to-end scenarios through applyInPandasWithState -------------------
 
 SCHEMA = T.StructType([
