@@ -41,7 +41,13 @@ SCAN_EXPR_ALLOWED = {
     "sample_stratified_docs",
 }
 
-BATCH_QUERIES = sorted(n for n in q.QUERIES if not n.startswith("stream_"))
+# timer_/tws_ queries run the full streaming drain harness just to
+# *build* their result; their plans are streaming plans covered by the
+# semantics tests, so inspecting the drained sink's batch plan buys
+# nothing for the cost of executing the stream twice.
+BATCH_QUERIES = sorted(
+    n for n in q.QUERIES
+    if not n.startswith(("stream_", "timer_", "tws_")))
 
 
 def plan_of(spark, name: str) -> str:
@@ -89,6 +95,38 @@ def test_minhash_signature_has_no_shuffle(spark):
     # the only exchange is fan_out's repartition; signature math itself
     # never shuffles (no hashpartitioning exchange)
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_crossdoc_dup_ngrams_shingles_once(spark):
+    """The per-gram doc count must come from a window, not a self-join:
+    exactly one corpus scan / one shingle pipeline."""
+    plan = plan_of(spark, "crossdoc_dup_ngrams")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_contamination_probe_shape(spark):
+    """Eval-gram side broadcast (benchmarks stay small at any corpus
+    scale); the train/eval doc_id predicates reach both scans."""
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for seg in plan.split("FileScan parquet")[1:]:
+        head = seg.splitlines()[0]
+        assert "doc_id" in head.split("DataFilters: [")[1].split("]")[0]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is row-local array math: nothing may shuffle."""
+    plan = plan_of(spark, "chunk_documents_windows")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Keyed running-sum packing: one exchange on the shard key feeds
+    both the window and the (same-keyed) per-bin aggregate."""
+    plan = plan_of(spark, "sequence_packing_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_no_expensive_expr_pushed_into_scans(spark):
