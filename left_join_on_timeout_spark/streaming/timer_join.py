@@ -403,6 +403,14 @@ def left_join_on_timeout_tws(
             "copy (tws_runtime.PROTOBUF_HOST_ROOTS) was found. Use "
             "left_join_on_timeout_timers (applyInPandasWithState) — same "
             "semantics, same timer_core.")
+    if time_mode != "EventTime":
+        # the processor arms event-clock deadlines; wall-clock re-arming
+        # (arrival + timeout) is implemented only in the GroupState
+        # adapter — refuse rather than run with wrong deadline semantics
+        raise NotImplementedError(
+            "left_join_on_timeout_tws supports EventTime only; use "
+            "left_join_on_timeout_timers(time_mode='ProcessingTime') "
+            "for wall-clock timers.")
     cfg, delay_ms = _validated(window, timeout, scheduled_capacity,
                                capacity_policy, time_mode)
     unioned = _tag(left, right, on, left_ts, right_ts, delay_ms)
