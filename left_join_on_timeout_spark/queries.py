@@ -280,26 +280,27 @@ _PRIORITY: list[str] = [
     "multi_match_cardinality",
     "json_extract_props",
     "key_partition_hist",
-    # -- similarity search (never driver-checked) ------------------- 7
+    # -- similarity search (first driver rows due r3) --------------- 5
+    # label_centroids / ann_recall_srp yield the window to round-3
+    # never-checked queries; the family keeps five in-window reps
     "knn_brute_cosine",
     "ann_top1_srp",
     "ann_top1_ivf",
     "embedding_near_dup",
     "ivf_kmeans_cells",
-    "label_centroids",
-    "ann_recall_srp",
     # -- text analysis (never driver-checked) ----------------------- 6
     "text_quality_score",
     "text_lang_dist",
     "text_fingerprint_stats",
     "tfidf_top_terms",
     "profile_documents",
-    "text_token_entropy",
     # -- sampling (never driver-checked) ---------------------------- 2
     "sample_uniform_events",
     "sample_stratified_docs",
-    # -- corpus contamination / repetition (round 3, never checked) -- 1
+    # -- corpus curation (round 3, never checked) ------------------- 3
     "contamination_ngram_overlap",
+    "crossdoc_dup_ngrams",
+    "dedup_keep_canonical",
     # -- MERGE / CDC (never driver-checked) ------------------------- 2
     "cdc_latest_per_key",
     "merge_upsert_orders",
