@@ -304,6 +304,66 @@ def test_tws_join_and_timeout_e2e(spark):
     assert got == [(1, "left_a+right_a"), (2, "left_b+")]
 
 
+def test_tws_checkpoint_restart(spark):
+    """O9/O10 for the tws tier: ListState and *native* registered timers
+    must survive a stop/restart through the RocksDB checkpoint — the
+    reference's ``shouldLeftJoinOnTimeoutAfterRestoration`` on the
+    structurally-matching store. After restart one pending left matches,
+    the other's native timer fires — each exactly once."""
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        _tws_available,
+        left_join_on_timeout_tws,
+    )
+    if not _tws_available():
+        pytest.skip("no google.protobuf for the tws worker protocol")
+
+    base = tempfile.mkdtemp(prefix="ljot_tws_restart_")
+    ldir, rdir, ckpt, sink = (os.path.join(base, d)
+                              for d in ("l", "r", "ck", "out"))
+    os.makedirs(ldir); os.makedirs(rdir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+
+    def write(d, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    def start_query():
+        out = left_join_on_timeout_tws(
+            spark.readStream.schema(SCHEMA).parquet(ldir),
+            spark.readStream.schema(SCHEMA).parquet(rdir),
+            on="k", window="10 seconds", joiner=concat_joiner,
+            strict_reference_semantics=False)
+        return (out.writeStream.format("parquet").option("path", sink)
+                .outputMode("append").option("checkpointLocation", ckpt)
+                .start())
+
+    try:
+        write(ldir, [(1, "left_a", TS(1)), (2, "left_b", TS(2))])
+        write(rdir, [(5, "unrelated", TS(1))])
+        q = start_query()
+        q.processAllAvailable()
+        q.stop()
+        assert spark.read.parquet(sink).where(F.col("k") >= 0).count() == 0
+
+        write(ldir, [(-1, "flushL", TS(100_000))])
+        write(rdir, [(1, "right_a", TS(3)), (-2, "flushR", TS(100_000))])
+        q = start_query()
+        q.processAllAvailable()
+        q.stop()
+        got = sorted((r.k, r.joined) for r in
+                     spark.read.parquet(sink).where(F.col("k") >= 0)
+                     .collect())
+        assert got == [(1, "left_a+right_a"), (2, "left_b+")]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_timers_checkpoint_restart(spark):
     """O9/O10 for the exact-timer tier: pending-left ListState and armed
     timers survive a stop/restart through the checkpoint (the reference's
