@@ -33,7 +33,7 @@ it with ``max_by``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
