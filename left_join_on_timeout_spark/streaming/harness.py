@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,25 @@ from left_join_on_timeout_spark.streaming.timeout_join import (
 )
 
 FLUSH_TS = "2100-01-01 00:00:00"
+
+
+@contextmanager
+def _drain_tuning(spark: SparkSession):
+    """Size state partitioning for a bounded drain. Every stateful
+    micro-batch costs one task per shuffle partition per stateful
+    operator — a vanilla session's 200 partitions turn a 60k-row drain
+    into thousands of near-empty state-store tasks. The count is
+    snapshotted per query at stream start (state partitioning is pinned
+    for the checkpoint's life), so capping it here affects only this
+    drain; the session value is restored afterwards. On a real cluster
+    the default stands — this is drain sizing, not an engine default."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(min(int(prev), 16)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def run_timeout_join_stream(
@@ -81,12 +101,14 @@ def run_timeout_join_stream(
         right_ts=right_ts, timeout=timeout, joiner=joiner,
         joined_col=joined_col, right_prefix=right_prefix)
 
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").option("checkpointLocation", ckpt).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _drain_tuning(spark):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname).where(F.col(on) >= 0)
 
 
@@ -105,12 +127,14 @@ def drain_stream(spark: SparkSession, inp: DataFrame, build) -> DataFrame:
     qname = "ljot_sink_" + uuid.uuid4().hex[:12]
     inp.write.mode("overwrite").parquet(src)
     out = build(spark.readStream.schema(inp.schema).parquet(src))
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").option("checkpointLocation", ckpt).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _drain_tuning(spark):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname)
 
 
@@ -148,12 +172,14 @@ def drain_two_streams(
         .write.mode("overwrite").parquet(rdir)
     out = build(spark.readStream.schema(left.schema).parquet(ldir),
                 spark.readStream.schema(right.schema).parquet(rdir))
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").option("checkpointLocation", ckpt).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _drain_tuning(spark):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname).where(F.col(on) >= 0)
 
 
@@ -239,10 +265,12 @@ def run_timer_join_stream(
         spark.readStream.schema(right.schema).parquet(rdir),
         on=on, window=window, left_ts=left_ts, right_ts=right_ts,
         joiner=joiner, strict_reference_semantics=False)
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").option("checkpointLocation", ckpt).start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _drain_tuning(spark):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(qname).where(F.col(on) >= 0)
