@@ -799,3 +799,88 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("z", z)
             .where(F.abs(F.col("z")) > 3)
             .select("event_id", "event_type", "value", "z"))
+
+
+@query("funnel_conversion_daily", """
+WITH first_view AS (
+  SELECT user_id, min(ts) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT f.user_id, f.v_ts,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.event_type = 'purchase' AND p.user_id = f.user_id
+             AND p.ts > f.v_ts
+             AND p.ts <= f.v_ts + INTERVAL 30 MINUTE)
+         THEN 1 ELSE 0 END AS converted
+  FROM first_view f)
+SELECT date_trunc('day', v_ts) AS day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+FROM conv
+GROUP BY date_trunc('day', v_ts)
+""")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, did a purchase follow the *first* view
+    within 30 minutes — conversion rate by day of first view. One
+    aggregate for the entry step, one semi-join (user equi-key + time
+    range) for the conversion step, one daily rollup; the semi-join
+    shuffles on user_id so each key's events co-locate — no window over
+    the full event stream, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (ev.where(F.col("event_type") == "view")
+                  .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    hit = (first_view.join(
+        purchases,
+        (first_view.user_id == purchases.user_id)
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi"))
+    conv = first_view.join(
+        hit.select("user_id").withColumn("c", F.lit(1)), "user_id", "left")
+    return (conv.groupBy(
+        F.date_trunc("day", "v_ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.sum(F.coalesce("c", F.lit(0))).alias("n_converted"))
+        .withColumn("conv_rate", F.round(
+            F.col("n_converted").cast("double") / F.col("n_users"), 6)))
+
+
+@query("cohort_retention_weekly", """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week))
+              // 604800 AS INT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM activity
+WHERE week_offset <= 8
+GROUP BY cohort_week, week_offset
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    counted once per (cohort, weeks-since-first) they were active in.
+    First-seen is one user-keyed aggregate; the join back to events
+    reuses the same user_id partitioning; the distinct collapses
+    per-user-week before the final small rollup. Week offsets are
+    integer epoch arithmetic — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    offset = ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+               - F.unix_timestamp(F.col("cohort_week"))) / 604800) \
+        .cast("int")
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort_week",
+                        offset.alias("week_offset"))
+                .distinct())
+    return (activity.where(F.col("week_offset") <= 8)
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active")))
