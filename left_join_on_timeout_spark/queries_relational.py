@@ -884,3 +884,27 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (activity.where(F.col("week_offset") <= 8)
             .groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+@query("grouping_sets_revenue", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the generalization rollup/cube compile to: three
+    explicit aggregation groupings in one Expand + hash-agg pass over a
+    single scan (not one job per set). DECIMAL-summed money keeps the
+    revenue order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
