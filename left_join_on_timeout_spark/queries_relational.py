@@ -832,19 +832,22 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_view = (ev.where(F.col("event_type") == "view")
                   .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
     purchases = ev.where(F.col("event_type") == "purchase") \
-                  .select("user_id", F.col("ts").alias("p_ts"))
-    hit = (first_view.join(
+                  .select(F.col("user_id").alias("p_user"),
+                          F.col("ts").alias("p_ts"))
+    # one left join + per-user max instead of a semi-join AND a second
+    # first_view pass: the entry aggregate is computed exactly once
+    joined = first_view.join(
         purchases,
-        (first_view.user_id == purchases.user_id)
+        (first_view.user_id == F.col("p_user"))
         & (F.col("p_ts") > F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_semi"))
-    conv = first_view.join(
-        hit.select("user_id").withColumn("c", F.lit(1)), "user_id", "left")
+        "left")
+    conv = joined.groupBy("user_id", "v_ts").agg(
+        F.max(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("c"))
     return (conv.groupBy(
         F.date_trunc("day", "v_ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_users"),
-             F.sum(F.coalesce("c", F.lit(0))).alias("n_converted"))
+             F.sum("c").alias("n_converted"))
         .withColumn("conv_rate", F.round(
             F.col("n_converted").cast("double") / F.col("n_users"), 6)))
 
