@@ -42,8 +42,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                  F.col(id_a).alias("dst")))
              .distinct()
              .persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("component", F.col("id"))
+    # seed with min(self, neighbors) — exactly one hash-min round fused
+    # into the node-dedup aggregate, so diameter-2 cliques (the typical
+    # dedup cluster) converge one full round (two jobs) earlier
+    labels = (edges.groupBy(F.col("src").alias("id"))
+              .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
               .localCheckpoint())
     prev_sum = None
     for _ in range(max_iters):
