@@ -902,12 +902,13 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan (not one job per set). DECIMAL-summed money keeps the
     revenue order-independent."""
     orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders")
+    # scoped view name: never collides with driver/user views
+    orders.createOrReplaceTempView("ljot_gs_orders")
     return spark.sql("""
         SELECT o_orderstatus, o_orderpriority,
                CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
                  AS revenue,
                count(*) AS n
-        FROM orders
+        FROM ljot_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
