@@ -73,7 +73,28 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens")))
 
 
-@query("quality_gated_sample", """
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """The quality-tiered curation cut as a stateless transform (shared
+    by the batch query and its streaming twin): keep every high-quality
+    doc, hash-sample 50% of the middle tier, 10% of the tail."""
+    from left_join_on_timeout_spark.functions.text import quality_score
+    from left_join_on_timeout_spark.operators.sampling import sample_gate
+
+    q = docs.select(
+        "doc_id", "lang", "source",
+        F.round(quality_score("text"), 6).alias("quality"))
+    gate50 = sample_gate("doc_id", 0.5)
+    gate10 = sample_gate("doc_id", 0.1)
+    tier = (F.when(F.col("quality") >= 0.9, "keep")
+            .when(F.col("quality") >= 0.75, "half")
+            .otherwise("tail"))
+    return (q.withColumn("tier", tier)
+            .where((F.col("quality") >= 0.9)
+                   | ((F.col("quality") >= 0.75) & gate50)
+                   | ((F.col("quality") < 0.75) & gate10)))
+
+
+QUALITY_GATE_SQL = """
 WITH q AS (
   SELECT doc_id, lang, source,
     round((
@@ -96,30 +117,18 @@ WHERE quality >= 0.9
        substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
    OR (quality < 0.75 AND
        substr(md5('42#' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
-""")
+"""
+
+
+@query("quality_gated_sample", QUALITY_GATE_SQL)
 def q_quality_gated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-tiered downsampling — the standard pretraining curation
-    cut: keep every high-quality doc, hash-sample 50% of the middle
-    tier and 10% of the tail. The tier comes from the 6-dp-rounded
-    quality score (both engines agree at the thresholds) and the gate
-    is the same deterministic md5 predicate as ``hash_sample``, pushed
-    to the scan; rerunning yields the identical corpus."""
-    from left_join_on_timeout_spark.functions.text import quality_score
-    from left_join_on_timeout_spark.operators.sampling import sample_gate
-
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id", "lang", "source",
-        F.round(quality_score("text"), 6).alias("quality"))
-    gate50 = sample_gate("doc_id", 0.5)
-    gate10 = sample_gate("doc_id", 0.1)
-    tier = (F.when(F.col("quality") >= 0.9, "keep")
-            .when(F.col("quality") >= 0.75, "half")
-            .otherwise("tail"))
-    return (q.withColumn("tier", tier)
-            .where((F.col("quality") >= 0.9)
-                   | ((F.col("quality") >= 0.75) & gate50)
-                   | ((F.col("quality") < 0.75) & gate10)))
+    cut (see :func:`quality_gate`). The tier comes from the
+    6-dp-rounded quality score (both engines agree at the thresholds)
+    and the gate is the same deterministic md5 predicate as
+    ``hash_sample``, pushed to the scan; rerunning yields the identical
+    corpus."""
+    return quality_gate(load_table(spark, sf_dir, "documents"))
 
 
 @query("sample_stratified_docs", """

@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.operators.dedup import streaming_exact_dedup
 from left_join_on_timeout_spark.queries import query
+from left_join_on_timeout_spark.queries_sampling import (
+    QUALITY_GATE_SQL,
+    quality_gate,
+)
 from left_join_on_timeout_spark.sources.tables import load_table
 from left_join_on_timeout_spark.streaming.harness import drain_stream
 
@@ -223,3 +227,15 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s.join(cust, s.user_id == cust.c_custkey)
         .select("event_id", "user_id", "c_name", "c_mktsegment"))
     return out
+
+
+@query("stream_quality_filter", QUALITY_GATE_SQL)
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time corpus curation: the quality-tiered downsampling cut
+    applied to a *stream* of documents — the filter a training pipeline
+    runs as data lands. Stateless (pure per-row score + deterministic
+    hash gate), so no watermark or state store; the drained output is
+    row-identical to the batch cut, which is the exact oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    return drain_stream(spark, docs, quality_gate)
