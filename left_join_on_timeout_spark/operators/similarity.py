@@ -212,6 +212,32 @@ def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
                        (-F.col("b.negc")).alias("cell"))
 
 
+def ivf_assign_multi(emb: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_cells: int = DEFAULT_IVF_CELLS,
+                     nprobe: int = 2) -> DataFrame:
+    """(id, v, nrm, cell) with up to ``nprobe`` rows per vector — the
+    multi-probe IVF assignment (top-``nprobe`` anchors by cosine, ties
+    to the lowest cell id). Same broadcast-anchor shape as
+    :func:`ivf_assign`; the per-id window rank shuffles one row per
+    (id, probe), the recall/cost knob every IVF deployment tunes."""
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    anchors = (v.where(F.col(id_col) < n_cells)
+               .select(F.col(id_col).alias("cell"),
+                       F.col("v").alias("av"),
+                       F.col("nrm").alias("anrm")))
+    sims = (v.join(F.broadcast(anchors))
+            .select(id_col, "v", "nrm", "cell",
+                    (dot(F.col("v"), F.col("av"))
+                     / (F.col("nrm") * F.col("anrm"))).alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= nprobe)
+            .select(id_col, "v", "nrm", "cell"))
+
+
 def kmeans_refined_cells(emb: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
@@ -271,18 +297,24 @@ def ivf_top_neighbor(emb: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      n_cells: int = DEFAULT_IVF_CELLS,
-                     cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+                     cell_cap: int = DEFAULT_CELL_CAP,
+                     nprobe: int = 1) -> DataFrame:
     """Approximate nearest neighbor per vector, IVF variant: pair only
-    within the coarse cell (nprobe=1), exact cosine on cell-mates,
+    within the coarse cell(s), exact cosine on cell-mates,
     bidirectional top-1 — the inverted-file counterpart to
-    :func:`ann_top_neighbor`'s SRP hashing.
+    :func:`ann_top_neighbor`'s SRP hashing. ``nprobe`` > 1 assigns each
+    vector to its top-``nprobe`` cells (multi-probe), trading candidate
+    volume for recall.
 
     Scale shape: cells shuffle on the cell id; ``n_cells`` is sized to
     the corpus (cells ≈ n / target_cell_size) and ``cell_cap`` drops
     degenerate cells before pairing, so within-cell work is bounded by
     cap² per cell, never corpus-quadratic. Recall comes from cell
-    locality instead of SRP band OR-ing."""
-    assigned = ivf_assign(emb, id_col, vec_col, n_cells)
+    locality (× nprobe) instead of SRP band OR-ing."""
+    if nprobe == 1:
+        assigned = ivf_assign(emb, id_col, vec_col, n_cells)
+    else:
+        assigned = ivf_assign_multi(emb, id_col, vec_col, n_cells, nprobe)
     w = Window.partitionBy("cell")
     assigned = (assigned.withColumn("csz", F.count("*").over(w))
                 .where(F.col("csz") <= cell_cap).drop("csz"))

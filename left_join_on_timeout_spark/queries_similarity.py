@@ -202,6 +202,56 @@ def q_ann_top1_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_neighbor(emb)
 
 
+@query("ann_top1_ivf_probe2", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
+            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
+sims AS (SELECT vec_id, cell,
+                list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+         FROM v, anchors),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM sims) t
+  WHERE rn <= 2),
+capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+    FROM assigned) t
+  WHERE csz <= {DEFAULT_CELL_CAP}),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM capped a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored)
+SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM bidir) t
+WHERE rn = 1
+""")
+def q_ann_top1_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): each vector searches its two
+    nearest coarse cells — the recall/cost knob every IVF deployment
+    tunes. A pair sharing both cells is scored twice on both sides of
+    the oracle identically; the final per-vector top-1 dedupes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_neighbor(emb, nprobe=2)
+
+
 @query("embedding_near_dup", f"""
 WITH {_PAIRS_CTE}
 SELECT id_a, id_b, cos_sim
