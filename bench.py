@@ -70,6 +70,9 @@ HEADLINE = [
     "crossdoc_dup_ngrams",
     "repetition_quality_flags",
     "sequence_packing_bins",
+    "ann_top1_ivf_probe2",
+    "funnel_conversion_daily",
+    "cohort_retention_weekly",
 ]
 
 

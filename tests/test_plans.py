@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "ann_recall_srp",   # broadcast 10% sample x corpus ground-truth pass
     "ann_top1_ivf",
+    "ann_top1_ivf_probe2",
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
