@@ -447,3 +447,97 @@ def q_ann_recall_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sample"),
         hit.alias("n_hit"),
         F.round(hit / F.count("*"), 6).alias("recall_at_1"))
+
+
+@query("ann_recall_ivf", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
+            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
+asims AS (SELECT vec_id, cell,
+                 list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+          FROM v, anchors),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM asims) t
+  WHERE rn <= 2),
+capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+    FROM assigned) t
+  WHERE csz <= {DEFAULT_CELL_CAP}),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM capped a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored),
+ann AS (
+  SELECT vec_id, nbr AS neighbor_id FROM (
+    SELECT vec_id, nbr,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, nbr) AS rn
+    FROM bidir) t
+  WHERE rn = 1),
+s AS (SELECT vec_id AS s_id, v AS sv, nrm AS snrm FROM v
+      WHERE substr(md5('42#' || CAST(vec_id AS VARCHAR)), 1, 4) < '1999'),
+sims AS (
+  SELECT s_id, v.vec_id AS nbr,
+         round(list_dot_product(sv, v.v) / (snrm * v.nrm), 6) AS sim
+  FROM s JOIN v ON v.vec_id <> s_id),
+truth AS (
+  SELECT s_id, nbr FROM (
+    SELECT s_id, nbr,
+           row_number() OVER (PARTITION BY s_id
+                              ORDER BY sim DESC, nbr) AS rn
+    FROM sims) t
+  WHERE rn = 1)
+SELECT count(*) AS n_sample,
+       count(CASE WHEN ann.neighbor_id = truth.nbr THEN 1 END) AS n_hit,
+       round(count(CASE WHEN ann.neighbor_id = truth.nbr THEN 1 END)
+             / count(*), 6) AS recall_at_1
+FROM truth LEFT JOIN ann ON truth.s_id = ann.vec_id
+""")
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@1 of the multi-probe IVF ANN (nprobe=2) against
+    exact brute force on the same deterministic 10% sample as
+    ``ann_recall_srp`` — the two index families' recall/cost curves
+    become directly comparable, measured not guessed. Truth pass is
+    O(|S|·N) on the hash-gated sample, linear in the corpus."""
+    from left_join_on_timeout_spark.operators.sampling import sample_key
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = fan_out(emb).select(
+        "vec_id", as_double("embedding").alias("v"))
+    v = v.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    s = (v.where(sample_key("vec_id") < "1999")
+         .select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"),
+                 F.col("nrm").alias("snrm")))
+    sims = (v.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
+            .select("s_id", F.col("vec_id").alias("nbr"),
+                    F.round(F.aggregate(
+                        F.zip_with("sv", "v", lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+                        / (F.col("snrm") * F.col("nrm")), 6).alias("sim")))
+    w = Window.partitionBy("s_id").orderBy(F.desc("sim"), F.asc("nbr"))
+    truth = (sims.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("s_id", "nbr"))
+    ann = ivf_top_neighbor(emb, nprobe=2).select("vec_id", "neighbor_id")
+    joined = truth.join(ann, truth.s_id == ann.vec_id, "left")
+    hit = F.count(F.when(F.col("neighbor_id") == F.col("nbr"), 1))
+    return joined.agg(
+        F.count("*").alias("n_sample"),
+        hit.alias("n_hit"),
+        F.round(hit / F.count("*"), 6).alias("recall_at_1"))

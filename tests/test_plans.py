@@ -21,6 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # broadcast build (query vector, IVF anchors, scalar-subquery row).
 BNLJ_ALLOWED = {
     "ann_recall_srp",   # broadcast 10% sample x corpus ground-truth pass
+    "ann_recall_ivf",
     "ann_top1_ivf",
     "ann_top1_ivf_probe2",
     "ivf_kmeans_cells",
