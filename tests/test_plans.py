@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
 # an *inferred* isnotnull(<heavy pipeline>) filter, not a user gate.
 SCAN_EXPR_ALLOWED = {
     "ann_recall_srp",
+    "ann_recall_ivf",
     "sample_uniform_events",
     "sample_stratified_docs",
 }
