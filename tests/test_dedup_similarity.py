@@ -137,3 +137,35 @@ def test_lsh_jaccard_oracle_counts(spark):
     plan = lsh_verified_near_dups(
         docs, "doc_id", "text", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_multi_top2_cells(spark):
+    """Multi-probe assignment: each vector lands in exactly its two
+    nearest anchor cells, ties to the lower cell id."""
+    import pyspark.sql.functions as F
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf_assign_multi,
+    )
+    rows = [
+        (0, [1.0, 0.0]),    # anchor cell 0
+        (1, [0.0, 1.0]),    # anchor cell 1
+        (2, [1.0, 0.1]),    # near cell 0, then cell 1
+        (3, [0.1, 1.0]),    # near cell 1, then cell 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {(r.vec_id, r.cell) for r in
+           ivf_assign_multi(emb, n_cells=2, nprobe=2).collect()}
+    assert got == {(0, 0), (0, 1), (1, 1), (1, 0),
+                   (2, 0), (2, 1), (3, 1), (3, 0)}
+
+
+def test_sample_gate_thresholds_nest(spark):
+    """The md5 gate nests monotonically: every row in the 10% sample is
+    also in the 50% sample (same seed), and rate 1.0 keeps everything."""
+    import pyspark.sql.functions as F
+    from left_join_on_timeout_spark.operators.sampling import sample_gate
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    g10 = df.where(sample_gate("k", 0.1))
+    g50 = df.where(sample_gate("k", 0.5))
+    assert g10.join(g50, "k", "left_anti").count() == 0
+    assert 0 < g10.count() < g50.count() < 2000
