@@ -239,3 +239,20 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text")
     return drain_stream(spark, docs, quality_gate)
+
+
+from left_join_on_timeout_spark.queries_text import (  # noqa: E402
+    CHUNK_SQL,
+    chunk_windows,
+)
+
+
+@query("stream_chunk_documents", CHUNK_SQL)
+def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time chunking: the 64-word / stride-48 embedding-prep
+    chunker applied to a *stream* of documents — chunks materialize as
+    data lands, ready for the embed stage. Stateless row-local array
+    ops, so no watermark or state; the batch chunker is the exact
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return drain_stream(spark, docs, chunk_windows)

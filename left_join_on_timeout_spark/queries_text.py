@@ -392,7 +392,7 @@ def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_shared").cast("double") / F.col("n_grams"), 6)))
 
 
-@query("chunk_documents_windows", f"""
+CHUNK_SQL = f"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
               FROM documents)
 SELECT doc_id,
@@ -400,18 +400,15 @@ SELECT doc_id,
        CAST(least(64, len(w) - s + 1) AS INT) AS n_words,
        md5(array_to_string(w[s:s+63], ' ')) AS chunk_hash
 FROM toks, UNNEST(range(1, len(w) + 1, 48)) AS t(s)
-""")
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-prep chunking: split each doc into 64-word windows with
-    stride 48 (16-word overlap), the standard RAG/embedding-training
-    chunker. Chunk starts come from ``sequence(1, n, 48)`` and the
-    window from ``slice`` — all row-local array ops, one scan, zero
-    shuffles; chunks are identified by content hash so downstream
-    embed/dedup stages join on digests."""
-    from left_join_on_timeout_spark.functions.text import words
-    from left_join_on_timeout_spark.partitioning import fan_out
+"""
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """The 64-word / stride-48 chunker as a stateless transform (shared
+    by the batch query and its streaming twin) — all row-local array
+    ops, zero shuffles; chunks identified by content hash."""
+    from left_join_on_timeout_spark.functions.text import words
+
     w = words("text")
     out = docs.select(
         "doc_id", w.alias("w"),
@@ -423,6 +420,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("int").alias("n_words"),
         F.md5(F.concat_ws(" ", F.slice("w", F.col("s"), 64)))
          .alias("chunk_hash"))
+
+
+@query("chunk_documents_windows", CHUNK_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-prep chunking: split each doc into 64-word windows with
+    stride 48 (16-word overlap), the standard RAG/embedding-training
+    chunker. Chunk starts come from ``sequence(1, n, 48)`` and the
+    window from ``slice`` — see :func:`chunk_windows`; one scan, zero
+    shuffles."""
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    return chunk_windows(fan_out(load_table(spark, sf_dir, "documents")))
 
 
 @query("text_token_entropy", f"""
