@@ -138,7 +138,16 @@ def q_tws_timeout_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tws_available,
     )
     if not _tws_available():  # no host protobuf: fall back so the
-        # registry entry still adjudicates the shared semantics
+        # registry entry still adjudicates the shared semantics — but say
+        # so loudly, so a pass can't be silently attributed to a tier
+        # that never executed (ADVICE r3).
+        import sys
+        import warnings
+        msg = ("tws_timeout_left_join: transformWithStateInPandas "
+               "unavailable (no protobuf); adjudicating via the "
+               "applyInPandasWithState fallback tier instead")
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        print(f"WARNING: {msg}", file=sys.stderr)
         from left_join_on_timeout_spark.streaming.harness import (
             run_timer_join_stream as run_tws_join_stream,  # noqa: F811
         )
@@ -255,89 +264,105 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
+# Pytest-only parameter variants (VERDICT r3 item 7).
+#
+# These prove the same mechanism as an in-registry sibling with a different
+# parameter (Hamming radius, join direction, multiset flavor).  They keep
+# their DuckDB oracles and run in tests/test_queries_oracle.py, but they do
+# NOT occupy driver-window slots: the contract needs one passing entry per
+# operator, not per parameter.  All five were driver-green in round 2.
+# ---------------------------------------------------------------------------
+_PYTEST_ONLY: list[str] = [
+    "dedup_simhash_hamming1",  # sibling: dedup_simhash_hamming2 (general case)
+    "dedup_simhash_hamming3",  # sibling: dedup_simhash_hamming2
+    "asof_forward_join",       # sibling: asof_backward_join
+    "asof_range_join",         # sibling: asof_backward_join (same oracle hash)
+    "set_ops_all_multiset",    # sibling: set_ops_customers + union_all_keys
+]
+EXTRA_QUERIES: dict[str, QueryFn] = {n: QUERIES.pop(n) for n in _PYTEST_ONLY}
+EXTRA_ORACLE: dict[str, str] = {
+    n: ORACLE.pop(n) for n in _PYTEST_ONLY if n in ORACLE}
+
+# ---------------------------------------------------------------------------
 # Curated registration order.
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
-# entries of this registry (dict insertion order) — CORRECTNESS_r02.json
-# stopped at entry #50 and left the similarity / text / sampling / merge-CDC /
-# streaming-extra / TPC-H-remainder families with no external evidence.  The
-# priority list below front-loads one-to-several representatives of EVERY
-# query family into that window: the 15-operator core first (the reference
-# surface, SURVEY.md §2.1), then the families that have never had a driver
-# row, then one proven representative of each family that went green in r02.
-# Redundant variants (hamming1/2/3 triplet, asof twins, the long TPC-H tail)
-# sit after the window; they remain covered by the local type-strict gate
-# (tools/check_oracle.py, tests/test_queries_oracle.py).
+# entries of this registry (dict insertion order).  Rounds 1-3 adjudicated
+# 86 of the 114 then-registered queries; the 28 below have local-oracle
+# evidence only (VERDICT r3 "What's missing" #1).  Round 4 therefore
+# front-loads exactly those 28, then fills the window with 22 sentinels
+# spanning every family that already went driver-green (the four O3 tiers,
+# the O2/O6/O13 core, TPC-H, dedup, similarity, text, curation, sampling,
+# CDC/MERGE, streaming, as-of, range join, multimodal) as regression
+# coverage.  Everything after position 50 remains covered by the local
+# type-strict gate (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- reference operator core (O1-O15) --------------------------- 8
+    # -- never driver-adjudicated (r1+r2+r3 union gap) ------------- 28
+    #    ANN evidence ------------------------------------------------ 4
+    "ann_top1_ivf_probe2",
+    "ann_recall_srp",
+    "ann_recall_ivf",
+    "label_centroids",
+    #    corpus-curation remainder ----------------------------------- 5
+    "repetition_quality_flags",
+    "sequence_packing_bins",
+    "quality_gated_sample",
+    "chunk_documents_windows",
+    "text_token_entropy",
+    #    round-3 analytics ------------------------------------------- 3
+    "funnel_conversion_daily",
+    "cohort_retention_weekly",
+    "grouping_sets_revenue",
+    #    streaming twins --------------------------------------------- 5
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_semi_join",
+    "stream_quality_filter",
+    "stream_chunk_documents",
+    #    TPC-H remainder --------------------------------------------- 11
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_by_flag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_heavy_gear_suppliers",
+    "q22_idle_rich_customers",
+    # -- family sentinels (all driver-green in r1-r3) --------------- 22
+    #    reference operator core ------------------------------------- 7
     "timeout_left_join",
     "stream_timeout_left_join",
     "timer_timeout_left_join",
     "tws_timeout_left_join",
     "window_inner_join",
     "timeout_only",
-    "multi_match_cardinality",
     "json_extract_props",
-    "key_partition_hist",
-    # -- similarity search (first driver rows due r3) --------------- 5
-    # label_centroids / ann_recall_srp yield the window to round-3
-    # never-checked queries; the family keeps five in-window reps
-    "knn_brute_cosine",
-    "ann_top1_srp",
-    "ann_top1_ivf",
-    "embedding_near_dup",
-    "ivf_kmeans_cells",
-    # -- text analysis (never driver-checked) ----------------------- 6
-    "text_quality_score",
-    "text_lang_dist",
-    "text_fingerprint_stats",
-    "tfidf_top_terms",
-    "profile_documents",
-    # -- sampling (never driver-checked) ---------------------------- 2
-    "sample_uniform_events",
-    "sample_stratified_docs",
-    # -- corpus curation (round 3, never checked) ------------------- 3
-    "contamination_ngram_overlap",
-    "crossdoc_dup_ngrams",
-    "dedup_keep_canonical",
-    # -- MERGE / CDC (never driver-checked) ------------------------- 2
-    "cdc_latest_per_key",
-    "merge_upsert_orders",
-    # -- streaming extras (never driver-checked) -------------------- 4
-    "stream_dedup_keys",
-    "stream_timeout_only",
-    "stream_session_windows",
-    "stream_static_enrich",
-    # -- analytic extras (never driver-checked) --------------------- 6
-    "events_daily_resample",
-    "analytic_order_moves",
-    "exact_median_prices",
-    "window_rolling_7d",
-    "incremental_agg_refresh",
-    "zscore_anomalies",
-    # -- TPC-H remainder (never driver-checked) --------------------- 8
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "salted_join_revenue",
-    # -- one proven representative per r02-green family ------------- 7
-    "asof_backward_join",     # as-of joins
-    "range_overlap_incidents",  # range join
-    "dedup_exact",            # dedup family
-    "dedup_minhash_lsh",      # LSH family
-    "multi_format_roundtrip",  # source/format adapters
-    "multimodal_features",    # multimodal pipeline
-    "q1_pricing_summary",     # relational/TPC-H core
+    #    one per extension family ------------------------------------ 15
+    "q1_pricing_summary",        # TPC-H core
+    "dedup_exact",               # exact dedup
+    "dedup_minhash_lsh",         # LSH near-dup
+    "dedup_keep_canonical",      # cleaned-corpus deliverable
+    "knn_brute_cosine",          # brute-force kNN
+    "ann_top1_ivf",              # IVF ANN
+    "text_quality_score",        # text analysis
+    "contamination_ngram_overlap",  # corpus curation
+    "sample_uniform_events",     # sampling
+    "cdc_latest_per_key",        # CDC
+    "merge_upsert_orders",       # MERGE
+    "stream_dedup_keys",         # streaming dedup
+    "asof_backward_join",        # as-of join
+    "range_overlap_incidents",   # range join
+    "multimodal_features",       # multimodal pipeline
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, f"priority list names unknown queries: {_missing}"
 assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in priority list"
+assert len(_PRIORITY) <= 50, f"priority list exceeds driver window: {len(_PRIORITY)}"
 
 _tail = [n for n in QUERIES if n not in set(_PRIORITY)]
 _order = _PRIORITY + _tail

@@ -43,15 +43,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # JSON roundtrips. Reading it as LTZ keeps the stored micros verbatim
     # (the type tag changes, never the value) and matches DuckDB's naive
     # reading of the same file under a UTC session.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    #
+    # Both confs are save/restored around the read (ADVICE r3): parquet
+    # schema inference is eager at ``spark.read.parquet`` — the resolved
+    # relation keeps its schema after the conf flips back (verified
+    # empirically: count() + type stable post-restore) — so unrelated
+    # reads on the same shared session see the session's own settings.
+    _scoped = {"spark.sql.parquet.inferTimestampNTZ.enabled": "false"}
     ns_cols = _nanos_ts_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # Read NANOS as raw int64 then truncate to micros (integer div — a
-    # double intermediate would lose precision above 2^53 ns) exactly like
-    # DuckDB's ns→µs cast, so oracle comparisons agree.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if ns_cols:
+        # Read NANOS as raw int64 then truncate to micros (integer div —
+        # a double intermediate would lose precision above 2^53 ns)
+        # exactly like DuckDB's ns→µs cast, so oracle comparisons agree.
+        _scoped["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    prev = {}
+    for k, v in _scoped.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

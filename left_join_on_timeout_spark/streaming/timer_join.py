@@ -189,6 +189,14 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
                     default=0)
             fired, lefts = timer_core.fire_due(
                 lefts, now, window_us, retention_horizon_us=horizon)
+            if not event_time:
+                # processing-time retention bound (ADVICE r3): with no
+                # further input the event horizon never advances, so a
+                # disarmed left would linger in the store forever. Keep
+                # it joinable for one extra timeout period of wall
+                # clock (the double-emission window), then drop it.
+                lefts = [l for l in lefts
+                         if l[3] or now <= l[2] + timeout_ms]
             rights = timer_core.gc_rights(
                 rights, state.getCurrentWatermarkMs(), window_us)
             _save(state, lefts, rights, event_time)
@@ -245,6 +253,11 @@ def _make_group_state_fn(window_us: int, timeout_ms: int, strict: bool,
                 # from now, not an absolute timestamp
                 now = state.getCurrentProcessingTimeMs()
                 state.setTimeoutDuration(max(deadline - now, 1))
+        elif not event_time and any(not l[3] for l in lefts):
+            # wall-clock GC tick (ADVICE r3): only disarmed lefts
+            # remain and nothing will arm a new timer — schedule one
+            # so the retention bound above eventually clears the state
+            state.setTimeoutDuration(timeout_ms)
 
     return fn
 
@@ -316,12 +329,14 @@ class TimeoutJoinProcessor(StatefulProcessor):
     ``ScheduledFuture``s), lazily cancelled."""
 
     def __init__(self, window_ms: int, timeout_ms: int, strict: bool,
-                 capacity: int, capacity_policy: str):
+                 capacity: int, capacity_policy: str,
+                 event_time: bool = True):
         self.window_us = window_ms * 1000
         self.timeout_ms = timeout_ms
         self.strict = strict
         self.capacity = capacity
         self.capacity_policy = capacity_policy
+        self.event_time = event_time
 
     def init(self, handle: "StatefulProcessorHandle") -> None:
         self.handle = handle
@@ -357,10 +372,21 @@ class TimeoutJoinProcessor(StatefulProcessor):
         joined, lefts, rights = timer_core.replay(
             lefts, rights, batch_rows, self.window_us, self.timeout_ms,
             self.strict, self.capacity, self.capacity_policy)
+        if not self.event_time:
+            # wall-clock mode: deadlines run from *arrival* time, like
+            # the reference's ScheduledThreadPoolExecutor delays
+            # (ScheduledStateStore.java:45, 69-82)
+            now = timerValues.getCurrentProcessingTimeInMs()
+            for l in lefts[n_before:]:
+                l[2] = now + self.timeout_ms
         for l in lefts[n_before:]:
             if l[3]:
                 self.handle.registerTimer(l[2])  # per-record timer (O4)
         wm = timerValues.getCurrentWatermarkInMs()
+        if not self.event_time and batch_rows:
+            # no watermark on the wall clock — GC on the batch's
+            # event-time high-water, the stream-time retention analog
+            wm = max(r[0] for r in batch_rows) // 1000
         lefts = [l for l in lefts
                  if l[3] or l[0] + self.window_us >= wm * 1000]
         rights = timer_core.gc_rights(rights, wm, self.window_us)
@@ -371,8 +397,25 @@ class TimeoutJoinProcessor(StatefulProcessor):
                            expiredTimerInfo: "ExpiredTimerInfo"
                            ) -> Iterator[pd.DataFrame]:
         lefts, rights = self._load()
+        now_ms = expiredTimerInfo.getExpiryTimeInMs()
+        horizon = None
+        if not self.event_time:
+            # fired lefts stay joinable within the key's event-time
+            # high-water — the reference's double-emission race window
+            horizon = max(
+                [l[0] for l in lefts] + [r[0] for r in rights],
+                default=0)
         fired, lefts = timer_core.fire_due(
-            lefts, expiredTimerInfo.getExpiryTimeInMs(), self.window_us)
+            lefts, now_ms, self.window_us, retention_horizon_us=horizon)
+        if not self.event_time:
+            # processing-time retention bound (ADVICE r3): drop disarmed
+            # lefts one timeout period of wall clock after their fire,
+            # and tick again if any remain so state never lingers
+            lefts = [l for l in lefts
+                     if l[3] or now_ms <= l[2] + self.timeout_ms]
+            if any(not l[3] for l in lefts) and \
+                    timer_core.next_deadline(lefts) is None:
+                self.handle.registerTimer(now_ms + self.timeout_ms)
         self._store(lefts, rights)
         yield _out_pdf(key, fired)
 
@@ -403,14 +446,6 @@ def left_join_on_timeout_tws(
             "copy (tws_runtime.PROTOBUF_HOST_ROOTS) was found. Use "
             "left_join_on_timeout_timers (applyInPandasWithState) — same "
             "semantics, same timer_core.")
-    if time_mode != "EventTime":
-        # the processor arms event-clock deadlines; wall-clock re-arming
-        # (arrival + timeout) is implemented only in the GroupState
-        # adapter — refuse rather than run with wrong deadline semantics
-        raise NotImplementedError(
-            "left_join_on_timeout_tws supports EventTime only; use "
-            "left_join_on_timeout_timers(time_mode='ProcessingTime') "
-            "for wall-clock timers.")
     cfg, delay_ms = _validated(window, timeout, scheduled_capacity,
                                capacity_policy, time_mode)
     unioned = _tag(left, right, on, left_ts, right_ts, delay_ms)
@@ -418,7 +453,8 @@ def left_join_on_timeout_tws(
         [StructField("k", left.schema[on].dataType)] + _OUT_FIELDS)
     proc = TimeoutJoinProcessor(
         cfg.window_ms, cfg.timeout_ms, strict_reference_semantics,
-        cfg.scheduled_capacity, capacity_policy)
+        cfg.scheduled_capacity, capacity_policy,
+        event_time=time_mode == "EventTime")
     raw = unioned.groupBy("k").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=out_schema,

@@ -10,9 +10,13 @@ licensed) under ``platform/google_appengine/google/protobuf``.
 host copy via an in-process namespace bridge:
 
 * It never touches ``PYTHONPATH`` or inserts the host directory onto
-  ``sys.path`` — only a ``google`` namespace module whose ``__path__``
-  points at the host's ``google/`` package, so nothing outside the
-  ``google.*`` namespace can be shadowed.
+  ``sys.path`` — and it does not extend ``google.__path__`` either
+  (which would expose every stale bundled ``google.*`` sub-package,
+  e.g. ``google.appengine``, to import resolution — ADVICE r3).
+  Instead a dedicated loader registers **exactly one** module,
+  ``google.protobuf``, from the host copy's ``__init__.py``, with
+  submodule resolution confined to that package directory; nothing
+  else in the ``google.*`` namespace can be shadowed.
 * The bundled runtime can trail PySpark's protobuf *gencode* by a minor
   version (e.g. runtime 6.32 vs gencode 6.33). Protobuf's own documented
   escape hatch for exactly this situation is the
@@ -62,37 +66,47 @@ def _pb_real() -> bool:
 
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable; True if it (now) is."""
+    import importlib.util
+
     if _pb_real():
         return True
     for root in PROTOBUF_HOST_ROOTS:
-        gdir = os.path.join(root, "google")
-        if not os.path.isfile(os.path.join(gdir, "protobuf", "__init__.py")):
+        pbdir = os.path.join(root, "google", "protobuf")
+        init = os.path.join(pbdir, "__init__.py")
+        if not os.path.isfile(init):
             continue
         # Official bypass for a runtime trailing the gencode by a minor
         # version; must be in the env before the first *_pb2 import.
+        # Process-wide by protobuf's design (runtime_version.py reads it
+        # at import), but only ever set on the bridged-runtime path —
+        # a process with a real pip protobuf never reaches this line.
         os.environ.setdefault(
             "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         g = sys.modules.get("google")
         if g is None:
             g = types.ModuleType("google")
-            g.__path__ = []  # namespace package, populated below
+            g.__path__ = []  # empty namespace parent; NOT the host dir
             sys.modules["google"] = g
-        paths = getattr(g, "__path__", None)
-        if paths is None:
-            continue
-        if gdir not in list(paths):
-            try:
-                paths.append(gdir)  # list and _NamespacePath both append
-            except AttributeError:
-                g.__path__ = list(paths) + [gdir]
-        # Evict cached empty-namespace shadows so the re-import resolves
-        # the regular package now reachable from the parent __path__
-        # (a regular package beats namespace portions during path scan).
+        # Evict cached empty-namespace shadows (Spark workers can cache
+        # `google.protobuf` as a namespace portion rooted in a jar).
         for name in [m for m in sys.modules
                      if m == "google.protobuf"
                      or m.startswith("google.protobuf.")]:
             if getattr(sys.modules[name], "__file__", None) is None:
                 del sys.modules[name]
+        # Dedicated loader: register google.protobuf and ONLY it; its
+        # submodules resolve inside pbdir via search_locations, so no
+        # sibling google.* package from the host SDK becomes importable.
+        spec = importlib.util.spec_from_file_location(
+            "google.protobuf", init, submodule_search_locations=[pbdir])
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["google.protobuf"] = mod
+        try:
+            spec.loader.exec_module(mod)
+            g.protobuf = mod
+        except Exception:
+            sys.modules.pop("google.protobuf", None)
+            continue
         if _pb_real():
             return True
     return False

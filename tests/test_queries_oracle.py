@@ -26,12 +26,16 @@ def duck():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(q.QUERIES))
+ALL_QUERIES = {**q.QUERIES, **q.EXTRA_QUERIES}
+ALL_ORACLE = {**q.ORACLE, **q.EXTRA_ORACLE}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(spark, duck, name):
-    spark_pdf = q.QUERIES[name](spark, SF_DIR).toPandas()
-    if name not in q.ORACLE:
+    spark_pdf = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ALL_ORACLE:
         assert len(spark_pdf) >= 0  # rows-only check, like the driver
         return
-    duck_pdf = duck.execute(q.ORACLE[name]).fetchdf()
+    duck_pdf = duck.execute(ALL_ORACLE[name]).fetchdf()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, problems

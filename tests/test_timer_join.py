@@ -174,6 +174,93 @@ def test_core_stress_schedule_cancel_drains():
     assert joined_lefts | timed_out == {f"l{i}" for i in range(200)}
 
 
+class _FakeGroupState:
+    """Minimal GroupState double for driving _make_group_state_fn's
+    wall-clock paths without a streaming query (deterministic clock)."""
+
+    def __init__(self):
+        self._tuple = None
+        self.now_ms = 0
+        self.wm = 0
+        self.hasTimedOut = False
+        self.timeout_duration = None
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = t
+
+    def remove(self):
+        self._tuple = None
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+    def setTimeoutDuration(self, d):
+        self.timeout_duration = d
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ts = ts
+
+
+def test_wallclock_disarmed_left_state_gc():
+    """ADVICE r3: in wall-clock mode a fired (disarmed) left used to be
+    retained forever — the event horizon is its own timestamp and no new
+    timer was armed. Now the fire tick arms a GC tick and the next tick
+    drops the left (one extra timeout period of joinability), removing
+    the key's state entirely."""
+    import pandas as pd
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        _make_group_state_fn,
+    )
+
+    fn = _make_group_state_fn(
+        window_us=1_000_000, timeout_ms=2_000, strict=False,
+        capacity=10, capacity_policy="error", event_time=False)
+    state = _FakeGroupState()
+    key = (1,)
+
+    # t=10s wall clock: one left arrives (event ts 1s) → timer armed
+    state.now_ms = 10_000
+    pdf = pd.DataFrame({
+        "ts": pd.Series([pd.Timestamp("2024-01-01 00:00:01")],
+                        dtype="datetime64[us]"),
+        "payload": pd.Series(["{}"], dtype=object),
+        "side": pd.Series(["L"], dtype=object),
+    })
+    list(fn(key, [pdf], state))
+    assert state.exists and state.timeout_duration == 2_000
+
+    # t=12s: deadline passed → timeout fires, left disarmed but retained
+    # (joinable for late rights) and a GC tick is armed — the fix
+    state.hasTimedOut = True
+    state.now_ms = 12_000
+    state.timeout_duration = None
+    out = pd.concat(list(fn(key, [], state)))
+    assert len(out) == 1 and out["r_payload"].iloc[0] is None
+    assert state.exists, "fired left stays joinable one timeout period"
+    assert state.timeout_duration == 2_000, "GC tick must be armed"
+
+    # t=15s: GC tick fires past the retention bound → state removed,
+    # no further timer
+    state.now_ms = 15_000
+    state.timeout_duration = None
+    out = pd.concat(list(fn(key, [], state)))
+    assert len(out) == 0
+    assert not state.exists, "disarmed left must be GC'd"
+    assert state.timeout_duration is None, "no timer may linger"
+
+
 # --- end-to-end scenarios through applyInPandasWithState -------------------
 
 SCHEMA = T.StructType([
@@ -259,7 +346,8 @@ def test_timers_capacity_drop_sheds_timeouts(spark):
 def test_tws_adapter_gated_without_protobuf(spark):
     """The transformWithStateInPandas tier needs protobuf; absent, the
     adapter must fail with a clear message pointing at the working
-    adapter (and with it installed, it must build a plan)."""
+    adapter (and with it installed, it must build a plan — in both
+    clock modes, now that wall-clock timers landed on this tier too)."""
     try:
         import google.protobuf  # noqa: F401
         have_protobuf = True
@@ -268,10 +356,12 @@ def test_tws_adapter_gated_without_protobuf(spark):
     left = spark.readStream.format("rate").load() \
         .withColumnRenamed("value", "k")
     if have_protobuf:
-        df = left_join_on_timeout_tws(
-            left, left, on="k", window="10 seconds",
-            left_ts="timestamp", right_ts="timestamp")
-        assert df.isStreaming
+        for mode in ("EventTime", "ProcessingTime"):
+            df = left_join_on_timeout_tws(
+                left, left, on="k", window="10 seconds",
+                left_ts="timestamp", right_ts="timestamp",
+                time_mode=mode)
+            assert df.isStreaming
     else:
         with pytest.raises(ImportError, match="protobuf"):
             left_join_on_timeout_tws(
@@ -302,6 +392,64 @@ def test_tws_join_and_timeout_e2e(spark):
     got = sorted((r.k, r.joined) for r in
                  out.select("k", "joined").collect())
     assert got == [(1, "left_a+right_a"), (2, "left_b+")]
+
+
+def test_tws_processing_time_mode(spark):
+    """Wall-clock timers on the *tws* tier (VERDICT r3 item 4 — the
+    reference's literal clock, ``ScheduledStateStore.java:45``, now on
+    the structural-parity adapter too): ``registerTimer(now + delay)``
+    in ProcessingTime mode fires on the processing clock, independent
+    of event times. Like the GroupState twin, the query is driven by
+    its trigger and the sink polled (the reference's Awaitility
+    polling, ``LeftJoinOnTimeoutTest.java:221-235``)."""
+    from left_join_on_timeout_spark.streaming.timer_join import (
+        _tws_available,
+    )
+    if not _tws_available():
+        pytest.skip("no google.protobuf for the tws worker protocol")
+    import time
+
+    base = tempfile.mkdtemp(prefix="ljot_tws_proc_")
+    ldir, rdir, ckpt = (os.path.join(base, d) for d in ("l", "r", "ck"))
+    os.makedirs(ldir); os.makedirs(rdir)
+
+    def write(d, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(d)
+
+    write(ldir, [(1, "left_a", TS(1))])
+    write(rdir, [(9, "unrelated", TS(1))])
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    out = left_join_on_timeout_tws(
+        spark.readStream.schema(SCHEMA).parquet(ldir),
+        spark.readStream.schema(SCHEMA).parquet(rdir),
+        on="k", window="1 seconds", timeout="2 seconds",
+        joiner=concat_joiner, time_mode="ProcessingTime",
+        strict_reference_semantics=False)
+    qn = "tws_proc_" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append").trigger(processingTime="250 milliseconds")
+         .option("checkpointLocation", ckpt).start())
+    try:
+        deadline = time.time() + 90
+        got = []
+        while time.time() < deadline and not got:
+            time.sleep(1.0)
+            got = [(r.k, r.joined) for r in
+                   spark.table(qn).where(F.col("k") == 1).collect()]
+        # the only k=1 output is the wall-clock timeout emission — had
+        # the unrelated k=9 right joined it, `joined` would carry a
+        # right payload
+        assert got == [(1, "left_a+")]
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_tws_checkpoint_restart(spark):
