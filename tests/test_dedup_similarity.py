@@ -169,3 +169,19 @@ def test_sample_gate_thresholds_nest(spark):
     g50 = df.where(sample_gate("k", 0.5))
     assert g10.join(g50, "k", "left_anti").count() == 0
     assert 0 < g10.count() < g50.count() < 2000
+
+
+def test_ann_recall_floors(spark):
+    """VERDICT r3 item 6: the measured-recall queries must not silently
+    degrade — assert recall@1 lower bounds at the pytest SF in addition
+    to the driver's value-hash. Floors sit under the measured values
+    (sf0.001: SRP 0.452, IVF 0.429 at these knob settings) with slack
+    for sampling noise, but far above the ~0.02 a broken index (random
+    neighbor) would score."""
+    from left_join_on_timeout_spark.queries import QUERIES
+
+    for name, floor in (("ann_recall_srp", 0.30), ("ann_recall_ivf", 0.30)):
+        row = QUERIES[name](spark, SF_DIR).collect()[0]
+        assert row.n_sample > 0, name
+        assert row.recall_at_1 >= floor, (
+            f"{name}: recall@1 {row.recall_at_1} under floor {floor}")
