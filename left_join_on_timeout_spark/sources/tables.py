@@ -24,10 +24,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized reader
     rejects them (PARQUET_TYPE_ILLEGAL). One driver-side footer read; O(1)
-    regardless of data size."""
+    regardless of data size. Accepts a single file or a Spark-style
+    directory dataset (first part file's footer — Spark writes one
+    schema per dataset)."""
+    import glob
+
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     schema = pq.read_schema(path)
     return [f.name for f in schema
             if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
