@@ -97,8 +97,18 @@ def srp_candidate_pairs(emb: DataFrame,
     """Distinct candidate pairs (id_a, id_b, va, vb) sharing ≥1
     (band, bucket). Pair generation and dedup run on bare ids; the
     vectors are re-attached afterwards by two id-equi-joins, so each
-    vector crosses the wire once per side instead of once per band row."""
-    banded = _banded(emb, id_col, vec_col, dim, bands, n_bits, seed, bucket_cap)
+    vector crosses the wire once per side instead of once per band row.
+
+    The banded relation is persisted (tiny: id + band + bucket string):
+    the a×b self-join would otherwise plan the whole signature subtree —
+    bands × n_bits hyperplane dot products per vector — twice, since no
+    ReusedExchange fires across self-join sides (measured, r4, same as
+    the IVF index). This is the SRP *index* materialization every LSH
+    deployment does once per corpus pass."""
+    from pyspark import StorageLevel
+
+    banded = _banded(emb, id_col, vec_col, dim, bands, n_bits, seed,
+                     bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (a.join(b, ["band", "bucket"])
