@@ -169,9 +169,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str,
         F.explode(F.array(*band_cols)).alias("bh"),
     ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
     w = Window.partitionBy("band", "h")
+    # persisted index (id + band + digest only): the a×b self-join below
+    # would otherwise plan the whole upstream signature subtree — k
+    # row-local minhashes over every shingle — twice (ReusedExchange
+    # never fires across self-join sides; measured r4, PLANS.md)
+    from pyspark import StorageLevel
     banded = (banded.withColumn("bsz", F.count("*").over(w))
               .where(F.col("bsz") <= bucket_cap)
-              .drop("bsz"))
+              .drop("bsz")).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "h")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "h")
     return (a.join(b, ["band", "h"])
@@ -219,7 +224,13 @@ def lsh_verified_near_dups(df: DataFrame, id_col: str, text_col: str,
     (small) candidate list back to per-doc shingle arrays on id and
     scores each pair with one ``array_intersect`` — nothing is quadratic
     in the corpus, and no shingle-level join ever runs."""
-    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # the shingle-set relation feeds the signature AND both verify
+    # sides — persist it once (the pipeline's standing index cost)
+    # instead of shingling the corpus three times
+    sets = shingle_sets(df, id_col, text_col, shingle_n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sig = _with_minhash(sets, id_col, k).drop("sh_set")
     cand = lsh_candidate_pairs(sig, id_col, k, bands, bucket_cap)
     sized = sets.select(F.col(id_col), "sh_set",
@@ -289,8 +300,13 @@ def simhash_hamming_pairs(sig: DataFrame, id_col: str,
                  F.col("sv.slice").alias("slice"),
                  F.col("sv.val").alias("val")))
     w = Window.partitionBy("slice", "val")
+    # persisted index (id + 16-char signature + slice key): the slice
+    # self-join would otherwise plan the simhash16 subtree (token
+    # explode + 16-bit groupBy) twice
+    from pyspark import StorageLevel
     s = (s.withColumn("bsz", F.count("*").over(w))
-         .where(F.col("bsz") <= bucket_cap).drop("bsz"))
+         .where(F.col("bsz") <= bucket_cap).drop("bsz")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     a = s.select(F.col(id_col).alias("id_a"),
                  F.col(sim_col).alias("sh_a"), "slice", "val")
     b = s.select(F.col(id_col).alias("id_b"),
