@@ -375,8 +375,13 @@ def edit_distance_near_dups(df: DataFrame, id_col: str, text_col: str,
     base = df.select(F.col(id_col), F.col("lang"), key.alias("key"),
                      (F.length(key) / bucket_width).cast("int").alias("bkt"))
     w = Window.partitionBy("lang", "bkt")
+    # persisted index (id + lang + 80-char key + bucket): the probe
+    # self-join below would otherwise plan the normalize/regexp/prefix
+    # subtree over the full text twice
+    from pyspark import StorageLevel
     base = (base.withColumn("bsz", F.count("*").over(w))
-            .where(F.col("bsz") <= bucket_cap).drop("bsz"))
+            .where(F.col("bsz") <= bucket_cap).drop("bsz")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     a = base.select(F.col(id_col).alias("id_a"), "lang",
                     F.col("key").alias("key_a"), F.col("bkt").alias("bkt_a"))
     b = base.select(F.col(id_col).alias("id_b"),
