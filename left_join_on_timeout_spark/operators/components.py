@@ -116,9 +116,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     the start); deeper graphs then switch to the O(log n) star phase,
     so ``max_iters`` bounds only pathology, not path graphs.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
+    # both directions from ONE evaluation of the pairs subtree (for
+    # dedup_cc_clusters that subtree is the whole LSH pipeline — a
+    # two-select union would run it twice even under the persist)
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+             )).alias("e"))
+             .select("e.src", "e.dst")
              .distinct()
              .persist())
     # seed with min(self, neighbors) — one hash-min round fused into the

@@ -330,8 +330,16 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Exact shingle-set Jaccard over pairs that share ≥1 shingle
     (the join prunes everything else): (id_a, id_b, jaccard ≥ threshold).
     At scale this runs AFTER LSH candidate generation; standalone it is
-    still shuffle-bounded by the shared-shingle join, not n²."""
-    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    still shuffle-bounded by the shared-shingle join, not n².
+
+    The shingle-set relation is persisted: it feeds both sides of the
+    shared-shingle self-join AND both size lookups — four evaluations
+    of the shingle subtree otherwise (the persisted-index pattern,
+    PLANS.md)."""
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, id_col, text_col, shingle_n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sh = sets.select(F.col(id_col), F.explode("sh_set").alias("shingle"))
     sizes = sets.select(F.col(id_col), F.size("sh_set").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
