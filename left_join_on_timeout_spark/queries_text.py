@@ -173,8 +173,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         "doc_id", F.explode(words("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tokenize once: tf is persisted and df derives from it — one row
+    # per (doc, term) in tf means count(*) per term IS the distinct-doc
+    # frequency, so the explode/tokenize subtree isn't planned twice
+    from pyspark import StorageLevel
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n"))
     scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
               .withColumn("idf", F.round(
