@@ -73,6 +73,9 @@ HEADLINE = [
     "ann_top1_ivf_probe2",
     "funnel_conversion_daily",
     "cohort_retention_weekly",
+    "boilerplate_strip_docs",
+    "doc_lm_score",
+    "training_order_shuffle",
 ]
 
 

@@ -16,10 +16,16 @@ global rank with the distributed two-phase plan every large engine uses:
    counts over the handful of partition ordinals, and a broadcast join
    adding each partition's global offset to its local row numbers.
 
-The per-partition counts are a second consumer of the range exchange;
-Spark's exchange reuse (`spark.sql.exchange.reuse`, on by default)
-dedups it so the data is shuffled once. The tiny cumulative-sum window
-runs over ``n_partitions`` rows — driver-scale, not data-scale.
+The per-partition counts are a second consumer of the range exchange,
+so the sorted layout is **persisted** before either consumer plans over
+it. This is correctness, not just economy: ``repartitionByRange``
+derives its boundaries by *sampling*, and when the optimizer declines
+to reuse the exchange (AQE re-planning, differing subtrees above it)
+the two consumers can execute it twice with *different* sampled
+boundaries — per-partition counts that don't match the layout the row
+numbers were minted in, i.e. silently wrong ranks. Observed in the
+wild at sf0.1 before the persist. The tiny cumulative-sum window runs
+over ``n_partitions`` rows — driver-scale, not data-scale.
 
 The order must be a *total* order (include a unique tiebreaker):
 range-partition boundaries may split runs of equal keys, and the rank of
@@ -39,13 +45,16 @@ def global_rank(df: DataFrame, order: list[Column | str],
                 num_partitions: int | None = None) -> DataFrame:
     """All input columns plus ``rank_col`` = the row's 1-based position
     in the global ``order`` (which must be a total order)."""
+    from pyspark import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (df.repartitionByRange(n, *order)
                 .sortWithinPartitions(*order)
                 .withColumn("__mid", F.monotonically_increasing_id())
                 .withColumn("__pid", F.shiftright("__mid", _MID_BITS))
                 .withColumn("__lrn",
-                            (F.col("__mid") % F.lit(1 << _MID_BITS)) + 1))
+                            (F.col("__mid") % F.lit(1 << _MID_BITS)) + 1)
+                .persist(StorageLevel.MEMORY_AND_DISK))
     counts = parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

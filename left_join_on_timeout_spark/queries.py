@@ -253,6 +253,7 @@ from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_formats,
     queries_multimodal,
     queries_nested,
+    queries_pipeline,
     queries_range,
     queries_relational,
     queries_sampling,

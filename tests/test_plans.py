@@ -30,6 +30,12 @@ BNLJ_ALLOWED = {
     "q15_top_supplier",
     "q22_idle_rich_customers",
     "tfidf_top_terms",  # broadcast one-row corpus-size N
+    # queries_pipeline: one-row scalar crosses (corpus size / total /
+    # leak count) and the source-count-sized mix table
+    "boilerplate_strip_docs",
+    "source_mix_temperature",
+    "train_val_split_leakproof",
+    "doc_lm_score",
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
