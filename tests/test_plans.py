@@ -155,3 +155,28 @@ def test_no_expensive_expr_pushed_into_scans(spark):
                     assert marker not in filters, (
                         f"{name}: expensive expression pushed into scan: "
                         f"{filters[:120]}")
+
+
+def test_pii_redaction_no_shuffle(spark):
+    """PII detect/redact is per-row codegen: one scan, nothing shuffles."""
+    plan = plan_of(spark, "pii_redaction")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_boilerplate_strip_broadcasts_vocab(spark):
+    """The boilerplate term set joins broadcast (vocab-sized at any
+    corpus scale) and the token-order rebuild is array_sort inside the
+    per-doc aggregate — no data-scale Window anywhere."""
+    plan = plan_of(spark, "boilerplate_strip_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_source_mix_broadcasts_mix_table(spark):
+    """The per-source rate table is source-count-sized and must broadcast
+    onto the corpus scan; the md5 gate evaluates map-side after it."""
+    plan = plan_of(spark, "source_mix_temperature")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
