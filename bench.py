@@ -76,6 +76,7 @@ HEADLINE = [
     "boilerplate_strip_docs",
     "doc_lm_score",
     "training_order_shuffle",
+    "ann_top1_ivfpq",
 ]
 
 

@@ -405,3 +405,172 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
                                 seed, bucket_cap)
     return _score(pairs).where(F.col("cos_sim") >= threshold)
+
+
+DEFAULT_PQ_BLOCKS = 4
+DEFAULT_PQ_CODEWORDS = 16
+
+
+def pq_codes(emb: DataFrame,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             dim: int = 64,
+             m: int = DEFAULT_PQ_BLOCKS,
+             k: int = DEFAULT_PQ_CODEWORDS) -> DataFrame:
+    """Product-quantization codes: compress each ``dim``-dim vector to
+    ``m`` sub-codes (one per contiguous block of ``dim/m`` dims), each
+    the argmin-L2 codeword of that block's codebook — the IVF-**PQ**
+    memory-side of a billion-vector ANN deployment (Jégou et al., PAMI
+    2011): 64 floats become 4 bytes, and distances can later be
+    approximated from codes alone via a per-block lookup table.
+
+    Codebook: block-slices of the vectors with ``id < k`` —
+    deterministic and seedless like :func:`ivf_assign`'s anchors (a
+    per-block k-means would drop in unchanged). The whole codebook
+    (m·k short arrays) collapses into ONE broadcast row, so encoding is
+    a per-row ``transform``: m·k small dot products inside the scan
+    task, **zero data shuffles** — the plan a 100 TB encode pass needs
+    (the only exchange is the k-row codebook collect).
+
+    Per block the argmin is ``element_at(array_sort(struct(d2, code)),
+    1)`` — ascending (distance, code), so ties break to the lowest code
+    deterministically. d2 is expanded as ``(s·s − 2·s·c) + c·c`` in
+    that exact operation order; the DuckDB oracle mirrors it
+    bit-identically via ``list_dot_product``.
+
+    Returns (id, code_0..code_{m-1}, recon_err) where recon_err is the
+    total squared quantization error — the distortion metric PQ
+    codebook training monitors."""
+    sub = dim // m
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    cb = (v.where(F.col(id_col) < k)
+          .select(F.col(id_col).cast("int").alias("code"),
+                  F.col("v").alias("cv")))
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
+    row = v.join(F.broadcast(cb_arr))
+
+    out_cols = [F.col(id_col)]
+    d2_cols = []
+    def _cand_fn(s: F.Column, b: int):
+        def _cand(c: F.Column) -> F.Column:
+            cs = F.slice(c["cv"], b * sub + 1, sub)
+            d2 = dot(s, s) - F.lit(2.0) * dot(s, cs) + dot(cs, cs)
+            return F.struct(d2.alias("d2"), c["code"].alias("code"))
+        return _cand
+
+    for b in range(m):
+        s = F.slice(F.col("v"), b * sub + 1, sub)
+        best = F.element_at(
+            F.array_sort(F.transform(F.col("cb"), _cand_fn(s, b))), 1)
+        out_cols.append(best["code"].alias(f"code{b}"))
+        d2_cols.append(best["d2"])
+    recon = d2_cols[0]
+    for d2 in d2_cols[1:]:
+        recon = recon + d2
+    out_cols.append(F.round(recon, 6).alias("recon_err"))
+    return row.select(*out_cols)
+
+
+def pq_sdc_top_neighbor(emb: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int = 64,
+                        m: int = DEFAULT_PQ_BLOCKS,
+                        k: int = DEFAULT_PQ_CODEWORDS,
+                        n_cells: int = DEFAULT_IVF_CELLS,
+                        cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+    """IVF-PQ search: approximate nearest neighbor per vector where the
+    candidate set comes from the IVF coarse cell and the distance comes
+    from **PQ codes only** — the symmetric-distance (SDC) table lookup
+    of Jégou et al. Full vectors never enter the pairing stage: the
+    persisted index relation is (id, cell, m small ints), so the cell
+    self-join shuffles a few bytes per row where the exact-cosine IVF
+    path shuffles 64 doubles — the memory/bandwidth win that makes
+    billion-vector ANN fit a cluster.
+
+    The m·k² per-block codeword-distance table collapses into ONE
+    broadcast sorted array; a pair's distance is m O(1) ``element_at``
+    lookups (index = (b·k + code_a)·k + code_b + 1 over the
+    (b, ca, cb)-sorted array) summed in fixed order and rounded before
+    the argmin, so both engines rank identically. Output:
+    (vec_id, neighbor_id, sdc) — sdc is the approximate squared L2."""
+    from pyspark import StorageLevel
+
+    sub = dim // m
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    anchors = (v.where(F.col(id_col) < n_cells)
+               .select(F.col(id_col).alias("cell"),
+                       F.col("v").alias("av"),
+                       F.col("nrm").alias("anrm")))
+    assigned = _assign_to_anchors(v, anchors, id_col)
+
+    cb = (v.where(F.col(id_col) < k)
+          .select(F.col(id_col).cast("int").alias("code"),
+                  F.col("v").alias("cv")))
+    cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
+
+    def _cand_fn(s: F.Column, b: int):
+        def _cand(c: F.Column) -> F.Column:
+            cs = F.slice(c["cv"], b * sub + 1, sub)
+            d2 = dot(s, s) - F.lit(2.0) * dot(s, cs) + dot(cs, cs)
+            return F.struct(d2.alias("d2"), c["code"].alias("code"))
+        return _cand
+
+    enc_cols = [F.col(id_col), F.col("cell")]
+    for b in range(m):
+        s = F.slice(F.col("v"), b * sub + 1, sub)
+        best = F.element_at(
+            F.array_sort(F.transform(F.col("cb"), _cand_fn(s, b))), 1)
+        enc_cols.append(best["code"].alias(f"code{b}"))
+    index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
+    w = Window.partitionBy("cell")
+    index = (index.withColumn("csz", F.count("*").over(w))
+             .where(F.col("csz") <= cell_cap).drop("csz")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-block codeword-distance table -> one sorted broadcast array
+    cba = cb.select(F.col("code").alias("ca"), F.col("cv").alias("cva"))
+    cbb = cb.select(F.col("code").alias("cbc"), F.col("cv").alias("cvb"))
+    lut_structs = []
+    for b in range(m):
+        sa = F.slice(F.col("cva"), b * sub + 1, sub)
+        sb = F.slice(F.col("cvb"), b * sub + 1, sub)
+        d2 = dot(sa, sa) - F.lit(2.0) * dot(sa, sb) + dot(sb, sb)
+        lut_structs.append(F.struct(
+            F.lit(b).alias("b"), F.col("ca"), F.col("cbc"),
+            d2.alias("d2")))
+    lut_rows = (cba.crossJoin(F.broadcast(cbb))
+                .select(F.explode(F.array(*lut_structs)).alias("e"))
+                .select("e.*"))
+    lut_arr = lut_rows.agg(F.array_sort(
+        F.collect_list(F.struct("b", "ca", "cbc", "d2"))).alias("lut"))
+
+    a = index.select(F.col(id_col).alias("id_a"), F.col("cell"),
+                     *[F.col(f"code{b}").alias(f"ca{b}") for b in range(m)])
+    bi = index.select(F.col(id_col).alias("id_b"), F.col("cell"),
+                      *[F.col(f"code{b}").alias(f"cb{b}") for b in range(m)])
+    pairs = (a.join(bi, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .join(F.broadcast(lut_arr)))
+
+    def _lookup(b: int) -> F.Column:
+        idx = (F.lit(b * k) + F.col(f"ca{b}")) * k + F.col(f"cb{b}") + 1
+        return F.element_at(F.col("lut"), idx.cast("int"))["d2"]
+
+    sdc = _lookup(0)
+    for b in range(1, m):
+        sdc = sdc + _lookup(b)
+    scored = pairs.select("id_a", "id_b", F.round(sdc, 6).alias("sdc"))
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("sdc")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("sdc")),
+    )).alias("e")).select("e.*")
+    best = both.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("sdc"), F.col("nbr"))).alias("best"))
+    return best.select(
+        "vec_id",
+        F.col("best.nbr").alias("neighbor_id"),
+        F.col("best.sdc").alias("sdc"))

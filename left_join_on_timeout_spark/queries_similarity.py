@@ -541,3 +541,123 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sample"),
         hit.alias("n_hit"),
         F.round(hit / F.count("*"), 6).alias("recall_at_1"))
+
+
+_PQ_M = 4
+_PQ_K = 16
+_PQ_SUB = _DIM // _PQ_M
+
+
+@query("pq_codes_recon", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT CAST(vec_id AS INT) AS code, v AS cv FROM e
+       WHERE vec_id < {_PQ_K}),
+blocks AS (SELECT e.vec_id, t.b, e.v[t.b*{_PQ_SUB}+1 : t.b*{_PQ_SUB}+{_PQ_SUB}] AS s
+           FROM e, UNNEST(range(0, {_PQ_M})) AS t(b)),
+cblk AS (SELECT code, t.b, cv[t.b*{_PQ_SUB}+1 : t.b*{_PQ_SUB}+{_PQ_SUB}] AS cs
+         FROM cb, UNNEST(range(0, {_PQ_M})) AS t(b)),
+d AS (SELECT bl.vec_id, bl.b, c.code,
+             (list_dot_product(bl.s, bl.s)
+              - 2.0 * list_dot_product(bl.s, c.cs)
+              + list_dot_product(c.cs, c.cs)) AS d2
+      FROM blocks bl JOIN cblk c ON bl.b = c.b),
+best AS (SELECT vec_id, b, code, d2 FROM (
+  SELECT vec_id, b, code, d2,
+         row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, code) AS rn
+  FROM d) t WHERE rn = 1)
+SELECT vec_id,
+       {", ".join(f"max(CASE WHEN b={b} THEN code END) AS code{b}"
+                  for b in range(_PQ_M))},
+       round({" + ".join(f"max(CASE WHEN b={b} THEN d2 END)"
+                         for b in range(_PQ_M))}, 6) AS recon_err
+FROM best GROUP BY vec_id
+""")
+def q_pq_codes_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the whole corpus (4 blocks × 16
+    codewords: 64 floats → 4 codes) plus the per-vector squared
+    reconstruction error — the PQ compression pass of an IVF-PQ index
+    build (see operators.similarity.pq_codes for the 100 TB shape:
+    broadcast codebook, per-row transform, zero data shuffles)."""
+    from left_join_on_timeout_spark.operators.similarity import pq_codes
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_codes(emb, dim=_DIM, m=_PQ_M, k=_PQ_K)
+
+
+@query("ann_top1_ivfpq", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
+            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
+sims AS (SELECT vec_id, cell,
+                list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+         FROM v, anchors),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM sims) t
+  WHERE rn = 1),
+cb AS (SELECT CAST(vec_id AS INT) AS code, v AS cv FROM v
+       WHERE vec_id < {_PQ_K}),
+blocks AS (SELECT e.vec_id, t.b,
+                  e.v[t.b*{_PQ_SUB}+1 : t.b*{_PQ_SUB}+{_PQ_SUB}] AS s
+           FROM v e, UNNEST(range(0, {_PQ_M})) AS t(b)),
+cblk AS MATERIALIZED (SELECT code, t.b,
+                cv[t.b*{_PQ_SUB}+1 : t.b*{_PQ_SUB}+{_PQ_SUB}] AS cs
+         FROM cb, UNNEST(range(0, {_PQ_M})) AS t(b)),
+d AS MATERIALIZED (SELECT bl.vec_id, bl.b, c.code,
+             (list_dot_product(bl.s, bl.s)
+              - 2.0 * list_dot_product(bl.s, c.cs)
+              + list_dot_product(c.cs, c.cs)) AS d2
+      FROM blocks bl JOIN cblk c ON bl.b = c.b),
+codes AS MATERIALIZED (SELECT vec_id,
+       {", ".join(f"max(CASE WHEN b={b} THEN code END) AS code{b}"
+                  for b in range(_PQ_M))}
+  FROM (SELECT vec_id, b, code, d2,
+               row_number() OVER (PARTITION BY vec_id, b
+                                  ORDER BY d2, code) AS rn
+        FROM d) t WHERE rn = 1 GROUP BY vec_id),
+idx AS (SELECT a.vec_id, a.cell,
+               {", ".join(f"c.code{b}" for b in range(_PQ_M))}
+        FROM assigned a JOIN codes c USING (vec_id)),
+capped AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT idx.*, count(*) OVER (PARTITION BY cell) AS csz FROM idx) t
+  WHERE csz <= {DEFAULT_CELL_CAP}),
+lut AS MATERIALIZED (SELECT ca.b, ca.code AS cda, cb2.code AS cdb,
+               (list_dot_product(ca.cs, ca.cs)
+                - 2.0 * list_dot_product(ca.cs, cb2.cs)
+                + list_dot_product(cb2.cs, cb2.cs)) AS d2
+        FROM cblk ca JOIN cblk cb2 ON ca.b = cb2.b),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({" + ".join(f"l{b}.d2" for b in range(_PQ_M))}, 6) AS sdc
+  FROM capped a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  {" ".join(f"JOIN lut l{b} ON l{b}.b = {b} AND l{b}.cda = a.code{b} AND l{b}.cdb = b.code{b}"
+            for b in range(_PQ_M))}),
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, sdc FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, sdc FROM scored)
+SELECT vec_id, nbr AS neighbor_id, sdc FROM (
+  SELECT vec_id, nbr, sdc,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sdc, nbr) AS rn
+  FROM bidir) t
+WHERE rn = 1
+""")
+def q_ann_top1_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor: IVF coarse cell candidates
+    scored from PQ codes alone via the symmetric-distance table (m O(1)
+    lookups per pair) — the full compressed-domain search pipeline of a
+    billion-vector deployment. The pairing stage shuffles (id, cell,
+    4 bytes of codes) instead of 64-double vectors."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        pq_sdc_top_neighbor,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_sdc_top_neighbor(emb, dim=_DIM, m=_PQ_M, k=_PQ_K)

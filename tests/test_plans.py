@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     "source_mix_temperature",
     "train_val_split_leakproof",
     "doc_lm_score",
+    # PQ: one-row broadcast codebook / LUT array crosses
+    "pq_codes_recon",
+    "ann_top1_ivfpq",
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
