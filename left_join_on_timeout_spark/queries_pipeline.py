@@ -265,7 +265,7 @@ _ENRICH_SQL = f"""(text ||
        ELSE '' END)"""
 
 
-@query("pii_redaction", f"""
+PII_SQL = f"""
 WITH enriched AS (SELECT doc_id, {_ENRICH_SQL} AS t FROM documents)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
@@ -276,17 +276,13 @@ SELECT doc_id,
        md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                           '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
 FROM enriched
-""")
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub: count and redact email addresses and phone numbers with
-    typed placeholders. The synthetic corpus contains no organic PII, so
-    the query first *injects* deterministic PII derived from doc_id
-    (emails into 2/3 of docs, phone numbers into 1/2) — the injection is
-    part of the query on both engines, the operator under test is the
-    regex detect/redact pipeline. Pure per-row codegen expressions: one
-    scan, zero shuffles, patterns chosen to behave identically under
-    Java regex and RE2."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """The PII detect/redact pipeline as a stateless transform (shared by
+    the batch query and its streaming twin): inject deterministic PII
+    derived from doc_id, then count and redact it."""
     t = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 != 0,
@@ -307,6 +303,31 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_phones"),
         F.length(redacted).alias("n_chars_redacted"),
         F.md5(redacted).alias("redacted_fp"))
+
+
+@query("pii_redaction", PII_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email addresses and phone numbers with
+    typed placeholders. The synthetic corpus contains no organic PII, so
+    the query first *injects* deterministic PII derived from doc_id
+    (emails into 2/3 of docs, phone numbers into 1/2) — the injection is
+    part of the query on both engines, the operator under test is the
+    regex detect/redact pipeline. Pure per-row codegen expressions: one
+    scan, zero shuffles, patterns chosen to behave identically under
+    Java regex and RE2."""
+    return pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@query("stream_pii_redaction", PII_SQL)
+def q_stream_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time PII scrub: the same detect/redact pipeline applied to
+    a *stream* of documents — the redaction a training pipeline runs as
+    data lands, before anything persists. Stateless per-row regex, so no
+    watermark or state store; the drained output is row-identical to
+    the batch scrub, which is the exact oracle."""
+    from left_join_on_timeout_spark.streaming.harness import drain_stream
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return drain_stream(spark, docs, pii_redact)
 
 
 # ---------------------------------------------------------------------------
