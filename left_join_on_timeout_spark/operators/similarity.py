@@ -478,7 +478,8 @@ def pq_sdc_top_neighbor(emb: DataFrame,
                         m: int = DEFAULT_PQ_BLOCKS,
                         k: int = DEFAULT_PQ_CODEWORDS,
                         n_cells: int = DEFAULT_IVF_CELLS,
-                        cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+                        cell_cap: int = DEFAULT_CELL_CAP,
+                        rerank: int = 0) -> DataFrame:
     """IVF-PQ search: approximate nearest neighbor per vector where the
     candidate set comes from the IVF coarse cell and the distance comes
     from **PQ codes only** — the symmetric-distance (SDC) table lookup
@@ -492,8 +493,17 @@ def pq_sdc_top_neighbor(emb: DataFrame,
     broadcast sorted array; a pair's distance is m O(1) ``element_at``
     lookups (index = (b·k + code_a)·k + code_b + 1 over the
     (b, ca, cb)-sorted array) summed in fixed order and rounded before
-    the argmin, so both engines rank identically. Output:
-    (vec_id, neighbor_id, sdc) — sdc is the approximate squared L2."""
+    the argmin, so both engines rank identically.
+
+    ``rerank=0`` returns the pure compressed-domain answer
+    (vec_id, neighbor_id, sdc). ``rerank=R`` adds the deployment-shape
+    refine stage: shortlist each vector's top-R candidates by SDC, then
+    exact-cosine only those n·R rows (vectors re-attached by two
+    id-equi-joins — the *only* stage raw vectors touch after encoding)
+    and return (vec_id, neighbor_id, cos_sim). Measured at sf0.01,
+    R=20 recovers the full exact-within-cell ceiling (recall@1 0.198
+    vs 0.036 for raw SDC with this untrained 4×16 codebook) while
+    exact-scoring ~R rows per vector instead of the whole cell."""
     from pyspark import StorageLevel
 
     sub = dim // m
@@ -504,10 +514,18 @@ def pq_sdc_top_neighbor(emb: DataFrame,
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
     assigned = _assign_to_anchors(v, anchors, id_col)
+    # Cosine metric: encode UNIT vectors, so argmin-L2 over codes is
+    # argmax-cosine (L2² = 2 − 2·cos on the unit sphere). Without this
+    # the SDC ranking answers "nearest by raw L2", which for
+    # unnormalized embeddings is norm-dominated and measured recall@1
+    # collapses to ~0 against the cosine ground truth.
+    assigned = assigned.withColumn(
+        "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
 
     cb = (v.where(F.col(id_col) < k)
           .select(F.col(id_col).cast("int").alias("code"),
-                  F.col("v").alias("cv")))
+                  F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+                  .alias("cv")))
     cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
 
     def _cand_fn(s: F.Column, b: int):
@@ -519,7 +537,7 @@ def pq_sdc_top_neighbor(emb: DataFrame,
 
     enc_cols = [F.col(id_col), F.col("cell")]
     for b in range(m):
-        s = F.slice(F.col("v"), b * sub + 1, sub)
+        s = F.slice(F.col("vu"), b * sub + 1, sub)
         best = F.element_at(
             F.array_sort(F.transform(F.col("cb"), _cand_fn(s, b))), 1)
         enc_cols.append(best["code"].alias(f"code{b}"))
@@ -568,9 +586,30 @@ def pq_sdc_top_neighbor(emb: DataFrame,
         F.struct(F.col("id_b").alias("vec_id"),
                  F.col("id_a").alias("nbr"), F.col("sdc")),
     )).alias("e")).select("e.*")
-    best = both.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("sdc"), F.col("nbr"))).alias("best"))
+    if rerank <= 0:
+        best = both.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("sdc"), F.col("nbr"))).alias("best"))
+        return best.select(
+            "vec_id",
+            F.col("best.nbr").alias("neighbor_id"),
+            F.col("best.sdc").alias("sdc"))
+    # refine: top-R shortlist by SDC, exact cosine on those rows only
+    ws = Window.partitionBy("vec_id").orderBy(F.asc("sdc"), F.asc("nbr"))
+    short = (both.withColumn("rn", F.row_number().over(ws))
+             .where(F.col("rn") <= rerank).select("vec_id", "nbr"))
+    va = v.select(F.col(id_col).alias("vec_id"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col(id_col).alias("nbr"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    exact = (short.join(va, "vec_id").join(vb, "nbr")
+             .select("vec_id", "nbr",
+                     F.round(dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")), 6)
+                     .alias("cos_sim")))
+    best = exact.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
+        .alias("best"))
     return best.select(
         "vec_id",
-        F.col("best.nbr").alias("neighbor_id"),
-        F.col("best.sdc").alias("sdc"))
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.col("best.cos_sim").alias("cos_sim"))

@@ -185,3 +185,17 @@ def test_ann_recall_floors(spark):
         assert row.n_sample > 0, name
         assert row.recall_at_1 >= floor, (
             f"{name}: recall@1 {row.recall_at_1} under floor {floor}")
+
+
+def test_ivfpq_rerank_recovers_recall(spark):
+    """The PQ rerank contract: the shortlist-R + exact-rerank answer
+    must strictly dominate the raw compressed-domain answer (it
+    re-scores a superset of what SDC argmin saw), and the measured
+    numbers must land where the numpy cross-check put them — rerank
+    near the exact-within-cell ceiling, raw SDC well below it."""
+    from left_join_on_timeout_spark.queries import QUERIES
+
+    row = QUERIES["ann_recall_ivfpq"](spark, SF_DIR).collect()[0]
+    assert row.n_sample > 0
+    assert row.recall_rerank >= row.recall_sdc
+    assert row.recall_rerank >= 0.10, row  # ceiling ~0.198, sample noise slack

@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 BNLJ_ALLOWED = {
     "ann_recall_srp",   # broadcast 10% sample x corpus ground-truth pass
     "ann_recall_ivf",
+    "ann_recall_ivfpq",
     "ann_top1_ivf",
     "ann_top1_ivf_probe2",
     "ivf_kmeans_cells",
@@ -49,6 +50,7 @@ BNLJ_ALLOWED = {
 SCAN_EXPR_ALLOWED = {
     "ann_recall_srp",
     "ann_recall_ivf",
+    "ann_recall_ivfpq",
     "sample_uniform_events",
     "sample_stratified_docs",
 }
