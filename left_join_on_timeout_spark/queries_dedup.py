@@ -424,3 +424,77 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; the Spark side equi-joins on the full (lang, bucket) key."""
     docs = load_table(spark, sf_dir, "documents")
     return edit_distance_near_dups(docs, "doc_id", "text")
+
+
+# Edit-distance blocking CTEs, renamed e* to compose with the LSH chain
+# (which owns toks/sh/capped/pairs) in one WITH clause.
+_EDIT_PAIRS_CTE = f"""
+ebase AS (
+  SELECT doc_id, lang,
+         substr(regexp_replace(trim(lower(COALESCE(text, ''))),
+                               '[^a-z0-9 ]', '', 'g'), 1, 80) AS key
+  FROM documents),
+ebkts AS (
+  SELECT doc_id, lang, key,
+         CAST(floor(length(key) / 25) AS INT) AS bkt
+  FROM ebase),
+ecapped AS (
+  SELECT doc_id, lang, key, bkt FROM (
+    SELECT doc_id, lang, key, bkt,
+           count(*) OVER (PARTITION BY lang, bkt) AS bsz
+    FROM ebkts) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+epairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM ecapped a JOIN ecapped b
+    ON a.lang = b.lang AND b.bkt - a.bkt IN (0, 1)
+  WHERE (a.bkt < b.bkt OR (a.bkt = b.bkt AND a.doc_id < b.doc_id))
+    AND levenshtein(a.key, b.key) <= 5)"""
+
+
+@query("dedup_multi_signal_clusters", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+{_EDIT_PAIRS_CTE},
+allp AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT id_a, id_b FROM epairs),
+und AS (
+  SELECT id_a AS s, id_b AS t FROM allp
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM allp),
+reach AS (
+  SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t)
+SELECT s AS doc_id, min(t) AS cluster_id
+FROM reach
+GROUP BY s
+""")
+def q_dedup_multi_signal_clusters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Multi-signal duplicate clustering — the production dedup shape: a
+    document pair is an edge if ANY candidate generator fires (MinHash-
+    LSH shingle overlap ∪ edit-distance blocking; each generator keeps
+    its own caps), and ONE connected-components pass resolves the union
+    graph, so a chain like A ≈lsh B ≈edit C lands in one cluster even
+    though no single signal connects A to C. Candidate generators stay
+    independently bounded equi-joins; the union is a distinct over
+    (id, id) edges — composition adds zero quadratic stages. The oracle
+    walks the identical union graph with a recursive closure CTE."""
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    lsh = lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+    edit = edit_distance_near_dups(docs, "doc_id", "text") \
+        .select("id_a", "id_b")
+    edges = lsh.unionAll(edit).distinct()
+    cc = connected_components(edges)
+    return cc.select(F.col("id").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))
