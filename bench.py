@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_lm_score",
     "training_order_shuffle",
     "ann_top1_ivfpq",
+    "dedup_multi_signal_clusters",
 ]
 
 

@@ -86,7 +86,36 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Temperature-based source mixing
 # ---------------------------------------------------------------------------
 
-@query("source_mix_temperature", """
+def _mix_table(docs: DataFrame) -> DataFrame:
+    """(source, rate): the temperature-τ=2 keep-rate table — tiny
+    (one row per source) and broadcastable, batch or stream-static."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_num = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(0.5)), 6)
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(w_num.cast("decimal(25,6)")).cast("double").alias("denom"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("rate", F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("n_total") * (w_num / F.col("denom"))
+                / F.col("n_docs")))
+            .select("source", "rate"))
+
+
+def _mix_gate(docs: DataFrame, mix: DataFrame) -> DataFrame:
+    """Apply the mix table: broadcast join + deterministic md5 gate with
+    the per-source rate rendered as a fixed-width hex threshold."""
+    key8 = F.substring(
+        F.md5(F.concat(F.lit("42#"), F.col("doc_id").cast("string"))), 1, 8)
+    thr = F.format_string(
+        "%08x", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+    return (docs.join(F.broadcast(mix), "source")
+            .where((F.col("rate") >= 1.0) | (key8 < thr))
+            .select("doc_id", "source",
+                    F.round("rate", 6).alias("keep_rate")))
+
+
+SOURCE_MIX_SQL = """
 WITH counts AS (SELECT source, count(*) AS n_docs
                 FROM documents GROUP BY source),
 tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
@@ -105,7 +134,10 @@ FROM documents d JOIN mix m ON d.source = m.source
 WHERE m.rate >= 1.0
    OR substr(md5('42#' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
       printf('%08x', CAST(floor(m.rate * 4294967296.0) AS BIGINT))
-""")
+"""
+
+
+@query("source_mix_temperature", SOURCE_MIX_SQL)
 def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (the multilingual/multi-corpus
     rebalance from the T5/XLM-R recipes): per-source sampling weight
@@ -122,25 +154,24 @@ def q_source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 prefix — the data-dependent generalization of
     operators/sampling.py's constant-rate gate."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w_num = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(0.5)), 6)
-    tot = counts.agg(
-        F.sum("n_docs").cast("bigint").alias("n_total"),
-        F.sum(w_num.cast("decimal(25,6)")).cast("double").alias("denom"))
-    mix = (counts.crossJoin(F.broadcast(tot))
-           .withColumn("rate", F.least(
-               F.lit(1.0),
-               F.lit(0.5) * F.col("n_total") * (w_num / F.col("denom"))
-               / F.col("n_docs")))
-           .select("source", "rate"))
-    key8 = F.substring(
-        F.md5(F.concat(F.lit("42#"), F.col("doc_id").cast("string"))), 1, 8)
-    thr = F.format_string(
-        "%08x", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
-    return (docs.join(F.broadcast(mix), "source")
-            .where((F.col("rate") >= 1.0) | (key8 < thr))
-            .select("doc_id", "source",
-                    F.round("rate", 6).alias("keep_rate")))
+    return _mix_gate(docs, _mix_table(docs))
+
+
+@query("stream_source_mix", SOURCE_MIX_SQL)
+def q_stream_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time source mixing: the τ=2 rebalance applied to a
+    *stream* of documents via a STREAM-STATIC broadcast join — the rate
+    table is computed once from the reference corpus (batch side) and
+    every arriving micro-batch is gated map-side against it, the shape
+    a production resampler runs (rates refresh on a slow cadence, data
+    flows continuously). Stateless per row beyond the broadcast, so the
+    drained output is row-identical to the batch mix — the exact
+    oracle."""
+    from left_join_on_timeout_spark.streaming.harness import drain_stream
+    docs = load_table(spark, sf_dir, "documents")
+    mix = _mix_table(docs)  # static side, computed once
+    stream_in = docs.select("doc_id", "source")
+    return drain_stream(spark, stream_in, lambda s: _mix_gate(s, mix))
 
 
 # ---------------------------------------------------------------------------
