@@ -24,6 +24,7 @@ from left_join_on_timeout_spark.functions.text import (
     quality_score,
     token_count,
     word_ngrams,
+    words,
 )
 from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
@@ -471,3 +472,77 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "n")
             .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
             .select("doc_id", F.col("n").alias("n_tokens"), "entropy"))
+
+
+@query("bigram_pmi_top", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents),
+uni AS (SELECT term, count(*) AS c
+        FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term),
+big AS (SELECT gram, count(*) AS c
+        FROM (SELECT array_to_string(w[i:i+1], ' ') AS gram
+              FROM toks, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i))
+        GROUP BY gram),
+tots AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS tu,
+                (SELECT CAST(sum(c) AS BIGINT) FROM big) AS tb),
+scored AS (
+  SELECT b.gram,
+         CAST(b.c AS BIGINT) AS n_pair,
+         round(ln((CAST(b.c AS DOUBLE) / tb)
+                  / ((CAST(ua.c AS DOUBLE) / tu)
+                     * (CAST(ub.c AS DOUBLE) / tu))), 6) AS pmi
+  FROM big b
+  JOIN uni ua ON ua.term = split_part(b.gram, ' ', 1)
+  JOIN uni ub ON ub.term = split_part(b.gram, ' ', 2)
+  CROSS JOIN tots
+  WHERE b.c >= 5)
+SELECT gram, n_pair, pmi FROM scored
+ORDER BY pmi DESC, gram
+LIMIT 20
+""")
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 bigrams by pointwise mutual
+    information (min support 5) — the corpus-statistics pass that
+    surfaces multi-word units worth protecting from tokenizer splits.
+    Three corpus aggregates (unigram counts, bigram counts, totals),
+    two vocab-sized joins, and a global top-k planned as TakeOrdered
+    (per-partition heads, driver merge) — no full sort. PMI is one
+    fixed-order IEEE expression over exact counts, rounded before the
+    ranking, so both engines order identically (gram string breaks
+    ties)."""
+    from pyspark import StorageLevel
+
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(F.explode(words("text")).alias("term"))
+    uni = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    grams = fan_out(docs).select(
+        F.explode(word_ngrams("text", 2)).alias("gram"))
+    # bigram counts persist: consumed by the supported set AND the
+    # all-bigrams total (tb must count every bigram, not just c >= 5)
+    bigc = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    big = bigc.where(F.col("c") >= 5)
+    tots = (uni.agg(F.sum("c").cast("bigint").alias("tu")).crossJoin(
+        bigc.agg(F.sum("c").cast("bigint").alias("tb"))))
+    ua = uni.select(F.col("term").alias("ta"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("tb2"), F.col("c").alias("cb"))
+    scored = (big
+              .withColumn("a", F.split_part(F.col("gram"), F.lit(" "),
+                                            F.lit(1)))
+              .withColumn("b", F.split_part(F.col("gram"), F.lit(" "),
+                                            F.lit(2)))
+              .join(ua, F.col("a") == F.col("ta"))
+              .join(ub, F.col("b") == F.col("tb2"))
+              .crossJoin(F.broadcast(tots))
+              .select(
+                  "gram",
+                  F.col("c").cast("bigint").alias("n_pair"),
+                  F.round(F.log(
+                      (F.col("c").cast("double") / F.col("tb"))
+                      / ((F.col("ca").cast("double") / F.col("tu"))
+                         * (F.col("cb").cast("double") / F.col("tu")))),
+                      6).alias("pmi")))
+    return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(20)
