@@ -78,6 +78,7 @@ HEADLINE = [
     "training_order_shuffle",
     "ann_top1_ivfpq",
     "dedup_multi_signal_clusters",
+    "bigram_pmi_top",
 ]
 
 

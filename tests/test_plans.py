@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     # PQ: one-row broadcast codebook / LUT array crosses
     "pq_codes_recon",
     "ann_top1_ivfpq",
+    "bigram_pmi_top",  # one-row corpus-totals cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
