@@ -498,3 +498,50 @@ def q_dedup_multi_signal_clusters(spark: SparkSession,
     cc = connected_components(edges)
     return cc.select(F.col("id").alias("doc_id"),
                      F.col("component").alias("cluster_id"))
+
+
+@query("dedup_graph_triangles", f"""
+WITH {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+verts AS (SELECT id_a AS v FROM pairs UNION SELECT id_b AS v FROM pairs),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs ab
+  JOIN pairs bc ON bc.id_a = ab.id_b
+  JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+FROM tri
+""")
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup candidate graph — the graph-
+    analytics pass that separates tight duplicate cliques (dense
+    triangles → safe to collapse) from chain-shaped false-positive
+    strings (no triangles → review before deleting). Edges are already
+    oriented (id_a < id_b), so each triangle a<b<c is counted exactly
+    once by the two-join wedge-closing pattern — the standard
+    distributed formulation: both joins are equi-joins on vertex ids,
+    input bounded by the LSH bucket caps, never corpus-quadratic. The
+    candidate edge list is persisted: three self-join sides would
+    otherwise plan the whole MinHash pipeline three times
+    (ReusedExchange never fires across self-join sides)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    e = (lsh_candidate_pairs(sig, "doc_id").select("id_a", "id_b")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    verts = (e.select(F.col("id_a").alias("v"))
+             .union(e.select(F.col("id_b").alias("v"))).distinct()
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices")))
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (verts.crossJoin(F.broadcast(edges))
+            .crossJoin(F.broadcast(tri))
+            .select("n_vertices", "n_edges", "n_triangles"))

@@ -416,3 +416,45 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("nll") * F.col("tf")).cast("double")
             / F.sum("tf").cast("bigint"), 6).alias("lm_score"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth curriculum binning
+# ---------------------------------------------------------------------------
+
+@query("length_equidepth_bins", """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM documents)
+SELECT CAST((rnk - 1) * 8 // n AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM ranked
+GROUP BY (rnk - 1) * 8 // n
+""")
+def q_length_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth length binning — the curriculum/bucketing cut that
+    gives each training phase the same number of documents rather than
+    the same length range (equi-width collapses under skewed length
+    distributions). bin = floor((rank−1)·8 / N) over the total order
+    (n_chars, doc_id) — an explicit formula instead of ntile so both
+    engines and any re-run agree bit-for-bit. The rank comes from
+    operators/ranking.py::global_rank (range exchange + offset join),
+    NOT a single-partition window, and N is a broadcast one-row
+    aggregate: the whole binning is two small shuffles at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = global_rank(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()])
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    binned = (ranked.crossJoin(F.broadcast(n))
+              .withColumn("bin", F.floor(
+                  (F.col("rnk") - 1) * 8 / F.col("n"))))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"))

@@ -41,6 +41,8 @@ BNLJ_ALLOWED = {
     "pq_codes_recon",
     "ann_top1_ivfpq",
     "bigram_pmi_top",  # one-row corpus-totals cross
+    "dedup_graph_triangles",   # one-row vertex/edge/triangle count crosses
+    "length_equidepth_bins",   # one-row corpus-size N cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
