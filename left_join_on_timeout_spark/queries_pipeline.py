@@ -458,3 +458,50 @@ def q_length_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"))
+
+
+# ---------------------------------------------------------------------------
+# FIR smoothing over daily series
+# ---------------------------------------------------------------------------
+
+_FIR_W = [0.4, 0.25, 0.15, 0.1, 0.05, 0.03, 0.02]  # sums to 1.0
+
+_FIR_SQL_TERMS = " + ".join(
+    f"{w} * COALESCE(lag(v, {k}) OVER "
+    f"(PARTITION BY user_id ORDER BY day), 0.0)" if k else f"{w} * v"
+    for k, w in enumerate(_FIR_W))
+
+
+@query("events_fir_smoothing", f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day, v,
+       round({_FIR_SQL_TERMS}, 6) AS smoothed
+FROM daily
+""")
+def q_events_fir_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend smoothing of each user's daily value series with a 7-tap
+    finite-impulse-response kernel (weights 0.4…0.02, unit mass) — the
+    bounded-window alternative to a recursive EWMA: identical smoothing
+    role, but expressible as a fixed number of ``lag`` terms, so it
+    runs as ONE keyed window pass (parallel per user, no recursion, no
+    pow() overflow trick) and replays bit-identically in the oracle.
+    Daily totals go through DECIMAL before the (fixed-order) double
+    kernel, so partition order can't move the result."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.round(
+                 F.sum(F.col("value").cast("decimal(25,6)"))
+                 .cast("double"), 6).alias("v")))
+    w = Window.partitionBy("user_id").orderBy("day")
+    smoothed = F.lit(_FIR_W[0]) * F.col("v")
+    for k, wt in enumerate(_FIR_W[1:], start=1):
+        smoothed = smoothed + F.lit(wt) * F.coalesce(
+            F.lag("v", k).over(w), F.lit(0.0))
+    return daily.select("user_id", "day", "v",
+                        F.round(smoothed, 6).alias("smoothed"))
