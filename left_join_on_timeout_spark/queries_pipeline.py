@@ -505,3 +505,105 @@ def q_events_fir_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("v", k).over(w), F.lit(0.0))
     return daily.select("user_id", "day", "v",
                         F.round(smoothed, 6).alias("smoothed"))
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record routing (dead-letter channel)
+# ---------------------------------------------------------------------------
+
+DEAD_LETTER_SQL = """
+WITH enriched AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS p
+  FROM events)
+SELECT event_id, p AS bad_payload, 'malformed_json' AS reason
+FROM enriched
+WHERE NOT json_valid(p)
+"""
+
+
+def _dead_letter(events: DataFrame) -> DataFrame:
+    """Route rows whose JSON payload fails to parse to the dead-letter
+    side. Corruption is injected deterministically (event_id % 7) —
+    the synthetic payloads are all valid, the operator under test is
+    the routing (corruption = truncating the closing byte, which both
+    engines reject; Spark tolerates trailing garbage after a complete
+    value). Parse-validity = Spark 4's ``try_parse_json`` (VARIANT)
+    null-ness — a *strict* full-document parse, the exact twin of
+    DuckDB ``json_valid`` (unlike ``from_json``, whose PERMISSIVE mode
+    yields null fields, not a null row)."""
+    p = F.when(F.col("event_id") % 7 == 0,
+               F.expr("substr(props, 1, length(props) - 1)")) \
+        .otherwise(F.col("props"))
+    return (events.select("event_id", p.alias("p"))
+            .where(F.try_parse_json("p").isNull())
+            .select("event_id", F.col("p").alias("bad_payload"),
+                    F.lit("malformed_json").alias("reason")))
+
+
+@query("json_dead_letter", DEAD_LETTER_SQL)
+def q_json_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record routing, batch form: the rows a pipeline must NOT
+    silently drop or crash on, captured with payload + reason for
+    replay after a fix. One scan, per-row parse check, no shuffle."""
+    return _dead_letter(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_json_dead_letter", DEAD_LETTER_SQL)
+def q_stream_json_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record routing at ingest: the same dead-letter split on a
+    *stream* — malformed payloads peel off to the side channel as data
+    lands while good rows continue (a real deployment writes each side
+    to its own sink; the harness drains the dead-letter side).
+    Stateless, so the batch split is the exact oracle."""
+    from left_join_on_timeout_spark.streaming.harness import drain_stream
+    events = load_table(spark, sf_dir, "events").select("event_id", "props")
+    return drain_stream(spark, events, _dead_letter)
+
+
+# ---------------------------------------------------------------------------
+# SCD2-style state intervals from an event stream
+# ---------------------------------------------------------------------------
+
+@query("scd2_user_state_intervals", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+changes AS (
+  SELECT user_id, event_type, ts
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+         AS is_current
+FROM changes
+""")
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    collapse each user's event sequence into state VERSIONS — one row
+    per run of equal event_type, with [valid_from, valid_to) effective
+    dating and an is_current flag (valid_to NULL). Change detection is
+    a lag() comparison, interval closing a lead() — two passes over
+    the SAME keyed ordering, so the second window reuses the first's
+    shuffle. Ties in ts break on event_id so the version sequence is a
+    total order on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (ev.select("user_id", "event_type", "ts", "event_id")
+               .withColumn("prev_type", F.lag("event_type").over(w))
+               .where(F.col("prev_type").isNull()
+                      | (F.col("event_type") != F.col("prev_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"))
