@@ -546,3 +546,67 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * (F.col("cb").cast("double") / F.col("tu")))),
                       6).alias("pmi")))
     return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(20)
+
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # counters per row: 2 hex chars of md5
+
+
+@query("cms_heavy_hitters", f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+cms AS (
+  SELECT i, substr(md5(term || '#' || i), 1, 2) AS col,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM tf, UNNEST(range(0, {_CMS_D})) AS t(i)
+  GROUP BY 1, 2),
+probe AS (SELECT term, CAST(c AS BIGINT) AS exact_c FROM tf WHERE c >= 50)
+SELECT p.term,
+       p.exact_c,
+       least({", ".join(f"s{i}.cnt" for i in range(_CMS_D))}) AS est_c,
+       least({", ".join(f"s{i}.cnt" for i in range(_CMS_D))}) - p.exact_c
+         AS overestimate
+FROM probe p
+{" ".join(f"JOIN cms s{i} ON s{i}.i = {i} AND s{i}.col = substr(md5(p.term || '#' || {i}), 1, 2)"
+          for i in range(_CMS_D))}
+""")
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: a {_CMS_D}×{_CMS_W}
+    counter grid (hash row i buckets a term by two md5 hex chars), the
+    mergeable sketch that answers "how often does this token appear?"
+    over a 100 TB corpus in kilobytes of state — counters sum across
+    partitions/shards by construction, so the sketch builds in one
+    partial-aggregated pass. The query then probes every heavy term
+    (exact count ≥ 50) and reports estimate vs truth: est = min over
+    the {_CMS_D} rows, overestimate ≥ 0 always (CMS never
+    undercounts). Hash functions are md5-derived, so the grid — and
+    every estimate — is bit-identical in the oracle."""
+    from left_join_on_timeout_spark.partitioning import fan_out
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(F.explode(words("text")).alias("term"))
+    tf = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    rows = [F.struct(F.lit(i).alias("i"),
+                     F.substring(F.md5(F.concat(F.col("term"),
+                                                F.lit(f"#{i}"))), 1, 2)
+                     .alias("col"))
+            for i in range(_CMS_D)]
+    cms = (tf.select("c", F.explode(F.array(*rows)).alias("e"))
+           .groupBy(F.col("e.i").alias("i"), F.col("e.col").alias("col"))
+           .agg(F.sum("c").cast("bigint").alias("cnt")))
+    probe = (tf.where(F.col("c") >= 50)
+             .select("term", F.col("c").cast("bigint").alias("exact_c")))
+    out = probe
+    for i in range(_CMS_D):
+        si = cms.where(F.col("i") == i).select(
+            F.col("col").alias(f"col{i}"), F.col("cnt").alias(f"cnt{i}"))
+        key = F.substring(
+            F.md5(F.concat(F.col("term"), F.lit(f"#{i}"))), 1, 2)
+        out = out.join(F.broadcast(si), key == F.col(f"col{i}"))
+    est = F.least(*[F.col(f"cnt{i}") for i in range(_CMS_D)])
+    return out.select("term", "exact_c", est.alias("est_c"),
+                      (est - F.col("exact_c")).alias("overestimate"))
