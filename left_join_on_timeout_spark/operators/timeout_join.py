@@ -163,3 +163,26 @@ def timeout_only(
     r, cond, _, _ = _prepare(
         left, right, on, left_ts, right_ts, window_ms, right_prefix)
     return left.join(r, cond, "left_anti")
+
+
+def full_outer_join_on_timeout(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    window: str | int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    joiner: Joiner | None = None,
+    joined_col: str = "joined",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """FULL OUTER JOIN ON TIMEOUT — the symmetric extension of O3: both
+    sides get timeout emissions. Matched pairs carry both sides;
+    unmatched lefts carry nulls on the right (the reference's timeout
+    row); unmatched rights carry nulls on the left (what the reference
+    cannot express — its topology only schedules timers for lefts, so a
+    right with no left vanishes). A ``joiner`` must handle both null
+    sides. Same shuffle/broadcast shape as the left form; no broadcast
+    option (Spark cannot broadcast either side of a full outer)."""
+    return _join(left, right, on, window, left_ts, right_ts,
+                 joiner, joined_col, right_prefix, False, "full")

@@ -246,6 +246,74 @@ def q_key_partition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FULL_OUTER_ORACLE = """
+SELECT coalesce(l.user_id, r.user_id) AS user_id,
+       l.event_id AS event_id,
+       l.ts AS ts,
+       r.event_id AS r_event_id,
+       CASE WHEN l.event_id IS NULL
+            THEN '+' || CAST(r.event_id AS VARCHAR)
+            WHEN r.event_id IS NULL
+            THEN CAST(l.event_id AS VARCHAR) || '+'
+            ELSE CAST(l.event_id AS VARCHAR) || '+' || CAST(r.event_id AS VARCHAR)
+       END AS joined
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') l
+FULL JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+"""
+
+
+def _full_outer_joiner(l, r) -> F.Column:
+    """Side-symmetric ValueJoiner: '+r' for right-only, 'l+' for
+    left-only (the reference's timeout row), 'l+r' for matches."""
+    return (F.when(l["event_id"].isNull(),
+                   F.concat(F.lit("+"), r["event_id"].cast("string")))
+            .when(r["event_id"].isNull(),
+                  F.concat(l["event_id"].cast("string"), F.lit("+")))
+            .otherwise(F.concat(l["event_id"].cast("string"), F.lit("+"),
+                                r["event_id"].cast("string"))))
+
+
+def _full_outer_cols(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.coalesce(F.col("user_id"), F.col("r_user_id")).alias("user_id"),
+        "event_id", "ts", "r_event_id", "joined")
+
+
+@query("full_outer_timeout_join", _FULL_OUTER_ORACLE)
+def q_full_outer_timeout_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 symmetric extension — FULL OUTER JOIN ON TIMEOUT: both sides
+    get timeout emissions (the reference only schedules timers for
+    lefts, so a right with no left silently vanishes there; the
+    symmetric form surfaces it null-padded on the left)."""
+    from left_join_on_timeout_spark.operators.timeout_join import (
+        full_outer_join_on_timeout,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = full_outer_join_on_timeout(
+        left, right, on="user_id", window="30 minutes",
+        joiner=_full_outer_joiner)
+    return _full_outer_cols(out)
+
+
+@query("stream_full_outer_timeout_join", _FULL_OUTER_ORACLE)
+def q_stream_full_outer_timeout_join(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The full-outer timeout join through the *real* streaming plan:
+    watermarks on both sides, unmatched rights emit null-padded when
+    the watermark passes their window end — drained and hash-checked
+    against the identical batch oracle."""
+    from left_join_on_timeout_spark.streaming.harness import (
+        run_timeout_join_stream,
+    )
+    left, right = _events_split(spark, sf_dir)
+    out = run_timeout_join_stream(
+        spark, left, right, on="user_id", window="30 minutes",
+        joiner=_full_outer_joiner, how="fullOuter")
+    return _full_outer_cols(out)
+
+
 # Register the rest of the surface (import side effects fill QUERIES/ORACLE).
 from left_join_on_timeout_spark import (  # noqa: E402,F401
     queries_asof,

@@ -64,6 +64,7 @@ def run_timeout_join_stream(
     joiner: Joiner | None = None,
     joined_col: str = "joined",
     right_prefix: str = "r_",
+    how: str = "leftOuter",
 ) -> DataFrame:
     """Feed two *batch* DataFrames through the streaming operator and
     return the drained sink as a batch DataFrame (flush rows removed).
@@ -99,7 +100,7 @@ def run_timeout_join_stream(
     out = left_join_on_timeout_stream(
         lstream, rstream, on=on, window=window, left_ts=left_ts,
         right_ts=right_ts, timeout=timeout, joiner=joiner,
-        joined_col=joined_col, right_prefix=right_prefix)
+        joined_col=joined_col, right_prefix=right_prefix, how=how)
 
     with _drain_tuning(spark):
         q = (out.writeStream.format("memory").queryName(qname)
@@ -109,7 +110,12 @@ def run_timeout_join_stream(
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.table(qname).where(F.col(on) >= 0)
+    # drop flush sentinels: left-side key >= 0 keeps every left-join
+    # row; under fullOuter, right-only rows have a null left key, so
+    # judge them by the (renamed) right key instead
+    keep = F.coalesce(F.col(on), F.col(f"{right_prefix}{on}")) >= 0 \
+        if how == "fullOuter" else F.col(on) >= 0
+    return spark.table(qname).where(keep)
 
 
 def drain_stream(spark: SparkSession, inp: DataFrame, build) -> DataFrame:

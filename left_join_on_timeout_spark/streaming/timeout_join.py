@@ -58,8 +58,12 @@ def left_join_on_timeout_stream(
     joiner: Joiner | None = None,
     joined_col: str = "joined",
     right_prefix: str = "r_",
+    how: str = "leftOuter",
 ) -> DataFrame:
-    """Streaming LEFT JOIN ON TIMEOUT over two streaming DataFrames.
+    """Streaming LEFT JOIN ON TIMEOUT over two streaming DataFrames
+    (``how="fullOuter"`` gives the symmetric variant: unmatched rights
+    also emit, null-padded on the left, when the watermark passes their
+    window end).
 
     ``timeout`` is the reference's ``leftJoinTimeoutInMs`` — must exceed
     ``window``; defaults to ``window + 100 ms``
@@ -81,7 +85,7 @@ def left_join_on_timeout_stream(
     r, cond, l_side, r_side = _prepare(
         l, right, on, left_ts, right_ts, cfg.window_ms, right_prefix)
     r = r.withWatermark(f"{right_prefix}{right_ts}", _delay_str(delay_ms))
-    out = l.join(r, cond, "leftOuter")
+    out = l.join(r, cond, how)
     if joiner is not None:
         out = out.withColumn(joined_col, joiner(l_side, r_side))
     return out
