@@ -79,6 +79,8 @@ HEADLINE = [
     "ann_top1_ivfpq",
     "dedup_multi_signal_clusters",
     "bigram_pmi_top",
+    "full_outer_timeout_join",
+    "cms_heavy_hitters",
 ]
 
 
