@@ -150,3 +150,47 @@ def q_sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates={"en": 0.25, "de": 0.75, "zh": 1.0},
         default_rate=0.5)
     return out.select("doc_id", "lang", "source")
+
+
+from left_join_on_timeout_spark.queries_text import _QUALITY  # noqa: E402
+
+
+@query("weighted_sample_docs", f"""
+WITH q AS (
+  SELECT doc_id, source, round({_QUALITY}, 6) AS w FROM documents),
+keyed AS (
+  SELECT doc_id, source, w,
+         round(ln((CAST('0x' || substr(md5('es#' || CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) + 0.5)
+                  / 4294967296.0) / w, 6) AS es_key
+  FROM q)
+SELECT doc_id, source, w, es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 100
+""")
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, quality-proportional: the
+    Efraimidis–Spirakis one-pass scheme — per doc draw u ~ U(0,1) and
+    keep the k largest u^(1/w) (ranked here by the monotone-equivalent
+    ln(u)/w). Inclusion probability follows the weight exactly, the
+    whole draw is one scan plus a distributed TakeOrdered top-k (no
+    global sort), and — because u comes from the md5 hash gate rather
+    than rand() — the sample is a pure function of (seed, id):
+    reproducible across retries, partitionings, and engines, which is
+    what lets the oracle verify the exact row set. The ES key is
+    rounded to 6 dp before ranking (libm ln() isn't bit-specified
+    across engines) with doc_id as tiebreak, the same discipline as
+    TF-IDF's idf ranking."""
+    from left_join_on_timeout_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.round(quality_score("text"), 6)
+    u_int = F.conv(F.substring(
+        F.md5(F.concat(F.lit("es#"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("double")
+    es_key = F.round(
+        F.log((u_int + F.lit(0.5)) / F.lit(4294967296.0)) / w, 6)
+    keyed = docs.select("doc_id", "source", w.alias("w"),
+                        es_key.alias("es_key"))
+    return keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(100)
