@@ -610,3 +610,51 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.least(*[F.col(f"cnt{i}") for i in range(_CMS_D)])
     return out.select("term", "exact_c", est.alias("est_c"),
                       (est - F.col("exact_c")).alias("overestimate"))
+
+
+_FH_HEX = 3  # 16^3 = 4096 feature buckets
+
+
+@query("feature_hash_docs", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+feats AS (
+  SELECT doc_id, substr(md5(term), 1, {_FH_HEX}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY doc_id, substr(md5(term), 1, {_FH_HEX}))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS nnz,
+       CAST(sum(cnt) AS BIGINT) AS total,
+       md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket))
+         AS feature_fp
+FROM feats GROUP BY doc_id
+""")
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project each document's term counts into a
+    fixed 4096-bucket feature space (bucket = md5 prefix) — the
+    vocabulary-free featurization that keeps model input width constant
+    no matter how large the corpus vocabulary grows, with no
+    vocabulary-build pass and no driver-side dictionary. Output is the
+    per-doc sparse vector summarized as (nnz, total mass, fingerprint
+    of the sorted bucket:count pairs) so the oracle verifies every
+    vector exactly. Two partial-aggregated shuffles, nothing
+    vocabulary-scale."""
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    feats = (toks.groupBy(
+        "doc_id",
+        F.substring(F.md5("term"), 1, _FH_HEX).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    pairs = F.array_sort(F.collect_list(F.struct("bucket", "cnt")))
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.md5(F.array_join(
+            F.transform(pairs,
+                        lambda x: F.concat(x["bucket"], F.lit(":"),
+                                           x["cnt"].cast("string"))),
+            ",")).alias("feature_fp"))
