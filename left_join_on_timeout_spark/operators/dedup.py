@@ -411,3 +411,68 @@ def edit_distance_near_dups(df: DataFrame, id_col: str, text_col: str,
             .select(F.least("id_a", "id_b").alias("id_a"),
                     F.greatest("id_a", "id_b").alias("id_b"),
                     "dist"))
+
+
+def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                                threshold: float = 0.5,
+                                shingle_n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Chaudhuri et al. / Xiao et al.): the same
+    complete Jaccard ≥ t result as :func:`jaccard_pairs`, but the
+    candidate join touches only each document's *prefix* tokens.
+
+    Under one global token order (ascending document frequency — rare
+    first — then digest), two sets with J ≥ t MUST share a token within
+    their first ``n − ⌈t·n⌉ + 1`` tokens: if all common tokens sat
+    outside both prefixes, the overlap would be ≤ ⌈t·n⌉ − 1 < t·max(n),
+    contradicting J ≥ t. So the equi-join on prefix tokens is
+    *complete* — unlike LSH, nothing is missed — while shuffling only
+    ~(1−t) of the token rows, and rare-first ordering makes prefix
+    buckets the SMALLEST ones (popular shingles land in suffixes and
+    never generate candidates). A size filter (⌈t·n_a⌉ ≤ n_b ≤
+    ⌊n_a/t⌋) prunes length-incompatible pairs before verification.
+    Verification is the exact intersection count over candidates only.
+
+    The (id, token-with-df) relation is persisted — it feeds the
+    prefix build, both verification sides, and the size lookups (the
+    persisted-index pattern, PLANS.md)."""
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    sh = (sets.select(F.col(id_col), F.explode("sh_set").alias("s"))
+          .select(F.col(id_col), F.md5("s").alias("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (sh.join(dfreq, "h")
+               .groupBy(id_col)
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("df", "h"))).alias("arr")))
+    n_sh = F.size("arr")
+    p = n_sh - F.ceil(F.lit(threshold) * n_sh) + 1
+    prefix = (ordered
+              .select(F.col(id_col), n_sh.alias("n_sh"),
+                      F.explode(F.transform(
+                          F.slice("arr", F.lit(1), p.cast("int")),
+                          lambda x: x["h"])).alias("h")))
+    a = prefix.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "h")
+    b = prefix.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"), "h")
+    cand = (a.join(b, "h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where((F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+                   & (F.col("n_b") <= F.floor(F.col("n_a")
+                                              / F.lit(threshold))))
+            .select("id_a", "id_b", "n_a", "n_b")
+            .distinct())
+    sa = sh.select(F.col(id_col).alias("id_a"), "h")
+    sb = sh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (cand.join(sa, "id_a").join(sb, ["id_b", "h"])
+             .groupBy("id_a", "id_b", "n_a", "n_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+    return (jac.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -545,3 +545,35 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (verts.crossJoin(F.broadcast(edges))
             .crossJoin(F.broadcast(tri))
             .select("n_vertices", "n_edges", "n_triangles"))
+
+
+@query("dedup_prefix_jaccard", f"""
+WITH {_SHINGLES_CTE},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5
+""")
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.5 near-dup pairs via PREFIX FILTERING — the
+    same complete answer as ``dedup_ngram_jaccard`` (identical oracle:
+    brute shared-shingle join), produced by joining only prefix tokens
+    under a rare-first global order with a length filter. The
+    deterministic alternative to LSH when completeness is contractual:
+    no missed pairs, candidate volume bounded by rare-token bucket
+    sizes instead of banding probabilities
+    (operators/dedup.py::prefix_filter_jaccard_pairs)."""
+    from left_join_on_timeout_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, "doc_id", "text",
+                                       threshold=0.5)
