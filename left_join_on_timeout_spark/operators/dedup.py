@@ -451,18 +451,32 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     p = n_sh - F.ceil(F.lit(threshold) * n_sh) + 1
     prefix = (ordered
               .select(F.col(id_col), n_sh.alias("n_sh"),
-                      F.explode(F.transform(
+                      F.posexplode(F.transform(
                           F.slice("arr", F.lit(1), p.cast("int")),
-                          lambda x: x["h"])).alias("h")))
+                          lambda x: x["h"])).alias("pos", "h")))
     a = prefix.select(F.col(id_col).alias("id_a"),
-                      F.col("n_sh").alias("n_a"), "h")
+                      F.col("n_sh").alias("n_a"),
+                      F.col("pos").alias("pos_a"), "h")
     b = prefix.select(F.col(id_col).alias("id_b"),
-                      F.col("n_sh").alias("n_b"), "h")
+                      F.col("n_sh").alias("n_b"),
+                      F.col("pos").alias("pos_b"), "h")
+    # positional filter (PPJoin): a shared prefix token at 0-based
+    # positions (i, j) can start an overlap of at most
+    # 1 + min(n_a - i - 1, n_b - j - 1); if even that upper bound is
+    # under the Jaccard-implied overlap floor a = ceil(t/(1+t)(na+nb)),
+    # this occurrence cannot witness J >= t. A pair survives if ANY of
+    # its shared prefix occurrences passes (a superset of PPJoin's
+    # first-occurrence rule), so completeness is preserved.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("n_a") + F.col("n_b")))
+    ubound = 1 + F.least(F.col("n_a") - F.col("pos_a") - 1,
+                         F.col("n_b") - F.col("pos_b") - 1)
     cand = (a.join(b, "h")
             .where(F.col("id_a") < F.col("id_b"))
             .where((F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
                    & (F.col("n_b") <= F.floor(F.col("n_a")
                                               / F.lit(threshold))))
+            .where(ubound >= alpha)
             .select("id_a", "id_b", "n_a", "n_b")
             .distinct())
     sa = sh.select(F.col(id_col).alias("id_a"), "h")
