@@ -607,3 +607,67 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"))
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS trend
+# ---------------------------------------------------------------------------
+
+@query("user_value_trend", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 6) AS v
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT user_id, v,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) - 1
+              AS BIGINT) AS x
+  FROM daily),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(v, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(sum(x * CAST(round(v, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+  FROM idx GROUP BY user_id)
+SELECT user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope
+FROM agg
+""")
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise trend estimation: per-user OLS slope of daily value
+    over day index, from the closed form
+    (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²) — regression over millions of
+    groups as ONE aggregate pass (four sums per group, all map-side
+    partial-aggregated), no per-group iteration, no ML library.
+    Determinism: x and the x-moments are exact integers, y-moments sum
+    DECIMALs (order-free), and the final slope is one fixed-order
+    double expression rounded to 6 dp. Single-day users get slope 0
+    (denominator zero)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.round(
+                 F.sum(F.col("value").cast("decimal(25,6)"))
+                 .cast("double"), 6).alias("v")))
+    w = Window.partitionBy("user_id").orderBy("day")
+    idx = daily.select(
+        "user_id", "v",
+        (F.row_number().over(w) - 1).cast("bigint").alias("x"))
+    vdec = F.round("v", 6).cast("decimal(25,6)")
+    agg = idx.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(vdec).cast("double").alias("sy"),
+        F.sum(F.col("x") * vdec).cast("double").alias("sxy"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.round((F.col("n") * F.col("sxy")
+                 - F.col("sx") * F.col("sy")) / den, 6))
+    return agg.select("user_id", "n", slope.alias("slope"))
