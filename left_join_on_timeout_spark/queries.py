@@ -365,6 +365,20 @@ EXTRA_ORACLE: dict[str, str] = {
 # CDC/MERGE, streaming, as-of, range join, multimodal) as regression
 # coverage.  Everything after position 50 remains covered by the local
 # type-strict gate (tools/check_oracle.py, tests/test_queries_oracle.py).
+#
+# ROUND-5 ROTATION NOTE: the late-round-4 additions (registered in the
+# tail, local-oracle evidence only) are the next window candidates:
+# boilerplate_strip_docs, source_mix_temperature, stream_source_mix,
+# train_val_split_leakproof, training_order_shuffle, pii_redaction,
+# stream_pii_redaction, doc_lm_score, pq_codes_recon, ann_top1_ivfpq,
+# ann_recall_ivfpq, dedup_multi_signal_clusters, bigram_pmi_top,
+# dedup_graph_triangles, length_equidepth_bins, events_fir_smoothing,
+# json_dead_letter, stream_json_dead_letter, scd2_user_state_intervals,
+# cms_heavy_hitters, full_outer_timeout_join,
+# stream_full_outer_timeout_join, weighted_sample_docs,
+# feature_hash_docs, dedup_prefix_jaccard, user_value_trend (~26) —
+# front-load them in r5 with family sentinels behind, exactly as r4
+# did for r3's gap.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # -- never driver-adjudicated (r1+r2+r3 union gap) ------------- 28
