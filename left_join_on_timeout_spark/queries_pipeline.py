@@ -671,3 +671,44 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") * F.col("sxy")
                  - F.col("sx") * F.col("sy")) / den, 6))
     return agg.select("user_id", "n", slope.alias("slope"))
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection per group
+# ---------------------------------------------------------------------------
+
+@query("iqr_outlier_stats", """
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type)
+SELECT s.event_type, s.n, s.q1, s.q3,
+       CAST(count(CASE WHEN e.value < round(s.q1 - 1.5 * (s.q3 - s.q1), 6)
+                         OR e.value > round(s.q3 + 1.5 * (s.q3 - s.q1), 6)
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY s.event_type, s.n, s.q1, s.q3
+""")
+def q_iqr_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: exact interpolated
+    quartiles (verified bit-identical between Spark ``percentile`` and
+    DuckDB ``quantile_cont``), 1.5·IQR fences rounded before the
+    comparison so both engines flag identical rows. Two passes: a
+    per-group quantile aggregate (group-count-sized, broadcast back
+    onto the scan) and a map-side outlier count — the distribution-
+    robust alternative to the z-score filter, immune to the outliers
+    it is hunting."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"))
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.round(F.col("q1") - 1.5 * iqr, 6)
+    hi = F.round(F.col("q3") + 1.5 * iqr, 6)
+    joined = ev.join(F.broadcast(stats), "event_type")
+    return joined.groupBy("event_type", "n", "q1", "q3").agg(
+        F.count(F.when((F.col("value") < lo) | (F.col("value") > hi), 1))
+        .cast("bigint").alias("n_outliers"))
