@@ -712,3 +712,54 @@ def q_iqr_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type", "n", "q1", "q3").agg(
         F.count(F.when((F.col("value") < lo) | (F.col("value") > hi), 1))
         .cast("bigint").alias("n_outliers"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+_Z_EXPR = " + ".join(
+    f"(((a >> {k}) & 1) * {1 << (2 * k)})"
+    f" + (((b >> {k}) & 1) * {1 << (2 * k + 1)})"
+    for k in range(_Z_BITS))
+_Z_DIMS = """
+  SELECT CAST(user_id % 1024 AS BIGINT) AS a,
+         CAST(CAST(floor(value * 10) AS BIGINT) % 1024 AS BIGINT) AS b
+  FROM events"""
+
+
+@query("zorder_layout_stats", f"""
+WITH dims AS ({_Z_DIMS}),
+z AS (SELECT a, b, {_Z_EXPR} AS zkey FROM dims)
+SELECT CAST(floor(zkey / 16384.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+FROM z
+GROUP BY CAST(floor(zkey / 16384.0) AS BIGINT)
+""")
+def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys: interleave the bits of two
+    dimensions (user bucket × value bucket) so that sorting by ONE key
+    co-locates rows that are close in BOTH — the data-layout trick
+    behind multi-column file skipping (Delta/Iceberg OPTIMIZE ZORDER):
+    each of the 64 z-ranges spans a tight min/max box in *both*
+    dimensions, so a predicate on either column prunes most ranges.
+    The query materializes the per-range (n, min/max per dim) stats —
+    exactly the footer metadata a writer would produce. The bit
+    interleave is ONE integer expression string shared verbatim by
+    Spark and the oracle, so parity is by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = ev.selectExpr(
+        "CAST(user_id % 1024 AS BIGINT) AS a",
+        "CAST(CAST(floor(value * 10) AS BIGINT) % 1024 AS BIGINT) AS b")
+    z = dims.selectExpr("a", "b", f"{_Z_EXPR} AS zkey")
+    return (z.selectExpr(
+        "CAST(floor(zkey / 16384.0) AS BIGINT) AS bucket", "a", "b")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.min("a").cast("bigint").alias("min_a"),
+             F.max("a").cast("bigint").alias("max_a"),
+             F.min("b").cast("bigint").alias("min_b"),
+             F.max("b").cast("bigint").alias("max_b")))
