@@ -763,3 +763,62 @@ def q_zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("a").cast("bigint").alias("max_a"),
              F.min("b").cast("bigint").alias("min_b"),
              F.max("b").cast("bigint").alias("max_b")))
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel sessions (sequence pattern)
+# ---------------------------------------------------------------------------
+
+@query("ordered_funnel_sessions", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (min(CASE WHEN event_type = 'view' THEN ts END)
+        < max(CASE WHEN event_type = 'purchase' THEN ts END)) AS converted
+FROM sess
+GROUP BY user_id, sess_id
+""")
+def q_ordered_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern funnel: per (user, 30-min-gap session), did a
+    view happen STRICTLY BEFORE a purchase in that session — the
+    ordered MATCH_RECOGNIZE-style pattern (A then B), not mere
+    co-occurrence. The order constraint compiles to an aggregate:
+    ∃ view v, purchase p with v.ts < p.ts ⟺ min(view ts) <
+    max(purchase ts) — so the whole pattern is the sessionizer's one
+    keyed window pass plus one grouped aggregate, no self-join, no
+    per-row state machine. NULL `converted` = session lacking one leg
+    (SQL three-valued logic, identical both engines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800),
+        1).otherwise(0)
+    wc = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (ev.select("user_id", "event_type", "ts", "event_id",
+                      new_sess.alias("new_sess"))
+            .withColumn("sess_id",
+                        F.sum("new_sess").over(wc).cast("bigint")))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+         < F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
+        .alias("converted"))
