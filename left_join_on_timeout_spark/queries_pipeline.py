@@ -822,3 +822,66 @@ def q_ordered_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(F.when(F.col("event_type") == "view", F.col("ts")))
          < F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))))
         .alias("converted"))
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources
+# ---------------------------------------------------------------------------
+
+from left_join_on_timeout_spark.queries_text import _QUALITY  # noqa: E402
+
+
+@query("quantile_normalize_quality", f"""
+WITH q AS (
+  SELECT doc_id, source, round({_QUALITY}, 6) AS qual FROM documents),
+ref AS (
+  SELECT quantile_cont(qual, [{", ".join(f"{k}/100.0" for k in range(101))}])
+           AS arr
+  FROM q),
+ranked AS (
+  SELECT doc_id, source, qual,
+         CASE WHEN count(*) OVER (PARTITION BY source) = 1 THEN 0.5
+              ELSE CAST(row_number() OVER (PARTITION BY source
+                                           ORDER BY qual, doc_id) - 1
+                        AS DOUBLE)
+                   / (count(*) OVER (PARTITION BY source) - 1)
+         END AS pr
+  FROM q)
+SELECT doc_id, source, qual,
+       round(arr[CAST(floor(pr * 100.0 + 0.5) AS INT) + 1], 6) AS q_norm
+FROM ranked, ref
+""")
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the quality score across sources — the
+    batch-effect correction that maps every source's score distribution
+    onto the pooled reference distribution by rank, so a threshold
+    means the same thing for every source (upstream scorers drift per
+    crawl). The reference curve is compressed to 101 exact interpolated
+    percentile points (Spark ``percentile`` ⇄ DuckDB ``quantile_cont``,
+    verified bit-identical) carried as ONE broadcast array row; each
+    doc computes its per-source percent-rank (keyed windows — parallel
+    per source) and reads the nearest reference point with an O(1)
+    ``element_at``. No global sort, no single-partition window — the
+    production shape: curve resolution is a knob, corpus size is not.
+    Index rounding is explicit floor(x + 0.5) so both engines pick the
+    same point."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source",
+                    F.round(quality_score("text"), 6).alias("qual"))
+    fracs = ", ".join(f"CAST({k} AS DOUBLE)/100.0" for k in range(101))
+    ref = q.selectExpr(f"percentile(qual, array({fracs})) AS arr")
+    ws = Window.partitionBy("source").orderBy("qual", "doc_id")
+    ns = Window.partitionBy("source")
+    pr_s = F.when(F.count(F.lit(1)).over(ns) == 1, F.lit(0.5)).otherwise(
+        (F.row_number().over(ws) - 1).cast("double")
+        / (F.count(F.lit(1)).over(ns) - 1))
+    ranked = q.select("doc_id", "source", "qual", pr_s.alias("pr"))
+    idx = (F.floor(F.col("pr") * F.lit(100.0) + F.lit(0.5))
+           .cast("int") + 1)
+    return (ranked.crossJoin(F.broadcast(ref))
+            .select("doc_id", "source", "qual",
+                    F.round(F.element_at("arr", idx), 6).alias("q_norm")))
