@@ -43,6 +43,7 @@ BNLJ_ALLOWED = {
     "bigram_pmi_top",  # one-row corpus-totals cross
     "dedup_graph_triangles",   # one-row vertex/edge/triangle count crosses
     "length_equidepth_bins",   # one-row corpus-size N cross
+    "quantile_normalize_quality",  # one-row broadcast reference curve
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
