@@ -885,3 +885,48 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.crossJoin(F.broadcast(ref))
             .select("doc_id", "source", "qual",
                     F.round(F.element_at("arr", idx), 6).alias("q_norm")))
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct count (sliding-window COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+@query("rolling_7d_active_users", """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+contrib AS (
+  SELECT user_id, day + INTERVAL (o) DAY AS win_end
+  FROM days, UNNEST(range(0, 7)) AS t(o)),
+ends AS (SELECT DISTINCT date_trunc('day', ts) AS win_end FROM events)
+SELECT e.win_end,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_users
+FROM ends e JOIN contrib c ON c.win_end = e.win_end
+GROUP BY e.win_end
+""")
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling DISTINCT user count per day — the sliding-window
+    metric that cannot use a running-sum window because DISTINCT does
+    not decompose (a user active on 3 of the 7 days must count once).
+    The scalable shape: each (user, active-day) row *contributes* to
+    the 7 window-ends it falls into (a bounded ×7 explode — window
+    length, not data, is the fan-out), then one distinct-aggregate per
+    window-end — shuffle keys are (window_end, user), never a
+    data-scale self-join and no per-day re-scan of 7 days of history.
+    Window-ends are restricted to days that exist in the data so both
+    engines enumerate identical rows."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.date_trunc("day", F.col("ts")).alias("day"))
+            .distinct())
+    contrib = days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day").select(
+        "user_id",
+        (F.col("day") + F.make_interval(days=F.col("o"))).alias("win_end"))
+    ends = (ev.select(F.date_trunc("day", F.col("ts")).alias("win_end"))
+            .distinct())
+    return (contrib.join(ends, "win_end")
+            .groupBy("win_end")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("active_users")))
