@@ -81,6 +81,8 @@ HEADLINE = [
     "bigram_pmi_top",
     "full_outer_timeout_join",
     "cms_heavy_hitters",
+    "dup_span_detection",
+    "dsir_importance_weights",
 ]
 
 

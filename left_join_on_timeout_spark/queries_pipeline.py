@@ -930,3 +930,89 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("win_end")
             .agg(F.countDistinct("user_id").cast("bigint")
                  .alias("active_users")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_HEX = 2     # 16^2 = 256 hashed feature buckets
+_DSIR_B = 256
+
+
+@query("dsir_importance_weights", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, substr(md5(term), 1, {_DSIR_HEX}) AS b,
+              CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, substr(md5(term), 1, {_DSIR_HEX})),
+raw AS (SELECT b, sum(tf) AS cr FROM tf GROUP BY b),
+tgt AS (SELECT b, sum(tf) AS ct FROM tf WHERE doc_id % 20 = 0 GROUP BY b),
+tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
+lr AS (SELECT r.b,
+              CAST(round(ln((coalesce(t.ct, 0) + 1.0) / (tt + {_DSIR_B}.0))
+                         - ln((r.cr + 1.0) / (tr + {_DSIR_B}.0)), 6)
+                   AS DECIMAL(25,6)) AS lr
+       FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot)
+SELECT f.doc_id,
+       CAST(sum(f.tf) AS BIGINT) AS n_tok,
+       round(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf), 6)
+         AS mean_log_iw,
+       (round(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf), 6) > 0.0)
+         AS selected
+FROM tf f JOIN lr l ON f.b = l.b
+GROUP BY f.doc_id
+""")
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al., "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how much more
+    likely its hashed-n-gram features are under a *target-domain*
+    unigram model than under the raw-corpus model, then keep the
+    target-like docs. Target sample = ``doc_id % 20 = 0`` (the same
+    held-out-domain convention as ``contamination_ngram_overlap``'s
+    benchmark set); features = term counts hashed into {_DSIR_B}
+    md5-prefix buckets (the ``feature_hash_docs`` trick, so the model
+    is vocabulary-free); both bucket LMs are add-one smoothed.
+
+    Plan: ONE tokenize+hash pass builds the (doc, bucket, tf) relation;
+    both the raw and target bucket models derive from it ({_DSIR_B}-row
+    aggregates — map-side partials, then broadcast), totals are a
+    one-row broadcast cross. The per-doc score is then a broadcast-join
+    + keyed sum: nothing vocabulary- or corpus-scale ever sits on the
+    driver, and the corpus shuffles once. Determinism follows the
+    ``doc_lm_score`` recipe: per-bucket log-ratio rounded to 6 dp and
+    carried as DECIMAL, exact decimal·int sums, one final IEEE divide +
+    round per row; ``selected`` compares the same rounded value, so
+    both engines decide identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    tf = (toks.groupBy(
+        "doc_id",
+        F.substring(F.md5("term"), 1, _DSIR_HEX).alias("b"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    raw = tf.groupBy("b").agg(F.sum("tf").cast("bigint").alias("cr"))
+    tgt = (tf.where(F.col("doc_id") % 20 == 0)
+           .groupBy("b").agg(F.sum("tf").cast("bigint").alias("ct")))
+    tot = (raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+           .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0))
+                              .cast("bigint").alias("tt"))))
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    lr_val = F.round(
+        F.log((ct + 1.0) / (F.col("tt") + float(_DSIR_B)))
+        - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B))),
+        6).cast("decimal(25,6)")
+    lr = (raw.join(tgt, "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("b", lr_val.alias("lr")))
+    score = F.round(
+        F.sum(F.col("lr") * F.col("tf")).cast("double")
+        / F.sum("tf").cast("bigint"), 6)
+    return (tf.join(F.broadcast(lr), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("bigint").alias("n_tok"),
+                 score.alias("mean_log_iw"),
+                 (score > 0.0).alias("selected")))

@@ -658,3 +658,92 @@ def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda x: F.concat(x["bucket"], F.lit(":"),
                                            x["cnt"].cast("string"))),
             ",")).alias("feature_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8  # gram width in words; spans are maximal merges of dup grams
+
+
+@query("dup_span_detection", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS h
+  FROM toks,
+       UNNEST(range(1, greatest(len(w) - {_SPAN_K - 1}, 0) + 1)) AS t(i)),
+gc AS (SELECT h, count(*) AS nd FROM grams GROUP BY h),
+dup AS (SELECT g.doc_id, g.pos
+        FROM grams g JOIN gc ON g.h = gc.h WHERE gc.nd >= 2),
+flags AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS ns
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM flags)
+SELECT doc_id,
+       CAST(span_id AS INT) AS span_idx,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {_SPAN_K - 1} AS INT) AS span_end,
+       CAST(max(pos) + {_SPAN_K} - min(pos) AS INT) AS span_words
+FROM sp GROUP BY doc_id, span_id
+""")
+def q_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-*span* detection (the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", distributed form): find every maximal word range that is
+    repeated anywhere in the corpus (including within the same
+    document) and report it as ``(doc_id, span_idx, start, end)`` so a
+    downstream pass can cut the spans instead of dropping whole
+    documents — the op document-level dedup (``dedup_exact``/MinHash)
+    cannot express.
+
+    Plan: one shingle pass emits ``(doc_id, pos, md5(gram))`` for all
+    {_SPAN_K}-word grams; corpus-wide occurrence counts are a window
+    over the 16-byte digest (one shuffle, the crossdoc_dup_ngrams
+    discipline — no self-join, no second scan); duplicated positions
+    then merge per document by gaps-and-islands (new span when the gap
+    exceeds the gram width, running sum numbers the islands) — a keyed
+    window whose partition is one document's dup positions, trivially
+    parallel at 100 TB. Only digests and int positions ever shuffle;
+    the ``nd >= 2`` filter cuts the relation before the per-doc pass.
+    Output is int-exact, so the oracle hash is arithmetic-free."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (fan_out(docs)
+            .select("doc_id", words("text").alias("w"))
+            .where(F.size("w") >= k))
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - (k - 1))).alias("pos"),
+        "w").select(
+        "doc_id", "pos",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("pos"), k))).alias("h"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = (grams.withColumn("nd", nd)
+           .where(F.col("nd") >= 2)
+           .select("doc_id", "pos"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    new_span = F.when(prev.isNull() | ((F.col("pos") - prev) > k),
+                      F.lit(1)).otherwise(F.lit(0))
+    sp = (dup.withColumn("ns", new_span)
+          .withColumn("span_id", F.sum("ns").over(wd)))
+    return (sp.groupBy("doc_id", "span_id")
+            .agg(F.min("pos").cast("int").alias("span_start"),
+                 (F.max("pos") + (k - 1)).cast("int").alias("span_end"))
+            .select("doc_id",
+                    F.col("span_id").cast("int").alias("span_idx"),
+                    "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("int").alias("span_words")))

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "dedup_graph_triangles",   # one-row vertex/edge/triangle count crosses
     "length_equidepth_bins",   # one-row corpus-size N cross
     "quantile_normalize_quality",  # one-row broadcast reference curve
+    "dsir_importance_weights",  # one-row broadcast LM totals cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
@@ -138,6 +139,24 @@ def test_chunk_documents_no_shuffle(spark):
     """Chunking is row-local array math: nothing may shuffle."""
     plan = plan_of(spark, "chunk_documents_windows")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dup_span_shingles_once(spark):
+    """Gram occurrence counts must come from a window over the digest
+    (one corpus scan / one shingle pipeline), never a grams⋈grams
+    self-join — same discipline as crossdoc_dup_ngrams."""
+    plan = plan_of(spark, "dup_span_detection")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_dsir_broadcast_models_only(spark):
+    """Both bucket LMs and the totals row must reach the corpus via
+    broadcast: the vocabulary-free feature space is O(256), so no
+    corpus-scale SMJ may appear anywhere in the scoring path."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_sequence_packing_single_shuffle(spark):
