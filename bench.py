@@ -83,6 +83,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "dup_span_detection",
     "dsir_importance_weights",
+    "doc_lm2_score",
+    "dedup_incremental_probe",
 ]
 
 

@@ -147,6 +147,23 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 DEFAULT_LSH_BUCKET_CAP = 200
 
 
+def band_rows(sig: DataFrame, id_col: str,
+              k: int = DEFAULT_K,
+              bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(id, band, h): each signature's per-band bucket digests — one
+    row-local explode, the only relation LSH joins ever touch."""
+    rows = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws("|", *parts)).alias("h")))
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str,
                         k: int = DEFAULT_K,
                         bands: int = DEFAULT_BANDS,
@@ -158,16 +175,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str,
     boilerplate shingle set shared by millions of docs) are dropped before
     the self-join: an explicit recall tradeoff instead of an O(bucket²)
     stage."""
-    rows = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.md5(F.concat_ws("|", *parts)).alias("h")))
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    banded = band_rows(sig, id_col, k, bands)
     w = Window.partitionBy("band", "h")
     # persisted index (id + band + digest only): the a×b self-join below
     # would otherwise plan the whole upstream signature subtree — k
@@ -182,6 +190,35 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str,
     return (a.join(b, ["band", "h"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
+            .distinct())
+
+
+def lsh_probe_pairs(index_sig: DataFrame, probe_sig: DataFrame, id_col: str,
+                    k: int = DEFAULT_K,
+                    bands: int = DEFAULT_BANDS,
+                    bucket_cap: int = DEFAULT_LSH_BUCKET_CAP) -> DataFrame:
+    """Probe-only LSH — the incremental-ingest shape: a *new batch*
+    probes the standing corpus index without the index ever re-pairing
+    with itself. Both sides band row-locally; the capacity cap applies
+    to INDEX buckets (the standing side is where degenerate boilerplate
+    buckets accumulate over time); candidates are one equi-join of
+    batch bands against index buckets. At 100 TB this is the only join
+    whose cost grows with the batch, not the corpus — the index side is
+    a pre-bucketed (band, digest) relation a real deployment keeps
+    materialized between ingests. Returns distinct
+    ``(probe_id, index_id)``."""
+    from pyspark import StorageLevel
+
+    idx = band_rows(index_sig, id_col, k, bands)
+    w = Window.partitionBy("band", "h")
+    idx = (idx.withColumn("bsz", F.count("*").over(w))
+           .where(F.col("bsz") <= bucket_cap)
+           .drop("bsz")).persist(StorageLevel.MEMORY_AND_DISK)
+    prb = band_rows(probe_sig, id_col, k, bands)
+    return (prb.select(F.col(id_col).alias("probe_id"), "band", "h")
+            .join(idx.select(F.col(id_col).alias("index_id"), "band", "h"),
+                  ["band", "h"])
+            .select("probe_id", "index_id")
             .distinct())
 
 

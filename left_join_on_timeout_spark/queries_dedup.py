@@ -577,3 +577,101 @@ def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, "doc_id", "text",
                                        threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest probe: new batch vs standing corpus index
+# ---------------------------------------------------------------------------
+
+@query("dedup_incremental_probe", f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_DIGEST_COLS} FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+idx AS (
+  SELECT doc_id, band, h FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bsz
+    FROM bands WHERE doc_id % 10 != 0) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+prb AS (SELECT doc_id, band, h FROM bands WHERE doc_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS old_id
+  FROM prb p JOIN idx i ON p.band = i.band AND p.h = i.h),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, count(*) AS inter
+  FROM cand c
+  JOIN d a ON a.doc_id = c.new_id
+  JOIN d b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+jac AS (
+  SELECT new_id, old_id,
+         round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = new_id
+  JOIN sizes nb ON nb.doc_id = old_id
+  WHERE inter / (na.n_sh + nb.n_sh - inter) >= 0.5)
+SELECT new_id, old_id, jaccard FROM (
+  SELECT new_id, old_id, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, old_id) AS rn
+  FROM jac) t
+WHERE rn = 1
+""")
+def q_dedup_incremental_probe(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening — the shape a production ingest
+    actually runs: a NEW batch of documents (``doc_id % 10 = 0``, the
+    arrivals) probes the standing corpus index (the other 90%) for
+    near-duplicates, without the corpus ever re-pairing with itself.
+    Per new doc: its best existing match (highest exact Jaccard ≥ 0.5,
+    smallest old id on ties) or no row if it's genuinely novel.
+
+    Plan: ONE shingle-set pass feeds both splits and both verify sides
+    (persisted); signatures are row-local array math; candidates come
+    from :func:`operators.dedup.lsh_probe_pairs` (batch bands ⋈ capped
+    index buckets — cost scales with the batch, not the corpus); exact
+    Jaccard runs only on candidates via ``array_intersect``; the final
+    best-match is a per-new-doc window over candidate matches (bounded
+    by bands × cap). Nothing re-indexes the standing corpus."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.operators.dedup import (
+        _with_minhash,
+        lsh_probe_pairs,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    old_sets = sets.where(F.col("doc_id") % 10 != 0)
+    new_sets = sets.where(F.col("doc_id") % 10 == 0)
+    sig_old = _with_minhash(old_sets, "doc_id", DEFAULT_K).drop("sh_set")
+    sig_new = _with_minhash(new_sets, "doc_id", DEFAULT_K).drop("sh_set")
+    cand = (lsh_probe_pairs(sig_old, sig_new, "doc_id")
+            .withColumnRenamed("probe_id", "new_id")
+            .withColumnRenamed("index_id", "old_id"))
+    sized = sets.select("doc_id", "sh_set", F.size("sh_set").alias("n_sh"))
+    a = sized.select(F.col("doc_id").alias("new_id"),
+                     F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col("doc_id").alias("old_id"),
+                     F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("n_b"))
+    jac = (cand.join(a, "new_id").join(b, "old_id")
+           .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("n_a") + F.col("n_b") - F.col("inter")))
+           .where(F.col("jaccard") >= 0.5)
+           .select("new_id", "old_id",
+                   F.round("jaccard", 6).alias("jaccard")))
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    return (jac.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn"))

@@ -1016,3 +1016,74 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("tf").cast("bigint").alias("n_tok"),
                  score.alias("mean_log_iw"),
                  (score > 0.0).alias("selected")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional LM score
+# ---------------------------------------------------------------------------
+
+@query("doc_lm2_score", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents),
+bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+tf2 AS (SELECT doc_id, g, count(*) AS tf FROM bi GROUP BY doc_id, g),
+c2 AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+       FROM c2 GROUP BY split_part(g, ' ', 1)),
+v AS (SELECT CAST(count(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS v
+      FROM c2),
+gs AS (SELECT c2.g,
+              CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1)), 6)
+                   AS DECIMAL(25,6)) AS nll
+       FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1, v)
+SELECT tf2.doc_id,
+       CAST(sum(tf2.tf) AS BIGINT) AS n_bi,
+       round(CAST(sum(gs.nll * tf2.tf) AS DOUBLE)
+             / CAST(sum(tf2.tf) AS BIGINT), 6) AS lm2_score
+FROM tf2 JOIN gs ON tf2.g = gs.g
+GROUP BY tf2.doc_id
+""")
+def q_doc_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM quality score — the next rung above
+    ``doc_lm_score`` on the CCNet/KenLM ladder: per-document mean
+    negative log of the add-one-smoothed conditional ``p(w2 | w1) =
+    (c(w1 w2) + 1) / (c(w1 ·) + V)`` (V = successor vocabulary), i.e. a
+    distributed bigram perplexity proxy. Fluent text scores low,
+    shuffled-word or rare-pair soup scores high — a sharper curation
+    signal than unigram rarity because it sees word *order*.
+
+    Plan: ONE shingle pass builds the per-doc bigram tf relation
+    (persisted); the corpus bigram model ``c2`` and its prefix
+    marginals ``c1`` are successive partial-aggregated rollups of it —
+    no second scan, no position joins; V is a one-row broadcast cross.
+    The model tables are vocabulary-scale metadata, so their joins
+    shuffle digest-sized keys, never the corpus. Determinism is the
+    ``doc_lm_score`` recipe: per-gram -ln p rounded to 6 dp as DECIMAL,
+    exact decimal·int sums, one final IEEE divide + round per row."""
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = fan_out(docs).select(
+        "doc_id", F.explode(word_ngrams("text", 2)).alias("g"))
+    tf2 = (bi.groupBy("doc_id", "g")
+           .agg(F.count(F.lit(1)).alias("tf"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    c2 = tf2.groupBy("g").agg(F.sum("tf").cast("bigint").alias("c2"))
+    w1 = F.element_at(F.split(F.col("g"), " "), 1)
+    w2 = F.element_at(F.split(F.col("g"), " "), 2)
+    c1 = (c2.groupBy(w1.alias("w1"))
+          .agg(F.sum("c2").cast("bigint").alias("c1")))
+    v = c2.agg(F.countDistinct(w2).cast("bigint").alias("v"))
+    nll = F.round(
+        F.log((F.col("c1") + F.col("v")).cast("double")
+              / (F.col("c2") + F.lit(1))), 6).cast("decimal(25,6)")
+    gs = (c2.withColumn("w1", w1).join(c1, "w1")
+          .crossJoin(F.broadcast(v))
+          .select("g", nll.alias("nll")))
+    return (tf2.join(gs, "g")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("bigint").alias("n_bi"),
+                 F.round(
+                     F.sum(F.col("nll") * F.col("tf")).cast("double")
+                     / F.sum("tf").cast("bigint"), 6).alias("lm2_score")))

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "length_equidepth_bins",   # one-row corpus-size N cross
     "quantile_normalize_quality",  # one-row broadcast reference curve
     "dsir_importance_weights",  # one-row broadcast LM totals cross
+    "doc_lm2_score",  # one-row broadcast successor-vocabulary cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
@@ -148,6 +149,16 @@ def test_dup_span_shingles_once(spark):
     plan = plan_of(spark, "dup_span_detection")
     assert plan.count("FileScan parquet") == 1
     assert "Window" in plan and "Join" not in plan
+
+
+def test_incremental_probe_no_index_self_join(spark):
+    """The standing index must never re-pair with itself: every join in
+    the probe plan is either the batch⋈index band equi-join or an
+    id-keyed verify join — no CartesianProduct, no BNLJ, and the
+    candidate generator is bounded by the index bucket cap."""
+    plan = plan_of(spark, "dedup_incremental_probe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_dsir_broadcast_models_only(spark):
