@@ -675,3 +675,64 @@ def q_dedup_incremental_probe(spark: SparkSession,
     return (jac.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware train/val split (near-dup leakage-proof)
+# ---------------------------------------------------------------------------
+
+@query("cluster_aware_split", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+und AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach AS (
+  SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t),
+cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)
+SELECT d.doc_id,
+       coalesce(cl.cluster_id, d.doc_id) AS group_id,
+       CASE WHEN substr(md5('9#' || CAST(coalesce(cl.cluster_id, d.doc_id)
+                                         AS VARCHAR)), 1, 4) < '0ccc'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+""")
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val split — the rung above
+    ``train_val_split_leakproof``: content-fingerprint splitting only
+    co-locates *byte-identical* duplicates, but a paraphrased near-dup
+    still lands across the split and leaks. Here the split unit is the
+    near-dup CLUSTER: LSH candidate pairs → connected components, every
+    document inherits its cluster representative as ``group_id``
+    (singletons are their own group), and the val gate is a
+    deterministic md5 hash of the group — so a near-dup pair crossing
+    the split is impossible *by construction*, not just unlikely.
+
+    Plan: the pair/CC machinery is exactly ``dedup_cc_clusters``
+    (bucketed equi-joins, large-star/small-star contraction); the split
+    itself is one broadcast-sized left join (only docs that appear in
+    some pair carry a cluster row) plus row-local hashing. The gate
+    hashes the *group*, so membership changes upstream never reshuffle
+    unrelated groups between splits."""
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component"))
+    base = docs.select("doc_id").join(cc, "doc_id", "left")
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
+    gate = F.substring(
+        F.md5(F.concat(F.lit("9#"), group.cast("string"))), 1, 4)
+    return base.select(
+        "doc_id",
+        group.alias("group_id"),
+        F.when(gate < "0ccc", F.lit("val"))
+         .otherwise(F.lit("train")).alias("split"))

@@ -63,3 +63,33 @@ def test_stratified_rates(spark):
     assert abs(got["en"] / 10_000 - 0.1) < 0.03
     assert abs(got["de"] / 10_000 - 0.9) < 0.03
     assert abs(got["fr"] / 10_000 - 0.5) < 0.03  # default rate
+
+
+def test_cluster_aware_split_no_neardup_leak(spark):
+    """Structural guarantee: no LSH near-dup candidate pair may span the
+    train/val boundary, because both ends hash the same group_id."""
+    from pyspark.sql import functions as F
+
+    from left_join_on_timeout_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from left_join_on_timeout_spark.queries import QUERIES
+    from left_join_on_timeout_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    split = QUERIES["cluster_aware_split"](spark, sf)
+    docs = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signature(docs, "doc_id", "text"), "doc_id")
+    a = split.select(F.col("doc_id").alias("id_a"),
+                     F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"),
+                     F.col("split").alias("split_b"))
+    crossing = (pairs.join(a, "id_a").join(b, "id_b")
+                .where(F.col("split_a") != F.col("split_b")))
+    assert crossing.count() == 0
+    # both splits are non-trivially populated
+    sizes = {r["split"]: r["count"]
+             for r in split.groupBy("split").count().collect()}
+    assert sizes.get("train", 0) > 0 and sizes.get("val", 0) > 0
