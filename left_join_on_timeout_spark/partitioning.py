@@ -23,6 +23,10 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: the session's default
     parallelism) iff its current plan yields fewer partitions — a no-op
     for any input that already fans across the cluster."""
+    if df.isStreaming:
+        # a stream's parallelism is set by its source partitioning, and
+        # inspecting .rdd would force a batch execution — pass through
+        return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -256,3 +256,75 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return drain_stream(spark, docs, chunk_windows)
+
+
+from left_join_on_timeout_spark.queries_dedup import (  # noqa: E402
+    _BAND_SELECTS,
+    _DIGEST_COLS,
+    _SHINGLES_CTE,
+    _SIG_COLS,
+)
+from left_join_on_timeout_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_LSH_BUCKET_CAP,
+)
+
+
+@query("stream_incremental_probe", f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_DIGEST_COLS} FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+idx AS (
+  SELECT doc_id, band, h FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bsz
+    FROM bands WHERE doc_id % 10 != 0) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+prb AS (SELECT doc_id, band, h FROM bands WHERE doc_id % 10 = 0)
+SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS old_id
+FROM prb p JOIN idx i ON p.band = i.band AND p.h = i.h
+""")
+def q_stream_incremental_probe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup screening as a STREAM: new documents arrive,
+    each is MinHash-signed and banded *row-locally* (narrow ops only on
+    the stream side — no streaming shuffle before the join), and probes
+    the standing corpus LSH index as a static side that Spark re-plans
+    per micro-batch (so overnight index rebuilds are picked up without
+    restarting the query). Emits distinct (new_id, old_id) candidate
+    hits — the streaming twin of ``dedup_incremental_probe``'s candidate
+    stage; exact-Jaccard verify runs downstream in batch.
+
+    The only stateful op is the candidate-level ``dropDuplicates`` (a
+    doc can hit the same index doc through several bands); its state is
+    bounded by live candidate pairs, and at 100 TB a deployment would
+    scope it with a watermark on arrival time."""
+    from left_join_on_timeout_spark.operators.dedup import (
+        band_rows,
+        minhash_signature,
+    )
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    sig_old = minhash_signature(corpus, "doc_id", "text")
+    w = Window.partitionBy("band", "h")
+    idx = (band_rows(sig_old, "doc_id")
+           .withColumn("bsz", F.count("*").over(w))
+           .where(F.col("bsz") <= DEFAULT_LSH_BUCKET_CAP)
+           .drop("bsz")
+           .select(F.col("doc_id").alias("old_id"), "band", "h")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    idx.count()  # materialize the standing index before the stream runs
+    batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    def probe(stream: DataFrame) -> DataFrame:
+        sig = minhash_signature(stream, "doc_id", "text")
+        bands = band_rows(sig, "doc_id").withColumnRenamed(
+            "doc_id", "new_id")
+        return (bands.join(idx, ["band", "h"])
+                .select("new_id", "old_id")
+                .dropDuplicates(["new_id", "old_id"]))
+
+    return drain_stream(spark, batch, probe)
