@@ -527,3 +527,71 @@ def prefix_filter_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return (jac.where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def prefix_filter_containment_pairs(df: DataFrame, id_col: str,
+                                    text_col: str,
+                                    threshold: float = 0.8,
+                                    shingle_n: int = DEFAULT_SHINGLE
+                                    ) -> DataFrame:
+    """Exact set-CONTAINMENT join via prefix filtering: all directed
+    pairs where ``|A∩B| / |A| ≥ t`` — document A's shingles are mostly
+    inside document B (quotation, excerpt, page-wrap inclusion). This
+    is the asymmetric relation Jaccard misses: a paragraph quoted
+    inside a book has near-zero Jaccard but containment ≈ 1.
+
+    Completeness argument: order every document's shingles rare-first
+    (ascending global df, digest tiebreak). If B holds ≥ t·n_a of A's
+    shingles, the ones missing from B number ≤ (1−t)·n_a, so among A's
+    first ``n_a − ⌈t·n_a⌉ + 1`` ordered shingles at least one is in B —
+    probing with A's prefix against the full postings list is exact.
+    Only the PROBE side is prefix-cut (the container side has no
+    positional constraint, unlike the Jaccard join); rare-first order
+    keeps the probe tokens in the smallest postings buckets. A size
+    filter ``n_b ≥ ⌈t·n_a⌉`` prunes impossible containers before
+    verification; verification is one exact ``array_intersect`` per
+    candidate. Nothing is corpus-quadratic: the join cost is bounded by
+    Σ_probe-token df — the price of EXACT asymmetric results (the
+    sibling of :func:`prefix_filter_jaccard_pairs`'s analysis in
+    PLANS.md)."""
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, id_col, text_col, shingle_n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (sets.select(F.col(id_col), F.explode("sh_set").alias("s"))
+          .select(F.col(id_col), F.md5("s").alias("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (sh.join(dfreq, "h")
+               .groupBy(id_col)
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("df", "h"))).alias("arr")))
+    n_sh = F.size("arr")
+    p = n_sh - F.ceil(F.lit(threshold) * n_sh) + 1
+    prefix = (ordered
+              .select(F.col(id_col), n_sh.alias("n_a"),
+                      F.explode(F.transform(
+                          F.slice("arr", F.lit(1), p.cast("int")),
+                          lambda x: x["h"])).alias("h")))
+    a = prefix.select(F.col(id_col).alias("inner_id"), "n_a", "h")
+    b = sh.select(F.col(id_col).alias("outer_id"), "h")
+    sizes = sets.select(F.col(id_col).alias("outer_id"),
+                        F.size("sh_set").alias("n_b"))
+    cand = (a.join(b, "h")
+            .where(F.col("inner_id") != F.col("outer_id"))
+            .select("inner_id", "outer_id", "n_a")
+            .distinct()
+            .join(sizes, "outer_id")
+            .where(F.col("n_b")
+                   >= F.ceil(F.lit(threshold) * F.col("n_a"))))
+    seta = sets.select(F.col(id_col).alias("inner_id"),
+                       F.col("sh_set").alias("set_a"))
+    setb = sets.select(F.col(id_col).alias("outer_id"),
+                       F.col("sh_set").alias("set_b"))
+    scored = (cand.join(seta, "inner_id").join(setb, "outer_id")
+              .withColumn("inter",
+                          F.size(F.array_intersect("set_a", "set_b")))
+              .withColumn("containment", F.col("inter") / F.col("n_a")))
+    return (scored.where(F.col("containment") >= threshold)
+            .select("inner_id", "outer_id",
+                    F.round("containment", 6).alias("containment")))

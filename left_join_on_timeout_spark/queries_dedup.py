@@ -736,3 +736,58 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         group.alias("group_id"),
         F.when(gate < "0ccc", F.lit("val"))
          .otherwise(F.lit("train")).alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Exact containment join (asymmetric: quote / excerpt detection)
+# ---------------------------------------------------------------------------
+
+@query("containment_pairs", f"""
+WITH {_SHINGLES_CTE},
+d AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),
+dfreq AS (SELECT h, count(*) AS df FROM d GROUP BY h),
+ord AS (
+  SELECT d.doc_id, d.h,
+         row_number() OVER (PARTITION BY d.doc_id
+                            ORDER BY f.df, d.h) AS pos,
+         count(*) OVER (PARTITION BY d.doc_id) AS n_a
+  FROM d JOIN dfreq f ON d.h = f.h),
+pre AS (
+  SELECT doc_id, h, n_a FROM ord
+  WHERE pos <= n_a - CAST(ceil(0.8 * n_a) AS BIGINT) + 1),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT p.doc_id AS inner_id, t.doc_id AS outer_id, p.n_a
+  FROM pre p JOIN d t ON t.h = p.h AND t.doc_id != p.doc_id),
+sized AS (
+  SELECT c.inner_id, c.outer_id, c.n_a
+  FROM cand c JOIN sizes s ON s.doc_id = c.outer_id
+  WHERE s.n_sh >= CAST(ceil(0.8 * c.n_a) AS BIGINT)),
+inter AS (
+  SELECT c.inner_id, c.outer_id, c.n_a, count(*) AS inter
+  FROM sized c
+  JOIN d a ON a.doc_id = c.inner_id
+  JOIN d b ON b.doc_id = c.outer_id AND b.h = a.h
+  GROUP BY 1, 2, 3)
+SELECT inner_id, outer_id, round(inter / n_a, 6) AS containment
+FROM inter
+WHERE inter / n_a >= 0.8
+""")
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-containment join at t = 0.8: every directed pair where
+    ≥80% of the inner document's shingles appear in the outer document
+    — quotation/excerpt/page-wrap inclusion, the asymmetric duplication
+    Jaccard structurally misses (a paragraph quoted in a book has
+    Jaccard ≈ 0 but containment ≈ 1). Candidates come from prefix
+    filtering on the PROBE side only (rare-first order, complete by the
+    pigeonhole argument in
+    ``operators/dedup.py::prefix_filter_containment_pairs``); the
+    container side is the full postings relation, with a size filter
+    pruning impossible containers before the exact
+    ``array_intersect`` verify."""
+    from left_join_on_timeout_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_containment_pairs(docs, "doc_id", "text", 0.8)
