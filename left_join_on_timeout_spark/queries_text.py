@@ -747,3 +747,143 @@ def q_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start") + 1)
                     .cast("int").alias("span_words")))
+
+
+@query("dup_span_removal_stats", f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array({_T_NORM}, '\\s+') AS w
+              FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')) AS h
+  FROM toks,
+       UNNEST(range(1, greatest(len(w) - {_SPAN_K - 1}, 0) + 1)) AS t(i)),
+gc AS (SELECT h, count(*) AS nd FROM grams GROUP BY h),
+dup AS (SELECT g.doc_id, g.pos
+        FROM grams g JOIN gc ON g.h = gc.h WHERE gc.nd >= 2),
+flags AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS ns
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (SELECT doc_id, pos,
+              sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       FROM flags),
+spans AS (
+  SELECT doc_id, CAST(count(DISTINCT span_id) AS BIGINT) AS n_spans,
+         CAST(sum(width) AS BIGINT) AS dup_words
+  FROM (SELECT doc_id, span_id,
+               max(pos) + {_SPAN_K} - min(pos) AS width
+        FROM sp GROUP BY doc_id, span_id)
+  GROUP BY doc_id),
+nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks)
+SELECT nw.doc_id,
+       nw.n_words,
+       coalesce(s.n_spans, 0) AS n_spans,
+       coalesce(s.dup_words, 0) AS dup_words,
+       round(1.0 - coalesce(s.dup_words, 0) / nw.n_words, 6) AS kept_frac
+FROM nw LEFT JOIN spans s ON s.doc_id = nw.doc_id
+""")
+def q_dup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ``dup_span_detection``: per document, how much
+    text the duplicate-span cut removes — span count, words covered by
+    maximal duplicated spans, and the kept fraction after cutting (the
+    number a curation run reports before committing the cut corpus).
+    Maximal spans never overlap by construction (overlapping islands
+    merge), so the covered mass is a plain sum of span widths; docs with
+    no duplicated span keep 100%. Same one-shingle-pass / one
+    digest-window plan as the detector, plus a per-doc rollup and a
+    left join back to per-doc word counts."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select("doc_id", words("text").alias("w"))
+    grams = (toks.where(F.size("w") >= k)
+             .select("doc_id",
+                     F.explode(F.sequence(
+                         F.lit(1), F.size("w") - (k - 1))).alias("pos"),
+                     "w")
+             .select("doc_id", "pos",
+                     F.md5(F.concat_ws(
+                         " ", F.slice("w", F.col("pos"), k))).alias("h")))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = (grams.withColumn("nd", nd)
+           .where(F.col("nd") >= 2)
+           .select("doc_id", "pos"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wd)
+    new_span = F.when(prev.isNull() | ((F.col("pos") - prev) > k),
+                      F.lit(1)).otherwise(F.lit(0))
+    sp = (dup.withColumn("ns", new_span)
+          .withColumn("span_id", F.sum("ns").over(wd)))
+    spans = (sp.groupBy("doc_id", "span_id")
+             .agg((F.max("pos") + k - F.min("pos")).alias("width"))
+             .groupBy("doc_id")
+             .agg(F.countDistinct("span_id").cast("bigint")
+                  .alias("n_spans"),
+                  F.sum("width").cast("bigint").alias("dup_words")))
+    nw = toks.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+    dupw = F.coalesce(F.col("dup_words"), F.lit(0)).cast("bigint")
+    return (nw.join(spans, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint")
+                    .alias("n_spans"),
+                    dupw.alias("dup_words"),
+                    F.round(F.lit(1.0) - dupw / F.col("n_words"), 6)
+                    .alias("kept_frac")))
+
+
+_VOCAB_V = 16  # top-V corpus vocabulary (deterministic tf desc, term asc)
+
+
+@query("oov_rate_docs", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rnk
+    FROM tc) t
+  WHERE rnk <= {_VOCAB_V})
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+""")
+def q_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per document, the fraction of tokens
+    outside the corpus's top-{_VOCAB_V} vocabulary (tf-descending,
+    term-ascending tiebreak — fully deterministic). High OOV rate marks
+    docs a fixed-vocabulary tokenizer will fragment into rare pieces —
+    the standard pre-tokenization screen before committing a vocab
+    size. Plan: one tokenize pass, a vocabulary-sized aggregate whose
+    top-V is a broadcast table, and a map-side left join — the corpus
+    never shuffles for the vocabulary lookup."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("c"), F.asc("term")))
+    vocab = (tc.withColumn("rnk", rnk)
+             .where(F.col("rnk") <= _VOCAB_V)
+             .select("term", F.lit(True).alias("in_v")))
+    is_oov = F.when(F.col("in_v").isNull(), 1).otherwise(0)
+    return (toks.join(F.broadcast(vocab), "term", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+                 F.sum(is_oov).cast("bigint").alias("n_oov"),
+                 F.round(F.sum(is_oov).cast("double")
+                         / F.count(F.lit(1)), 6).alias("oov_rate")))
