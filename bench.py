@@ -85,6 +85,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "doc_lm2_score",
     "dedup_incremental_probe",
+    "containment_pairs",
 ]
 
 

@@ -887,3 +887,51 @@ def q_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(is_oov).cast("bigint").alias("n_oov"),
                  F.round(F.sum(is_oov).cast("double")
                          / F.count(F.lit(1)), 6).alias("oov_rate")))
+
+
+@query("novelty_score_docs", f"""
+WITH {_grams_sql(8)},
+first_seen AS (SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_frac
+FROM grams g JOIN first_seen f ON g.h = f.h
+GROUP BY g.doc_id
+""")
+def q_novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty score: per document (in doc_id ingest order),
+    the fraction of its distinct 8-grams whose globally FIRST occurrence
+    is this document — 1.0 for genuinely new content, → 0 for documents
+    that only restate earlier corpus material. This is the ordering-
+    aware complement of ``crossdoc_dup_ngrams``: where that measures how
+    *shared* a doc's content is, this measures whether the doc
+    *introduced* it, the signal a data-ordering/curriculum pass sorts on
+    ("train on novel material first, recycled material later").
+
+    Plan: one distinct-shingle pass, the per-gram first-occurrence is a
+    min-aggregate over the 16-byte digest (map-side partials), then one
+    window-free join back — the same single-shuffle discipline as the
+    crossdoc query; the novelty test is ``first_doc = doc_id``, so no
+    per-pair or per-position state exists anywhere."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (fan_out(docs)
+             .select("doc_id",
+                     F.explode(word_ngrams("text", 8)).alias("g"))
+             .select("doc_id", F.md5("g").alias("h"))
+             .distinct())
+    first_doc = F.min("doc_id").over(Window.partitionBy("h"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (grams.withColumn("first_doc", first_doc)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(novel).cast("bigint").alias("n_novel"),
+                 F.round(F.sum(novel).cast("double") / F.count(F.lit(1)),
+                         6).alias("novelty_frac")))
