@@ -1,0 +1,93 @@
+"""Crafted-corpus unit tests for the exact duplicate-span detector and
+the containment join — cases the synthetic driver corpus doesn't pin
+down: self-repetition inside one document, adjacent-span merging, and
+directed (asymmetric) containment with a non-contained control."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.queries import QUERIES
+
+
+def _mk_docs(spark, texts: list[str]) -> str:
+    """Write a documents.parquet with the given texts; return its dir."""
+    d = tempfile.mkdtemp(prefix="ljot_docs_")
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    return d
+
+
+WORDS = "w%d"
+
+
+def _seq(lo: int, hi: int) -> str:
+    return " ".join(WORDS % i for i in range(lo, hi))
+
+
+def test_dup_span_cross_doc_and_merge(spark):
+    """Two docs share a 12-word run inside otherwise-unique text: the
+    detector must emit ONE maximal span per doc covering exactly that
+    run (the 5 duplicated 8-gram start positions merge into one island,
+    never 5 separate spans)."""
+    shared = _seq(1000, 1012)                       # 12 shared words
+    a = _seq(0, 10) + " " + shared + " " + _seq(20, 30)
+    b = _seq(40, 50) + " " + shared + " " + _seq(60, 70)
+    sf = _mk_docs(spark, [a, b])
+    out = QUERIES["dup_span_detection"](spark, sf).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end, r.span_words)
+             for r in out}
+    # words 11..22 (1-based) in both docs: starts 11..15 merge into one
+    # span [11, 22] of width 12
+    assert spans == {(0, 11, 22, 12), (1, 11, 22, 12)}
+
+
+def test_dup_span_self_repetition(spark):
+    """A single document that repeats its own 10-word run twice must
+    self-report both occurrences (corpus-wide occurrence counting, not
+    distinct-per-doc), as two separate spans."""
+    run = _seq(500, 510)                            # 10 words
+    text = run + " " + _seq(0, 20) + " " + run
+    sf = _mk_docs(spark, [text])
+    out = QUERIES["dup_span_detection"](spark, sf).collect()
+    spans = sorted((r.span_start, r.span_end) for r in out)
+    assert spans == [(1, 10), (31, 40)]
+
+
+def test_containment_directed(spark):
+    """Doc 0's shingles are a strict subset of doc 1's (a quote inside a
+    longer doc): containment must report (0 ⊂ 1) and NOT (1 ⊂ 0), and an
+    unrelated control doc must appear in no pair."""
+    quote = _seq(100, 130)                          # 30 words
+    book = _seq(0, 40) + " " + quote + " " + _seq(50, 90)
+    control = _seq(200, 260)
+    sf = _mk_docs(spark, [quote, book, control])
+    out = QUERIES["containment_pairs"](spark, sf).collect()
+    pairs = {(r.inner_id, r.outer_id): r.containment for r in out}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+
+
+def test_span_removal_stats_consistency(spark):
+    """kept_frac must equal 1 - dup_words/n_words and a span-free doc
+    keeps 100%."""
+    shared = _seq(1000, 1012)
+    a = _seq(0, 10) + " " + shared + " " + _seq(20, 30)
+    b = _seq(40, 50) + " " + shared + " " + _seq(60, 70)
+    clean = _seq(300, 340)
+    sf = _mk_docs(spark, [a, b, clean])
+    rows = {r.doc_id: r for r in
+            QUERIES["dup_span_removal_stats"](spark, sf).collect()}
+    assert rows[2].n_spans == 0 and rows[2].kept_frac == 1.0
+    for i in (0, 1):
+        r = rows[i]
+        assert r.dup_words == 12
+        assert r.kept_frac == pytest.approx(1 - 12 / r.n_words, abs=1e-6)
