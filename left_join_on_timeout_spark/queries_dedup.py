@@ -26,35 +26,16 @@ from left_join_on_timeout_spark.queries import query
 from left_join_on_timeout_spark.sources.tables import load_table
 
 # --- shared SQL fragments (the DuckDB twins of functions/text helpers) ---
-
-_WORDS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
-
-# word-3-gram shingles; docs under 3 words contribute one whole-text shingle
-_SHINGLES_CTE = f"""
-toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= 3 THEN w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2]
-              ELSE array_to_string(w, ' ') END AS shingle
-  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
-)"""
-
-_PLAN = minhash_digest_plan(DEFAULT_K)
-_N_DIGESTS = max(d for d, _ in _PLAN) + 1
-_DIGEST_COLS = ",\n       ".join(
-    ("md5(shingle)" if d == 0 else f"md5(shingle || '#{d}')") + f" AS h{d}"
-    for d in range(_N_DIGESTS))
-_SIG_COLS = ",\n       ".join(
-    f"min(substr(h{d}, {off}, 8)) AS m{j}"
-    for j, (d, off) in enumerate(_PLAN))
-
-_ROWS = DEFAULT_K // DEFAULT_BANDS
-_PIPE = " || '|' || "
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5({_PIPE.join(f'm{b * _ROWS + r}' for r in range(_ROWS))}) AS h "
-    f"FROM sig"
-    for b in range(DEFAULT_BANDS))
+# canonical definitions live in the leaf module sql_lsh (no registry
+# imports → no cycles); the underscore aliases keep this module's many
+# f-string oracle bodies unchanged
+from left_join_on_timeout_spark.sql_lsh import (  # noqa: E402
+    BAND_SELECTS as _BAND_SELECTS,
+    DIGEST_COLS as _DIGEST_COLS,
+    SHINGLES_CTE as _SHINGLES_CTE,
+    SIG_COLS as _SIG_COLS,
+    WORDS_SQL as _WORDS,
+)
 
 
 @query("dedup_exact", """
@@ -791,3 +772,84 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_containment_pairs(docs, "doc_id", "text", 0.8)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_ITER_CTES = []
+_prev = "pr0"
+for _i in range(1, _PR_ITERS + 1):
+    _PR_ITER_CTES.append(f"""
+pr{_i} AS (
+  SELECT u.t AS id,
+         round(0.15 / (SELECT n FROM n)
+               + 0.85 * CAST(sum(CAST(round(p.pr / d.deg, 9)
+                                      AS DECIMAL(28,9))) AS DOUBLE), 9) AS pr
+  FROM und u JOIN {_prev} p ON p.id = u.s JOIN deg d ON d.s = u.s
+  GROUP BY u.t)""")
+    _prev = f"pr{_i}"
+
+
+@query("pagerank_candidates", f"""
+WITH {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+und AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+n AS (SELECT count(*) AS n FROM deg),
+pr0 AS (SELECT s AS id, 1.0 / (SELECT n FROM n) AS pr FROM deg),
+{",".join(_PR_ITER_CTES)}
+SELECT id AS doc_id, round(pr, 6) AS pagerank FROM pr{_PR_ITERS}
+""")
+def q_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {_PR_ITERS} synchronous iterations) over
+    the undirected LSH near-dup candidate graph — the centrality signal
+    that ranks *hub* documents inside duplication neighborhoods (a
+    boilerplate template touching many clusters outranks a leaf
+    replica), complementing ``dedup_graph_triangles``'s density and
+    ``dedup_cc_clusters``'s membership. The graph is undirected so no
+    dangling-mass term exists (every node has out-degree ≥ 1).
+
+    Plan: the power iteration is the canonical Spark shape — per round,
+    one equi-join of the rank vector against the (persisted) edge list
+    and one sum-aggregate keyed by destination, with ``localCheckpoint``
+    truncating lineage (the ``connected_components`` discipline). Ranks
+    and degrees shuffle as (id, double) pairs; the edge relation
+    shuffles once when persisted. Iterations are a fixed constant, so
+    the oracle unrolls them as CTEs. Determinism: per-edge contributions
+    round to 9 dp and sum as DECIMAL (order-free), each new rank rounds
+    to 9 dp — both engines iterate bit-identical vectors."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    und = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+           .unionAll(pairs.select(F.col("id_b").alias("s"),
+                                  F.col("id_a").alias("t")))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    deg = (und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    n = deg.count()
+    pr = deg.select(F.col("s").alias("id"),
+                    (F.lit(1.0) / F.lit(n)).alias("pr")).localCheckpoint()
+    ed = und.join(deg, "s")  # (s, t, deg) — static across iterations
+    for _ in range(_PR_ITERS):
+        contrib = F.round(F.col("pr") / F.col("deg"), 9) \
+            .cast("decimal(28,9)")
+        pr = (ed.join(pr, ed.s == pr.id)
+              .select(F.col("t"), contrib.alias("c"))
+              .groupBy("t")
+              .agg(F.round(F.lit(0.15) / F.lit(n)
+                           + F.lit(0.85) * F.sum("c").cast("double"),
+                           9).alias("pr"))
+              .select(F.col("t").alias("id"), "pr")
+              .localCheckpoint())
+    return pr.select(F.col("id").alias("doc_id"),
+                     F.round("pr", 6).alias("pagerank"))

@@ -258,11 +258,11 @@ def q_stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_stream(spark, docs, chunk_windows)
 
 
-from left_join_on_timeout_spark.queries_dedup import (  # noqa: E402
-    _BAND_SELECTS,
-    _DIGEST_COLS,
-    _SHINGLES_CTE,
-    _SIG_COLS,
+from left_join_on_timeout_spark.sql_lsh import (  # noqa: E402
+    BAND_SELECTS as _BAND_SELECTS,
+    DIGEST_COLS as _DIGEST_COLS,
+    SHINGLES_CTE as _SHINGLES_CTE,
+    SIG_COLS as _SIG_COLS,
 )
 from left_join_on_timeout_spark.operators.dedup import (  # noqa: E402
     DEFAULT_LSH_BUCKET_CAP,
