@@ -940,7 +940,38 @@ _DSIR_HEX = 2     # 16^2 = 256 hashed feature buckets
 _DSIR_B = 256
 
 
-@query("dsir_importance_weights", f"""
+def dsir_tf_and_model(spark: SparkSession, sf_dir: str):
+    """(tf, lr): the persisted (doc, bucket, tf) feature relation and
+    the {B}-row log-importance-ratio model table — shared by the batch
+    scorer and the streaming apply twin so both use the identical
+    trained snapshot (see ``q_dsir_importance_weights`` for the plan
+    and determinism notes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(words("text")).alias("term"))
+    tf = (toks.groupBy(
+        "doc_id",
+        F.substring(F.md5("term"), 1, _DSIR_HEX).alias("b"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    raw = tf.groupBy("b").agg(F.sum("tf").cast("bigint").alias("cr"))
+    tgt = (tf.where(F.col("doc_id") % 20 == 0)
+           .groupBy("b").agg(F.sum("tf").cast("bigint").alias("ct")))
+    tot = (raw.agg(F.sum("cr").cast("bigint").alias("tr"))
+           .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0))
+                              .cast("bigint").alias("tt"))))
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    lr_val = F.round(
+        F.log((ct + 1.0) / (F.col("tt") + float(_DSIR_B)))
+        - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B))),
+        6).cast("decimal(25,6)")
+    lr = (raw.join(tgt, "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .select("b", lr_val.alias("lr")))
+    return tf, lr
+
+
+DSIR_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
   FROM documents),
@@ -964,7 +995,10 @@ SELECT f.doc_id,
          AS selected
 FROM tf f JOIN lr l ON f.b = l.b
 GROUP BY f.doc_id
-""")
+"""
+
+
+@query("dsir_importance_weights", DSIR_SQL)
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al., "Data Selection for Language Models via
     Importance Resampling"): score every raw document by how much more
@@ -986,28 +1020,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried as DECIMAL, exact decimal·int sums, one final IEEE divide +
     round per row; ``selected`` compares the same rounded value, so
     both engines decide identically."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = fan_out(docs).select(
-        "doc_id", F.explode(words("text")).alias("term"))
-    tf = (toks.groupBy(
-        "doc_id",
-        F.substring(F.md5("term"), 1, _DSIR_HEX).alias("b"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    raw = tf.groupBy("b").agg(F.sum("tf").cast("bigint").alias("cr"))
-    tgt = (tf.where(F.col("doc_id") % 20 == 0)
-           .groupBy("b").agg(F.sum("tf").cast("bigint").alias("ct")))
-    tot = (raw.agg(F.sum("cr").cast("bigint").alias("tr"))
-           .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0))
-                              .cast("bigint").alias("tt"))))
-    ct = F.coalesce(F.col("ct"), F.lit(0))
-    lr_val = F.round(
-        F.log((ct + 1.0) / (F.col("tt") + float(_DSIR_B)))
-        - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B))),
-        6).cast("decimal(25,6)")
-    lr = (raw.join(tgt, "b", "left")
-          .crossJoin(F.broadcast(tot))
-          .select("b", lr_val.alias("lr")))
+    tf, lr = dsir_tf_and_model(spark, sf_dir)
     score = F.round(
         F.sum(F.col("lr") * F.col("tf")).cast("double")
         / F.sum("tf").cast("bigint"), 6)

@@ -328,3 +328,59 @@ def q_stream_incremental_probe(spark: SparkSession,
                 .dropDuplicates(["new_id", "old_id"]))
 
     return drain_stream(spark, batch, probe)
+
+
+from left_join_on_timeout_spark.queries_pipeline import (  # noqa: E402
+    DSIR_SQL,
+)
+
+
+@query("stream_dsir_score", DSIR_SQL)
+def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / apply-stream: the DSIR importance model (256
+    log-ratio buckets, ``queries_pipeline.dsir_tf_and_model``) is
+    trained on the standing corpus, snapshotted into a 256-entry map
+    LITERAL (the "ship the model to ingest" pattern — the one
+    deliberate driver-side collect of a bounded model artifact, the
+    broadcast-variable analog), and applied to a STREAM of documents
+    as pure row-local array math: tokenize → bucket → map lookup →
+    decimal ``F.aggregate`` sum. No streaming state, no watermark, no
+    shuffle — per-arriving-doc scoring at ingest throughput. The
+    drained rows are bit-identical to the batch scorer's (same rounded
+    decimal model, same exact sums), which is the oracle."""
+    from decimal import Decimal
+
+    from left_join_on_timeout_spark.functions.text import words
+    from left_join_on_timeout_spark.queries_pipeline import (
+        _DSIR_HEX,
+        dsir_tf_and_model,
+    )
+
+    _, lr = dsir_tf_and_model(spark, sf_dir)
+    model = {r["b"]: r["lr"] for r in lr.collect()}  # O(256) snapshot
+    pairs: list = []
+    for b, v in sorted(model.items()):
+        pairs.extend([F.lit(b), F.lit(v).cast("decimal(25,6)")])
+    lr_map = F.create_map(*pairs)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score(stream: DataFrame) -> DataFrame:
+        toks = words("text")
+        vals = F.transform(
+            toks,
+            lambda t: F.element_at(
+                lr_map, F.substring(F.md5(t), 1, _DSIR_HEX)))
+        total = F.aggregate(
+            vals,
+            F.lit(Decimal(0)).cast("decimal(38,6)"),
+            lambda acc, x: acc + x)
+        n_tok = F.size(toks).cast("bigint")
+        mean = F.round(total.cast("double") / n_tok, 6)
+        return stream.select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            mean.alias("mean_log_iw"),
+            (mean > 0.0).alias("selected"))
+
+    return drain_stream(spark, docs, score)
