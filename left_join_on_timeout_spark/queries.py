@@ -376,7 +376,12 @@ EXTRA_ORACLE: dict[str, str] = {
 # json_dead_letter, stream_json_dead_letter, scd2_user_state_intervals,
 # cms_heavy_hitters, full_outer_timeout_join,
 # stream_full_outer_timeout_join, weighted_sample_docs,
-# feature_hash_docs, dedup_prefix_jaccard, user_value_trend (~26) —
+# feature_hash_docs, dedup_prefix_jaccard, user_value_trend (~26),
+# plus the round-4 continuation family: dup_span_detection,
+# dup_span_removal_stats, dsir_importance_weights, stream_dsir_score,
+# doc_lm2_score, dedup_incremental_probe, stream_incremental_probe,
+# cluster_aware_split, containment_pairs, oov_rate_docs,
+# novelty_score_docs, pagerank_candidates —
 # front-load them in r5 with family sentinels behind, exactly as r4
 # did for r3's gap.
 # ---------------------------------------------------------------------------
