@@ -853,3 +853,103 @@ def q_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint())
     return pr.select(F.col("id").alias("doc_id"),
                      F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash containment ESTIMATE (the capped screening sibling of
+# containment_pairs) with measured estimator error
+# ---------------------------------------------------------------------------
+
+_AGREE = " + ".join(
+    f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
+    for j in range(12))
+
+
+@query("containment_minhash_est", f"""
+WITH {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+ag AS (
+  SELECT p.id_a, p.id_b, CAST({_AGREE} AS BIGINT) AS k_agree
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b),
+inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM pairs p
+  JOIN d a ON a.doc_id = p.id_a
+  JOIN d b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT g.id_a, g.id_b, g.k_agree,
+       round(g.k_agree * (na.n_sh + nb.n_sh)
+             / ((12 + g.k_agree) * na.n_sh), 6) AS c_ab_est,
+       round(coalesce(i.inter, 0) / na.n_sh, 6) AS c_ab_exact,
+       round(g.k_agree * (na.n_sh + nb.n_sh)
+             / ((12 + g.k_agree) * na.n_sh)
+             - coalesce(i.inter, 0) / na.n_sh, 6) AS est_err
+FROM ag g
+LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+JOIN sizes na ON na.doc_id = g.id_a
+JOIN sizes nb ON nb.doc_id = g.id_b
+""")
+def q_containment_minhash_est(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MinHash containment ESTIMATION — the capped screening sibling of
+    the exact ``containment_pairs`` join (whose cost is lower-bounded by
+    its own answer on dup-heavy corpora; PLANS.md ‡). For every LSH
+    candidate pair, estimate containment from signature agreement alone:
+    k agreeing slots of 12 estimate Jaccard k/12, and with known set
+    sizes the intersection solves to ``k·(n_a+n_b)/(12+k)``, so
+    ``ĉ(A⊂B) = k·(n_a+n_b)/((12+k)·n_a)`` — pure integer arithmetic and
+    ONE division, no per-pair set work at all. The query also computes
+    the exact containment on the same (capped) candidates and reports
+    the signed estimator error per pair — the ``ann_recall_*``
+    discipline: the approximation ships with its measured accuracy.
+
+    Plan: candidates from the capped band equi-join; agreement is a
+    12-column compare against the signature relation (id-keyed joins,
+    signature rows are 12×8 hex chars); the exact-verify join exists
+    only for the error column and a screening deployment drops it."""
+    from pyspark import StorageLevel
+
+    from left_join_on_timeout_spark.operators.dedup import (
+        _with_minhash,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    sets = shingle_sets(docs, "doc_id", "text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _with_minhash(sets, "doc_id", DEFAULT_K).drop("sh_set") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"m{j}").alias(f"a{j}") for j in range(12)])
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"m{j}").alias(f"b{j}") for j in range(12)])
+    agree = sum(
+        (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+         for j in range(12)),
+        F.lit(0)).cast("bigint")
+    ag = (pairs.join(a, "id_a").join(b, "id_b")
+          .select("id_a", "id_b", agree.alias("k_agree")))
+    sized = sets.select("doc_id", "sh_set", F.size("sh_set").alias("n_sh"))
+    sa = sized.select(F.col("doc_id").alias("id_a"),
+                      F.col("sh_set").alias("set_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sized.select(F.col("doc_id").alias("id_b"),
+                      F.col("sh_set").alias("set_b"),
+                      F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    est = (F.col("k_agree") * (F.col("n_a") + F.col("n_b"))
+           / ((F.lit(12) + F.col("k_agree")) * F.col("n_a")))
+    exact = F.col("inter") / F.col("n_a")
+    return (ag.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("inter", inter)
+            .select("id_a", "id_b", "k_agree",
+                    F.round(est, 6).alias("c_ab_est"),
+                    F.round(exact, 6).alias("c_ab_exact"),
+                    F.round(est - exact, 6).alias("est_err")))
