@@ -912,3 +912,91 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ljot_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query("dow_seasonal_residuals", """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+dowm AS (
+  SELECT dow,
+         CAST(sum(CAST(n AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+           AS dow_mean
+  FROM daily GROUP BY dow)
+SELECT d.day, d.dow, d.n,
+       round(m.dow_mean, 6) AS expected,
+       round(d.n / m.dow_mean, 6) AS ratio,
+       (abs(d.n / m.dow_mean - 1.0) > 0.5) AS flagged
+FROM daily d JOIN dowm m ON d.dow = m.dow
+""")
+def q_dow_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: daily event volumes compared to their
+    day-of-week baseline — the decomposition that keeps a quiet Sunday
+    from flagging as an outage and a loud Monday from masking one
+    (``zscore_anomalies`` is the season-blind sibling). Two tiny
+    aggregates (daily counts, then 7-row day-of-week means as exact
+    decimal sums) and one broadcast join back; flagged = volume off its
+    weekday baseline by more than 50%. Spark's ``dayofweek`` is
+    1=Sunday; DuckDB's is 0=Sunday, shifted +1 in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                        F.dayofweek("ts").alias("dow"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    dowm = (daily.groupBy("dow")
+            .agg((F.sum(F.col("n").cast("decimal(25,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("dow_mean")))
+    ratio = F.col("n") / F.col("dow_mean")
+    return (daily.join(F.broadcast(dowm), "dow")
+            .select("day", "dow", "n",
+                    F.round("dow_mean", 6).alias("expected"),
+                    F.round(ratio, 6).alias("ratio"),
+                    (F.abs(ratio - 1.0) > 0.5).alias("flagged")))
+
+
+@query("time_decayed_user_value", """
+WITH t AS (SELECT max(ts) AS tmax FROM events),
+w AS (
+  SELECT user_id,
+         CAST(round(exp(-CAST((epoch_us(t.tmax) - epoch_us(e.ts))
+                              // 3600000000 AS BIGINT) * 0.004125), 4)
+              AS DECIMAL(25,6)) AS w,
+         CAST(value AS DECIMAL(25,6)) AS v
+  FROM events e CROSS JOIN t)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(w * v) AS DOUBLE), 6) AS decayed_value
+FROM w GROUP BY user_id
+""")
+def q_time_decayed_user_value(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user value (λ = 0.004125/hour ≈
+    one-week half-life), anchored at the corpus's latest event — the
+    recency-weighted engagement score a ranking/serving pipeline keeps
+    per entity. The decayed sum is MERGEABLE (all weights share one
+    anchor, so partial sums from any partitioning combine exactly) and
+    streaming-friendly: a deployment stores the sum in anchor form and
+    rescales by e^{-λΔ} on read — no per-event state beyond the one
+    accumulator. Determinism: age floors to WHOLE
+    hours from bigint microsecond arithmetic (coarse ages also make the
+    anchor-form state smaller), each weight rounds to 4 dp before the
+    DECIMAL(25,6) product with the decimal-cast value, and the per-user
+    sum is exact decimal math — addition order cannot matter. The one
+    IEEE ``exp`` per row may differ by an ulp across libms, which is
+    why the weight rounds at 4 dp over ~700 distinct hourly inputs —
+    measured ulp drift sits at the 7th digit, three orders below the
+    rounding step."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.max("ts").alias("tmax"))
+    age_h = F.floor(
+        (F.unix_micros(F.col("tmax")) - F.unix_micros(F.col("ts")))
+        / F.lit(3600000000)).cast("bigint")
+    w = F.round(F.exp(-age_h * F.lit(0.004125)), 4).cast("decimal(25,6)")
+    v = F.col("value").cast("decimal(25,6)")
+    return (ev.crossJoin(F.broadcast(t))
+            .select("user_id", (w * v).alias("wv"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.sum("wv").cast("double"), 6)
+                 .alias("decayed_value")))

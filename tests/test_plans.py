@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "quantile_normalize_quality",  # one-row broadcast reference curve
     "dsir_importance_weights",  # one-row broadcast LM totals cross
     "doc_lm2_score",  # one-row broadcast successor-vocabulary cross
+    "time_decayed_user_value",  # one-row broadcast anchor-timestamp cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
