@@ -834,3 +834,65 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hit_sdc / F.count("*"), 6).alias("recall_sdc"),
         hit_rr.alias("n_hit_rerank"),
         F.round(hit_rr / F.count("*"), 6).alias("recall_rerank"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding health audit: per-dimension statistics
+# ---------------------------------------------------------------------------
+
+@query("embedding_dim_health", """
+WITH el AS (
+  SELECT CAST(t.i AS INT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS xi
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+st AS (
+  SELECT dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xi) AS DOUBLE) / 1000000.0 AS s1,
+         CAST(sum(CAST(xi AS DECIMAL(38,0)) * xi) AS DOUBLE) / 1e12 AS s2
+  FROM el GROUP BY dim)
+SELECT dim, n,
+       floor(s1 / n * 1000000.0) / 1000000.0 AS mean,
+       floor((s2 - s1 * s1 / n) / (n - 1) * 1000000.0) / 1000000.0
+         AS variance,
+       ((s2 - s1 * s1 / n) / (n - 1) < 0.0001) AS collapsed
+FROM st
+""")
+def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health audit: per-DIMENSION mean and variance
+    over the whole corpus, flagging collapsed dimensions (variance ≈ 0
+    — a training bug or a dead projection that silently wastes model
+    width and distorts cosine geometry). This is the audit an embedding
+    pipeline runs after every encoder change, next to the recall checks
+    (``ann_recall_*``). One posexplode + one 64-group aggregate — the
+    shuffle carries 64 keys of decimal partials regardless of corpus
+    size, and the scan prunes to the embedding column alone.
+
+    Determinism: each float lifts exactly to double and quantizes by
+    FLOOR into bigint MICRO-UNITS — floor has no tie semantics, unlike
+    ``round()``, whose half-ulp behavior on arbitrary doubles split the
+    engines ~1/128 aggregates when tried here. Power sums are then
+    exact integer/DECIMAL math, so mean/variance are a handful of IEEE
+    ops from bit-identical operands and the output floor-quantization
+    is equally tie-free; ``collapsed`` compares the same unrounded
+    variance in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = F.floor(F.col("x").cast("double") * 1000000.0).cast("bigint")
+    el = (emb.select(F.posexplode("embedding").alias("pos", "x"))
+          .select((F.col("pos") + 1).cast("int").alias("dim"),
+                  xi.alias("xi")))
+    n = F.count(F.lit(1))
+    s1 = F.sum("xi").cast("double") / 1000000.0
+    s2 = (F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi"))
+          .cast("double") / 1e12)
+    q = lambda c: F.floor(c * 1000000.0) / 1000000.0
+    st = el.groupBy("dim").agg(
+        n.cast("bigint").alias("n"), s1.alias("s1"), s2.alias("s2"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) \
+        / (F.col("n") - 1)
+    return st.select(
+        "dim", "n",
+        q(F.col("s1") / F.col("n")).alias("mean"),
+        q(var).alias("variance"),
+        (var < 0.0001).alias("collapsed"))
