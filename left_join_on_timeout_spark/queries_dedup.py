@@ -953,3 +953,85 @@ def q_containment_minhash_est(spark: SparkSession,
                     F.round(est, 6).alias("c_ab_est"),
                     F.round(exact, 6).alias("c_ab_exact"),
                     F.round(est - exact, 6).alias("est_err")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report (the curation run's executive summary)
+# ---------------------------------------------------------------------------
+
+@query("dedup_savings_report", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+und AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM pairs),
+reach AS (
+  SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t),
+clusters AS (
+  SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+nw AS (SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS BIGINT) AS n_words,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest
+       FROM documents),
+exact AS (SELECT CAST(sum(cnt - 1) AS BIGINT) AS n_exact_extra
+          FROM (SELECT digest, count(*) AS cnt FROM nw GROUP BY digest)),
+dropped AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+SELECT CAST((SELECT count(*) FROM nw) AS BIGINT) AS n_docs,
+       (SELECT n_exact_extra FROM exact) AS n_exact_extra,
+       CAST((SELECT count(*) FROM dropped) AS BIGINT) AS n_near_removed,
+       CAST((SELECT sum(n_words) FROM nw) AS BIGINT) AS words_before,
+       CAST((SELECT sum(n_words) FROM nw
+             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS BIGINT)
+         AS words_after,
+       round(CAST((SELECT count(*) FROM dropped) AS DOUBLE)
+             / (SELECT count(*) FROM nw), 6) AS doc_removal_frac
+""")
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation run's EXECUTIVE SUMMARY — one row answering "what
+    did dedup buy us": corpus size, byte-identical extra copies, docs
+    the near-dup pass removes (LSH → CC → non-canonical members), word
+    mass before/after, and the removal fraction. Every term reuses the
+    pipeline's own relations (exact digests, candidate pairs, cluster
+    labels), so the report costs two tiny aggregates on top of machinery
+    the run already executed — and its numbers are definitionally
+    consistent with ``dedup_exact`` / ``dedup_keep_canonical`` because
+    they ARE those queries' aggregates."""
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+    from left_join_on_timeout_spark.functions.text import n_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    nw = docs.select(
+        "doc_id",
+        n_words("text").cast("bigint").alias("n_words"),
+        F.md5(F.regexp_replace(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            r"\s+", " ")).alias("digest"))
+    sig = minhash_signature(docs, "doc_id", "text")
+    cc = connected_components(lsh_candidate_pairs(sig, "doc_id"))
+    dropped = (cc.where(F.col("component") != F.col("id"))
+               .select(F.col("id").alias("doc_id")))
+    exact = (nw.groupBy("digest").agg(F.count(F.lit(1)).alias("cnt"))
+             .agg(F.sum(F.col("cnt") - 1).cast("bigint")
+                  .alias("n_exact_extra")))
+    kept = nw.join(F.broadcast(dropped), "doc_id", "left_anti")
+    totals = nw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words_before"))
+    after = kept.agg(F.sum("n_words").cast("bigint").alias("words_after"))
+    n_rm = dropped.agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("n_near_removed"))
+    return (totals.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(n_rm))
+            .crossJoin(F.broadcast(after))
+            .select("n_docs", "n_exact_extra", "n_near_removed",
+                    "words_before", "words_after",
+                    F.round(F.col("n_near_removed").cast("double")
+                            / F.col("n_docs"), 6)
+                    .alias("doc_removal_frac")))

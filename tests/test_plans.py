@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "dsir_importance_weights",  # one-row broadcast LM totals cross
     "doc_lm2_score",  # one-row broadcast successor-vocabulary cross
     "time_decayed_user_value",  # one-row broadcast anchor-timestamp cross
+    "dedup_savings_report",  # one-row summary built from one-row crosses
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
