@@ -935,3 +935,26 @@ def q_novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(novel).cast("bigint").alias("n_novel"),
                  F.round(F.sum(novel).cast("double") / F.count(F.lit(1)),
                          6).alias("novelty_frac")))
+
+
+@query("lang_confusion_matrix", f"""
+WITH {_LANG_ID_SQL}
+SELECT d.lang AS declared,
+       p.pred_lang AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+""")
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-trust audit: the confusion matrix between each
+    document's DECLARED language tag and the content-based language-ID
+    prediction (``functions.text.lang_id``). Off-diagonal mass is
+    either mislabeled metadata or code-switched text — both things a
+    curation run quarantines rather than routes by the tag alone. One
+    scan (the predictor is pure row-local regex scoring), one
+    languages²-sized aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(F.col("lang").alias("declared"),
+                        lang_id("text").alias("predicted"))
+            .groupBy("declared", "predicted")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
