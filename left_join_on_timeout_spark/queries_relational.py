@@ -1000,3 +1000,63 @@ def q_time_decayed_user_value(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                  F.round(F.sum("wv").cast("double"), 6)
                  .alias("decayed_value")))
+
+
+@query("daily_forward_fill", """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+               / count(*), 6) AS mean_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM spans),
+joined AS (
+  SELECT g.user_id, g.day, d.mean_value,
+         (d.mean_value IS NOT NULL) AS is_observed
+  FROM grid g LEFT JOIN daily d
+    ON g.user_id = d.user_id AND g.day = d.day)
+SELECT user_id, day,
+       last_value(mean_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_value,
+       is_observed
+FROM joined
+""")
+def q_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill resampling (LOCF — last observation carried
+    forward): the gap-filling sibling of ``events_daily_resample`` for
+    LEVEL metrics, where an empty day means "unchanged", not "zero"
+    (balances, settings, latest scores — zero-filling those corrupts
+    every downstream window). Per user: the daily mean value lands on a
+    dense day grid and gaps inherit the most recent observed value via
+    ``last(ignorenulls)`` over a keyed ordering. Grid generation is
+    ``sequence``+``explode`` (distributed, span-proportional); the fill
+    is one keyed window pass — shuffle keys are (user), state is one
+    row. First-day gaps stay NULL by construction (nothing to carry),
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("user_id",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.round(
+                 F.sum(F.col("value").cast("decimal(25,6)"))
+                 .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_value")))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence(
+            "d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    joined = (grid.join(daily, ["user_id", "day"], "left")
+              .withColumn("is_observed", F.col("mean_value").isNotNull()))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "user_id", "day",
+        F.last("mean_value", ignorenulls=True).over(w)
+        .alias("filled_value"),
+        "is_observed")

@@ -194,3 +194,107 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select("doc_id", "source", w.alias("w"),
                         es_key.alias("es_key"))
     return keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query("neyman_allocation_sample", f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round({_QUALITY}, 3) AS DECIMAL(12,3)) AS q3
+  FROM documents),
+st AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q3) AS DOUBLE) AS s1,
+         CAST(sum(q3 * q3) AS DOUBLE) AS s2
+  FROM q GROUP BY source),
+sd AS (
+  SELECT source, n_docs, s1, s2,
+         CAST(floor(n_docs * sqrt((s2 - s1 * s1 / n_docs)
+                                  / (n_docs - 1)) * 1000000.0) AS BIGINT)
+           AS wq
+  FROM st),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST(sum(wq) AS BIGINT) AS denom
+        FROM sd),
+alloc AS (
+  SELECT s.source, s.n_docs, s.s1, s.s2, s.wq, t.n_total, t.denom,
+         least(1.0, 0.25 * t.n_total * s.wq / t.denom / s.n_docs) AS rate
+  FROM sd s, tot t)
+SELECT a.source,
+       a.n_docs,
+       floor(sqrt((a.s2 - a.s1 * a.s1 / a.n_docs) / (a.n_docs - 1))
+             * 1000000.0) / 1000000.0 AS sd_quality,
+       floor(a.rate * 1000000.0) / 1000000.0 AS alloc_rate,
+       CAST(sum(CASE WHEN a.rate >= 1.0
+                       OR substr(md5('57#' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 8)
+                          < printf('%08x',
+                                   CAST(floor(a.rate * 4294967296.0)
+                                        AS BIGINT))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM alloc a JOIN documents d ON d.source = a.source
+GROUP BY 1, 2, 3, 4
+""")
+def q_neyman_allocation_sample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the statistically optimal
+    split of a fixed sample budget (25% of the corpus) across strata —
+    allocation ∝ N_h·σ_h, so volatile-quality sources get
+    proportionally MORE budget than uniform ones at equal size (the
+    variance-minimizing estimator for a stratified mean, vs
+    ``sample_stratified_docs``'s fixed per-stratum rates and
+    ``source_mix_temperature``'s count-only weights). Per source:
+    size, quality σ, the allocated keep-rate, and the realized sample
+    count under the deterministic md5 gate.
+
+    Determinism: σ comes from exact DECIMAL power sums of the 3-dp
+    quality — 3 dp, not 6, because Spark caps a DECIMAL product's scale
+    at 6 where DuckDB keeps all 12: squares of 3-dp decimals (6 dp) are
+    the widest that stay EXACT in both engines; the allocation weight N_h·σ_h floor-quantizes to bigint
+    micro-units so the Σ-denominator is exact integer addition (order-
+    free); the rate is then one left-to-right IEEE chain mirrored
+    textually in both engines, and the gate threshold renders it as
+    fixed-width hex (the ``source_mix_temperature`` mechanism). All
+    reported stats floor-quantize — no round() ties anywhere."""
+    from left_join_on_timeout_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q3 = F.round(quality_score("text"), 3).cast("decimal(12,3)")
+    st = (docs.select("doc_id", "source", q3.alias("q3"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+               F.sum("q3").cast("double").alias("s1"),
+               F.sum(F.col("q3") * F.col("q3")).cast("double")
+               .alias("s2")))
+    sd_expr = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1")
+                      / F.col("n_docs")) / (F.col("n_docs") - 1))
+    sd = st.withColumn(
+        "wq", F.floor(F.col("n_docs") * sd_expr * 1000000.0)
+        .cast("bigint"))
+    tot = sd.agg(F.sum("n_docs").cast("bigint").alias("n_total"),
+                 F.sum("wq").cast("bigint").alias("denom"))
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(0.25) * F.col("n_total") * F.col("wq")
+        / F.col("denom") / F.col("n_docs"))
+    alloc = (sd.crossJoin(F.broadcast(tot))
+             .withColumn("rate", rate))
+    gate = (F.col("rate") >= 1.0) | (
+        F.substring(F.md5(F.concat(F.lit("57#"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 8)
+        < F.format_string(
+            "%08x",
+            F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")))
+    qfl = lambda c: F.floor(c * 1000000.0) / 1000000.0
+    return (docs.join(F.broadcast(alloc), "source")
+            .groupBy("source", "n_docs",
+                     qfl(sd_expr).alias("sd_quality"),
+                     qfl(F.col("rate")).alias("alloc_rate"))
+            .agg(F.sum(F.when(gate, 1).otherwise(0)).cast("bigint")
+                 .alias("n_sampled")))

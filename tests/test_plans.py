@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "doc_lm2_score",  # one-row broadcast successor-vocabulary cross
     "time_decayed_user_value",  # one-row broadcast anchor-timestamp cross
     "dedup_savings_report",  # one-row summary built from one-row crosses
+    "neyman_allocation_sample",  # one-row allocation-totals cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
