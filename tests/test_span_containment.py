@@ -91,3 +91,44 @@ def test_span_removal_stats_consistency(spark):
         r = rows[i]
         assert r.dup_words == 12
         assert r.kept_frac == pytest.approx(1 - 12 / r.n_words, abs=1e-6)
+
+
+def test_containment_matches_brute_force(spark):
+    """Completeness property: the prefix-filtered containment join must
+    equal the brute-force all-pairs answer exactly — seeded corpora with
+    a tiny vocabulary force heavy shingle sharing, the regime where a
+    broken prefix bound would silently drop pairs."""
+    import itertools
+    import random
+
+    from left_join_on_timeout_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(12)]
+        texts = []
+        for i in range(18):
+            n = rng.randint(3, 30)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        # plant a guaranteed quote: doc 18 is a slice of doc 0
+        texts.append(" ".join(texts[0].split()[:10]))
+        sf = _mk_docs(spark, texts)
+        got = {(r.inner_id, r.outer_id)
+               for r in prefix_filter_containment_pairs(
+                   spark.read.parquet(
+                       os.path.join(sf, "documents.parquet")),
+                   "doc_id", "text", 0.8).collect()}
+
+        def shset(t):
+            w = t.split()
+            if len(w) < 3:
+                return {" ".join(w)}
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        sets = [shset(t) for t in texts]
+        want = {(a, b)
+                for a, b in itertools.permutations(range(len(texts)), 2)
+                if len(sets[a] & sets[b]) >= 0.8 * len(sets[a])}
+        assert got == want, f"seed {seed}: {got ^ want}"
