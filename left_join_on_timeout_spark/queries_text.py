@@ -958,3 +958,74 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lang_id("text").alias("predicted"))
             .groupBy("declared", "predicted")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+@query("source_length_ks", """
+WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+         FROM documents GROUP BY source),
+cnt AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+allc AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c_all
+         FROM documents GROUP BY 1),
+grid AS (
+  SELECT s.source, s.n_s, g.v,
+         coalesce(c.c, 0) AS c_s, coalesce(a.c_all, 0) AS c_a
+  FROM srcs s CROSS JOIN vals g
+  LEFT JOIN cnt c ON c.source = s.source AND c.v = g.v
+  LEFT JOIN allc a ON a.v = g.v),
+cum AS (
+  SELECT source, n_s, v,
+         sum(c_s) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+         sum(c_a) OVER (PARTITION BY source ORDER BY v) AS cum_a
+  FROM grid)
+SELECT c.source,
+       c.n_s AS n_docs,
+       floor(max(abs(CAST(c.cum_s AS DOUBLE) / c.n_s
+                     - CAST(c.cum_a AS DOUBLE) / t.n_all)) * 1000000.0)
+         / 1000000.0 AS ks_stat
+FROM cum c CROSS JOIN tot t
+GROUP BY c.source, c.n_s
+""")
+def q_source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: the Kolmogorov–Smirnov statistic
+    between each source's document-length distribution and the corpus
+    baseline — the screen that catches a source whose scraping changed
+    shape (truncation bugs, boilerplate floods) even when its mean
+    looks fine. Both CDFs evaluate on the union support (every distinct
+    length), so the max-gap is exact, not binned: a (sources ×
+    distinct-lengths) grid — bounded metadata, NOT corpus-scale; at
+    100 TB you'd quantile-bin lengths first to cap the support — with
+    two running-sum windows keyed by source and one max-aggregate.
+    Determinism: CDF values are exact integer ratios; the output
+    floor-quantizes (no round ties)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    allc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"))
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    grid = (srcs.crossJoin(vals)
+            .join(cnt, ["source", "v"], "left")
+            .join(F.broadcast(allc), "v", "left")
+            .select("source", "n_s", "v",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c_s"),
+                    F.coalesce(F.col("c_all"), F.lit(0)).alias("c_a")))
+    w = (Window.partitionBy("source").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.select(
+        "source", "n_s", "v",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_a").over(w).alias("cum_a"))
+    gap = F.abs(F.col("cum_s").cast("double") / F.col("n_s")
+                - F.col("cum_a").cast("double") / F.col("n_all"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("source", F.col("n_s").alias("n_docs"))
+            .agg((F.floor(F.max(gap) * 1000000.0) / 1000000.0)
+                 .alias("ks_stat")))

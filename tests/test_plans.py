@@ -49,6 +49,9 @@ BNLJ_ALLOWED = {
     "time_decayed_user_value",  # one-row broadcast anchor-timestamp cross
     "dedup_savings_report",  # one-row summary built from one-row crosses
     "neyman_allocation_sample",  # one-row allocation-totals cross
+    # sources × distinct-lengths support grid (bounded metadata, the CDF
+    # evaluation points) + one-row corpus-total cross
+    "source_length_ks",
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
