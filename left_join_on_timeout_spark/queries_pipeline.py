@@ -1100,3 +1100,63 @@ def q_doc_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(
                      F.sum(F.col("nll") * F.col("tf")).cast("double")
                      / F.sum("tf").cast("bigint"), 6).alias("lm2_score")))
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) enrichment against SCD2 versions
+# ---------------------------------------------------------------------------
+
+@query("events_pit_enrich", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+v AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type),
+pe AS (SELECT event_id, user_id, ts FROM events
+       WHERE event_type = 'purchase'),
+m AS (
+  SELECT pe.event_id, pe.user_id, pe.ts, max(v.valid_from) AS vf
+  FROM pe JOIN v ON v.user_id = pe.user_id AND v.valid_from <= pe.ts
+  GROUP BY 1, 2, 3)
+SELECT m.event_id, m.user_id, m.ts,
+       max(v.state) AS state_at_event,
+       m.vf AS state_since
+FROM m JOIN v ON v.user_id = m.user_id AND v.valid_from = m.vf
+GROUP BY 1, 2, 3, 5
+""")
+def q_events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME enrichment — the feature-store join: every
+    purchase event is labeled with the SCD2 state version *in effect at
+    its own timestamp* (never a later one — the leakage a naive
+    latest-value join commits, training on knowledge from the future).
+    Versions come from the ``scd2_user_state_intervals`` construction;
+    the PIT lookup is :func:`operators.asof_join.asof_join` on
+    ``valid_from`` — the single-shuffle union-window plan, so the whole
+    enrichment is ONE keyed exchange, not a range join per event. Ties
+    at identical (user, valid_from) resolve to the greatest state in
+    both engines."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.operators.asof_join import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (ev.select("user_id", "event_type", "ts", "event_id")
+                .withColumn("prev_type", F.lag("event_type").over(w))
+                .where(F.col("prev_type").isNull()
+                       | (F.col("event_type") != F.col("prev_type")))
+                .select("user_id",
+                        F.col("event_type").alias("state"),
+                        F.col("ts").alias("valid_from")))
+    pe = (ev.where(F.col("event_type") == "purchase")
+          .select("user_id", "event_id", "ts"))
+    out = asof_join(pe, versions, on="user_id",
+                    left_ts="ts", right_ts="valid_from",
+                    tiebreak="state")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("r_state").alias("state_at_event"),
+                      F.col("r_valid_from").alias("state_since"))
