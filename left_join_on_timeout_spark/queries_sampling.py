@@ -298,3 +298,107 @@ def q_neyman_allocation_sample(spark: SparkSession,
                      qfl(F.col("rate")).alias("alloc_rate"))
             .agg(F.sum(F.when(gate, 1).otherwise(0)).cast("bigint")
                  .alias("n_sampled")))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: distribution-free CI for the corpus mean quality
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 50
+# cumulative Poisson(1) CDF at k = 0..6, rendered as 8-hex md5 thresholds
+_POIS_THR = ["5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+             "ff1025f5", "ffd90f3b", "fffa8b71"]
+
+
+def _pois_w_sql(u: str) -> str:
+    arms = "\n         ".join(
+        f"WHEN {u} < '{t}' THEN {k}" for k, t in enumerate(_POIS_THR))
+    return f"(CASE {arms} ELSE 7 END)"
+
+
+@query("bootstrap_mean_quality", f"""
+WITH q AS (
+  SELECT doc_id, CAST(round({{_Q}}, 3) AS DECIMAL(12,3)) AS q3
+  FROM documents),
+rep AS (
+  SELECT q.doc_id, q.q3, CAST(t.b AS INT) AS b,
+         substr(md5(CAST(t.b AS VARCHAR) || '#'
+                    || CAST(q.doc_id AS VARCHAR)), 1, 8) AS u8
+  FROM q, UNNEST(range(0, {_BOOT_B})) AS t(b)),
+w AS (SELECT b, q3, {_pois_w_sql('u8')} AS w FROM rep),
+means AS (
+  SELECT b,
+         floor(CAST(sum(w * q3) AS DOUBLE) / sum(w) * 1000000.0)
+           / 1000000.0 AS m
+  FROM w GROUP BY b HAVING sum(w) > 0),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rnk,
+         count(*) OVER () AS nb
+  FROM means),
+pt AS (SELECT floor(CAST(sum(q3) AS DOUBLE) / count(*) * 1000000.0)
+                / 1000000.0 AS point
+       FROM q)
+SELECT (SELECT point FROM pt) AS mean_quality,
+       (SELECT m FROM ranked
+        WHERE rnk = CAST(ceil(0.025 * nb) AS BIGINT)) AS ci_lo,
+       (SELECT m FROM ranked
+        WHERE rnk = CAST(ceil(0.975 * nb) AS BIGINT)) AS ci_hi,
+       CAST((SELECT max(nb) FROM ranked) AS BIGINT) AS n_replicas
+""".replace("{_Q}", _QUALITY))
+def q_bootstrap_mean_quality(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap: per replica, each
+    row enters w ~ Poisson(1) times — no sampling-with-replacement
+    shuffle, no per-replica scan): a 95% confidence interval for the
+    corpus mean quality from {_BOOT_B} replicas. The weight is the
+    Poisson(1) inverse-CDF applied to the row's deterministic md5
+    uniform, so the CDF breakpoints become fixed 8-hex string
+    thresholds — every replica is reproducible across engines, retries,
+    and partitionings, and the whole resampling is ONE map-side CASE
+    per (replica, row) followed by a {_BOOT_B}-group aggregate. At
+    100 TB the replica fan-out is a constant ×{_BOOT_B} on map output
+    feeding partial aggregation — the shuffle itself carries only
+    {_BOOT_B} rows of decimal partials. Replica means use exact
+    decimal·int sums; means and the point estimate floor-quantize; the
+    CI bounds are exact order statistics (rank ⌈0.025·B⌉ / ⌈0.975·B⌉,
+    replica-id tiebreak)."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q3 = F.round(quality_score("text"), 3).cast("decimal(12,3)")
+    q = docs.select("doc_id", q3.alias("q3"))
+    rep = q.select(
+        "doc_id", "q3",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"))
+    u8 = F.substring(
+        F.md5(F.concat(F.col("b").cast("string"), F.lit("#"),
+                       F.col("doc_id").cast("string"))), 1, 8)
+    w = F.lit(7)
+    for k in range(len(_POIS_THR) - 1, -1, -1):
+        w = F.when(u8 < _POIS_THR[k], F.lit(k)).otherwise(w)
+    qfl = lambda c: F.floor(c * 1000000.0) / 1000000.0
+    means = (rep.withColumn("w", w)
+             .groupBy("b")
+             .agg(F.sum(F.col("w") * F.col("q3")).alias("swq"),
+                  F.sum("w").alias("sw"))
+             .where(F.col("sw") > 0)
+             .select("b", qfl(F.col("swq").cast("double")
+                              / F.col("sw")).alias("m")))
+    wr = Window.orderBy("m", "b")
+    ranked = (means.withColumn("rnk", F.row_number().over(wr))
+              .crossJoin(F.broadcast(
+                  means.agg(F.count(F.lit(1)).alias("nb")))))
+    lo = (ranked.where(F.col("rnk")
+                       == F.ceil(0.025 * F.col("nb")).cast("bigint"))
+          .select(F.col("m").alias("ci_lo")))
+    hi = (ranked.where(F.col("rnk")
+                       == F.ceil(0.975 * F.col("nb")).cast("bigint"))
+          .select(F.col("m").alias("ci_hi")))
+    nb = ranked.agg(F.max("nb").cast("bigint").alias("n_replicas"))
+    pt = q.agg(qfl(F.sum("q3").cast("double") / F.count(F.lit(1)))
+               .alias("mean_quality"))
+    return (pt.crossJoin(F.broadcast(lo))
+            .crossJoin(F.broadcast(hi))
+            .crossJoin(F.broadcast(nb)))

@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     # sources × distinct-lengths support grid (bounded metadata, the CDF
     # evaluation points) + one-row corpus-total cross
     "source_length_ks",
+    "bootstrap_mean_quality",  # one-row point/CI/replica-count crosses
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
