@@ -1035,3 +1035,73 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_near_removed").cast("double")
                             / F.col("n_docs"), 6)
                     .alias("doc_removal_frac")))
+
+
+# ---------------------------------------------------------------------------
+# Quality ↔ duplication calibration
+# ---------------------------------------------------------------------------
+
+from left_join_on_timeout_spark.queries_text import _QUALITY  # noqa: E402
+
+
+@query("quality_dup_calibration", f"""
+WITH {_SHINGLES_CTE},
+{_LSH_PAIRS_CTE.format(digests=_DIGEST_COLS, sigs=_SIG_COLS,
+                       bands=_BAND_SELECTS)},
+dup AS (SELECT DISTINCT doc_id FROM (
+          SELECT id_a AS doc_id FROM pairs
+          UNION ALL SELECT id_b AS doc_id FROM pairs)),
+q AS (SELECT doc_id, CAST(round({{q}}, 3) AS DECIMAL(12,3)) AS q3
+      FROM documents),
+ranked AS (
+  SELECT doc_id, q3,
+         row_number() OVER (ORDER BY q3, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM q)
+SELECT CAST((rnk - 1) * 4 // n AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_frac
+FROM ranked r LEFT JOIN dup d ON d.doc_id = r.doc_id
+GROUP BY (rnk - 1) * 4 // n
+""".replace("{{q}}", "{q}").replace("{q}", _QUALITY))
+def q_quality_dup_calibration(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cross-signal calibration: does the quality score PREDICT
+    near-duplication? Documents split into equi-depth quality quartiles
+    (the ``length_equidepth_bins`` rank formula on (quality, doc_id) —
+    no ntile ties), each labeled with the fraction of its docs that
+    appear in any LSH candidate pair. A flat curve means the two
+    signals are independent (dedup and quality filtering both earn
+    their cost); a steep one means one signal subsumes the other — the
+    measurement that decides whether a pipeline stage is redundant.
+    Rank via the distributed ``global_rank`` (range exchange, never a
+    single-partition window); dup membership is a broadcast-sized
+    distinct-id join."""
+    from left_join_on_timeout_spark.functions.text import quality_score
+    from left_join_on_timeout_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    q3 = F.round(quality_score("text"), 3).cast("decimal(12,3)")
+    q = docs.select("doc_id", q3.alias("q3"))
+    ranked = global_rank(q, [F.col("q3"), F.col("doc_id")])
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    dup = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct()
+           .withColumn("is_dup", F.lit(1)))
+    quart = F.floor((F.col("rnk") - 1) * 4 / F.col("n")).cast("bigint")
+    return (ranked.crossJoin(F.broadcast(n))
+            .join(F.broadcast(dup), "doc_id", "left")
+            .groupBy(quart.alias("quartile"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                 .cast("bigint").alias("n_dup"),
+                 F.round(
+                     F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+                     .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("dup_frac")))

@@ -1029,3 +1029,46 @@ def q_source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", F.col("n_s").alias("n_docs"))
             .agg((F.floor(F.max(gap) * 1000000.0) / 1000000.0)
                  .alias("ks_stat")))
+
+
+@query("source_influence_loo", f"""
+WITH q AS (
+  SELECT source, CAST(round({_QUALITY}, 3) AS DECIMAL(12,3)) AS q3
+  FROM documents),
+per AS (SELECT source,
+               CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(q3) AS DOUBLE) AS s_s
+        FROM q GROUP BY source),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q3) AS DOUBLE) AS s
+        FROM q)
+SELECT p.source, p.n_s,
+       floor((t.s - p.s_s) / (t.n - p.n_s) * 1000000.0) / 1000000.0
+         AS mean_without,
+       floor(((t.s - p.s_s) / (t.n - p.n_s) - t.s / t.n) * 1000000.0)
+         / 1000000.0 AS influence
+FROM per p CROSS JOIN tot t
+""")
+def q_source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence: for each source, the corpus mean
+    quality WITHOUT it and the shift its removal causes — the O(1)
+    ablation estimate (group-sum algebra: no per-source re-scan, unlike
+    actually rerunning the pipeline per ablation). Negative influence =
+    the source drags the corpus down; the ranking tells a curation run
+    which source to cut first. One aggregate pass + a sources-sized
+    cross with the one-row total; exact 3-dp decimal sums,
+    floor-quantized outputs (no round ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q3 = F.round(quality_score("text"), 3).cast("decimal(12,3)")
+    q = docs.select("source", q3.alias("q3"))
+    per = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("q3").cast("double").alias("s_s"))
+    tot = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("q3").cast("double").alias("s"))
+    qfl = lambda c: F.floor(c * 1000000.0) / 1000000.0
+    mw = (F.col("s") - F.col("s_s")) / (F.col("n") - F.col("n_s"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_s",
+                    qfl(mw).alias("mean_without"),
+                    qfl(mw - F.col("s") / F.col("n")).alias("influence")))

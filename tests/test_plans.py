@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     # evaluation points) + one-row corpus-total cross
     "source_length_ks",
     "bootstrap_mean_quality",  # one-row point/CI/replica-count crosses
+    "source_influence_loo",  # one-row corpus-total cross
+    "quality_dup_calibration",  # one-row corpus-size N cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
