@@ -377,11 +377,18 @@ EXTRA_ORACLE: dict[str, str] = {
 # cms_heavy_hitters, full_outer_timeout_join,
 # stream_full_outer_timeout_join, weighted_sample_docs,
 # feature_hash_docs, dedup_prefix_jaccard, user_value_trend (~26),
-# plus the round-4 continuation family: dup_span_detection,
-# dup_span_removal_stats, dsir_importance_weights, stream_dsir_score,
-# doc_lm2_score, dedup_incremental_probe, stream_incremental_probe,
-# cluster_aware_split, containment_pairs, oov_rate_docs,
-# novelty_score_docs, pagerank_candidates —
+# plus the round-4 continuation family (all sf0.001+sf0.01
+# oracle-PASS locally): dup_span_detection, dup_span_removal_stats,
+# dsir_importance_weights, stream_dsir_score, doc_lm2_score,
+# dedup_incremental_probe, stream_incremental_probe,
+# cluster_aware_split, containment_pairs, containment_minhash_est,
+# oov_rate_docs, novelty_score_docs, pagerank_candidates,
+# dedup_savings_report, dow_seasonal_residuals,
+# time_decayed_user_value, embedding_dim_health,
+# schema_evolution_merge, lang_confusion_matrix, daily_forward_fill,
+# neyman_allocation_sample, source_length_ks, events_pit_enrich,
+# bootstrap_mean_quality, source_influence_loo,
+# quality_dup_calibration —
 # front-load them in r5 with family sentinels behind, exactly as r4
 # did for r3's gap.
 # ---------------------------------------------------------------------------
