@@ -81,6 +81,7 @@ HEADLINE = [
     "bigram_pmi_top",
     "full_outer_timeout_join",
     "cms_heavy_hitters",
+    "dynamic_timeout_left_join",
     "dup_span_detection",
     "dsir_importance_weights",
     "doc_lm2_score",

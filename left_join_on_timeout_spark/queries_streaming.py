@@ -384,3 +384,106 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean > 0.0).alias("selected"))
 
     return drain_stream(spark, docs, score)
+
+
+_DYN_SQL = """
+SELECT l.user_id AS user_id,
+       l.event_id AS event_id,
+       l.ts AS ts,
+       r.event_id AS r_event_id,
+       CAST(CASE l.user_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 60 END
+            AS INT) AS window_min
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view') l
+LEFT JOIN (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN
+     l.ts - (CASE l.user_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 60 END)
+            * INTERVAL 1 MINUTE
+ AND l.ts + (CASE l.user_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 30 ELSE 60 END)
+            * INTERVAL 1 MINUTE
+"""
+
+
+def _dyn_window_min(user_id) -> F.Column:
+    """Per-key-class join window: 10/30/60 minutes by user segment —
+    the SLA-tiered timeout a real deployment runs (premium keys wait
+    longer for their match than bulk keys)."""
+    return (F.when(user_id % 3 == 0, F.lit(10))
+            .when(user_id % 3 == 1, F.lit(30))
+            .otherwise(F.lit(60)))
+
+
+@query("dynamic_timeout_left_join", _DYN_SQL)
+def q_dynamic_timeout_left_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """O3 extension — LEFT JOIN ON TIMEOUT with a PER-KEY-CLASS window:
+    the join window is a Column (10/30/60 min by user segment), not a
+    constant — the reference hard-codes one ``joinWindowInMs`` for the
+    whole topology (``LeftJoinOnTimeoutBuilder.java:33``), but a
+    DataFrame-native operator gets data-dependent windows for free
+    because the range condition is just an expression. Batch form:
+    one equi-key join whose range bounds read the left row."""
+    from left_join_on_timeout_spark.queries import _events_split
+
+    left, right = _events_split(spark, sf_dir)
+    l = left.alias("l")
+    r = right.select(
+        F.col("user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts")).alias("r")
+    wmin = _dyn_window_min(F.col("l.user_id"))
+    iv = F.make_interval(mins=wmin)
+    cond = ((F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.r_ts") >= F.col("l.ts") - iv)
+            & (F.col("r.r_ts") <= F.col("l.ts") + iv))
+    return (l.join(r, cond, "left")
+            .select(F.col("l.user_id").alias("user_id"),
+                    F.col("l.event_id").alias("event_id"),
+                    F.col("l.ts").alias("ts"),
+                    F.col("r_event_id"),
+                    wmin.cast("int").alias("window_min")))
+
+
+@query("stream_dynamic_timeout_left_join", _DYN_SQL)
+def q_stream_dynamic_timeout_left_join(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The per-key-class window through the REAL watermarked
+    stream-stream leftOuter plan. State-bound analysis needs constant
+    time bounds, so the join condition carries the widest class (±60
+    min) as constant conjuncts — Spark derives watermark eviction from
+    those — while the per-key CASE refines the match inside them;
+    timeout rows for a tight-window key still emit only at its own
+    window's edge because the CASE fails beyond it. Same oracle as the
+    batch form."""
+    from left_join_on_timeout_spark.queries import _events_split
+    from left_join_on_timeout_spark.streaming.harness import (
+        drain_two_streams,
+    )
+
+    left, right = _events_split(spark, sf_dir)
+
+    def build(ls: DataFrame, rs: DataFrame) -> DataFrame:
+        l = ls.withWatermark("ts", "0.1 seconds").alias("l")
+        r = (rs.select(F.col("user_id"),
+                       F.col("event_id").alias("r_event_id"),
+                       F.col("ts").alias("r_ts"))
+             .withWatermark("r_ts", "0.1 seconds").alias("r"))
+        wmin = _dyn_window_min(F.col("l.user_id"))
+        iv = F.make_interval(mins=wmin)
+        outer = F.expr("INTERVAL 60 MINUTES")
+        cond = ((F.col("l.user_id") == F.col("r.user_id"))
+                & (F.col("r.r_ts") >= F.col("l.ts") - outer)
+                & (F.col("r.r_ts") <= F.col("l.ts") + outer)
+                & (F.col("r.r_ts") >= F.col("l.ts") - iv)
+                & (F.col("r.r_ts") <= F.col("l.ts") + iv))
+        return (l.join(r, cond, "leftOuter")
+                .select(F.col("l.user_id").alias("user_id"),
+                        F.col("l.event_id").alias("event_id"),
+                        F.col("l.ts").alias("ts"),
+                        F.col("r_event_id"),
+                        wmin.cast("int").alias("window_min")))
+
+    return drain_two_streams(spark, left, right, on="user_id",
+                             build=build)
