@@ -1072,3 +1072,77 @@ def q_source_influence_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_s",
                     qfl(mw).alias("mean_without"),
                     qfl(mw - F.col("s") / F.col("n")).alias("influence")))
+
+
+@query("source_term_logodds", f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array({_T_NORM}, '\\s+')) AS term
+  FROM documents),
+yst AS (SELECT source, term, CAST(count(*) AS BIGINT) AS y
+        FROM toks GROUP BY 1, 2),
+ns AS (SELECT source, CAST(sum(y) AS BIGINT) AS n_s FROM yst GROUP BY 1),
+yt AS (SELECT term, CAST(sum(y) AS BIGINT) AS y_t FROM yst GROUP BY 1),
+nn AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM yst),
+z AS (
+  SELECT s.source, s.term,
+         floor((ln((s.y + 1.0) / (ns.n_s - s.y + 1.0))
+                - ln((yt.y_t - s.y + 1.0)
+                     / (nn.n - ns.n_s - (yt.y_t - s.y) + 1.0)))
+               / sqrt(1.0 / (s.y + 1.0) + 1.0 / (yt.y_t - s.y + 1.0))
+               * 1000000.0) / 1000000.0 AS zscore
+  FROM yst s
+  JOIN ns ON ns.source = s.source
+  JOIN yt ON yt.term = s.term
+  CROSS JOIN nn)
+SELECT source, term, zscore, CAST(rn AS INT) AS rn
+FROM (SELECT source, term, zscore,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY zscore DESC, term) AS rn
+      FROM z) t
+WHERE rn <= 3
+""")
+def q_source_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparative corpus profiling ("Fightin' Words", Monroe et al.):
+    per source, the 3 terms most OVER-represented versus the rest of
+    the corpus by smoothed log-odds z-score — the content complement of
+    ``source_length_ks``'s shape drift (KS says a source changed;
+    log-odds says *which vocabulary* changed). Add-one smoothing on
+    both sides; variance ≈ 1/(y+1)+1/(y_rest+1).
+
+    Plan: one tokenize pass → (source, term) counts; source totals and
+    term totals are rollups of it; the z computation is a broadcast of
+    the vocabulary-sized term-total table plus a one-row corpus cross;
+    top-3 is a per-source window over vocabulary-sized input.
+    Determinism: all inputs are exact integer counts, the ln/sqrt chain
+    runs on bit-identical doubles mirrored textually, and the z
+    floor-quantizes BEFORE ranking so ordering ties resolve on the
+    term string identically in both engines."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.partitioning import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "source", F.explode(words("text")).alias("term"))
+    yst = (toks.groupBy("source", "term")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    ns = yst.groupBy("source").agg(F.sum("y").cast("bigint").alias("n_s"))
+    yt = yst.groupBy("term").agg(F.sum("y").cast("bigint").alias("y_t"))
+    nn = yst.agg(F.sum("y").cast("bigint").alias("n"))
+    rest_y = F.col("y_t") - F.col("y")
+    lor = (F.log((F.col("y") + 1.0) / (F.col("n_s") - F.col("y") + 1.0))
+           - F.log((rest_y + 1.0)
+                   / (F.col("n") - F.col("n_s") - rest_y + 1.0)))
+    zval = F.floor(
+        lor / F.sqrt(1.0 / (F.col("y") + 1.0) + 1.0 / (rest_y + 1.0))
+        * 1000000.0) / 1000000.0
+    z = (yst.join(F.broadcast(ns), "source")
+         .join(F.broadcast(yt), "term")
+         .crossJoin(F.broadcast(nn))
+         .select("source", "term", zval.alias("zscore")))
+    w = Window.partitionBy("source").orderBy(F.desc("zscore"),
+                                            F.asc("term"))
+    return (z.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("source", "term", "zscore",
+                    F.col("rn").cast("int").alias("rn")))

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "bootstrap_mean_quality",  # one-row point/CI/replica-count crosses
     "source_influence_loo",  # one-row corpus-total cross
     "quality_dup_calibration",  # one-row corpus-size N cross
+    "source_term_logodds",  # one-row corpus-token-total cross
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
