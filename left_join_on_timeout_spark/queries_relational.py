@@ -1060,3 +1060,69 @@ def q_daily_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("mean_value", ignorenulls=True).over(w)
         .alias("filled_value"),
         "is_observed")
+
+
+@query("user_rfm_segments", """
+WITH t AS (SELECT max(ts) AS tmax FROM events),
+base AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(ts), (SELECT tmax FROM t))
+              AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ranked AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+         row_number() OVER (ORDER BY monetary DESC, user_id) AS rm,
+         count(*) OVER () AS n
+  FROM base)
+SELECT user_id, recency_days, frequency,
+       round(monetary, 6) AS monetary,
+       CAST(4 - (rr - 1) * 4 // n AS INT) AS r_score,
+       CAST(4 - (rf - 1) * 4 // n AS INT) AS f_score,
+       CAST(4 - (rm - 1) * 4 // n AS INT) AS m_score
+FROM ranked
+""")
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value cut): per purchasing user, days since last purchase
+    (anchored at the corpus head), purchase count, and spend, each
+    scored into equi-depth quartiles 4…1 by the explicit rank formula
+    (``4 − ⌊(rank−1)·4/n⌋`` over a deterministic total order — never
+    ntile, whose tie behavior differs between engines). One aggregate
+    pass; the quartile ranks run over the *user-level* relation (orders
+    of magnitude smaller than events), and monetary sums are exact
+    decimals. 4 = best in every dimension (most recent, most frequent,
+    highest spend)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.max("ts").alias("tmax"))
+    base = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("last_ts"),
+                 F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                 F.sum(F.col("value").cast("decimal(25,6)"))
+                 .cast("double").alias("monetary"))
+            .crossJoin(F.broadcast(t))
+            .select("user_id",
+                    F.datediff(F.to_date("tmax"), F.to_date("last_ts"))
+                    .cast("bigint").alias("recency_days"),
+                    "frequency", "monetary"))
+    rr = F.row_number().over(W.orderBy("recency_days", "user_id"))
+    rf = F.row_number().over(W.orderBy(F.desc("frequency"), "user_id"))
+    rm = F.row_number().over(W.orderBy(F.desc("monetary"), "user_id"))
+    ranked = (base.withColumn("rr", rr).withColumn("rf", rf)
+              .withColumn("rm", rm)
+              .crossJoin(F.broadcast(
+                  base.agg(F.count(F.lit(1)).alias("n")))))
+    score = lambda r: (4 - F.floor((F.col(r) - 1) * 4 / F.col("n"))) \
+        .cast("int")
+    return ranked.select(
+        "user_id", "recency_days", "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        score("rr").alias("r_score"),
+        score("rf").alias("f_score"),
+        score("rm").alias("m_score"))

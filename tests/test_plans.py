@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "source_influence_loo",  # one-row corpus-total cross
     "quality_dup_calibration",  # one-row corpus-size N cross
     "source_term_logodds",  # one-row corpus-token-total cross
+    "user_rfm_segments",  # one-row anchor-ts / user-count crosses
 }
 
 # Queries whose *own* predicate is an md5 gate evaluated at the scan —
