@@ -132,3 +132,42 @@ def test_containment_matches_brute_force(spark):
                 for a, b in itertools.permutations(range(len(texts)), 2)
                 if len(sets[a] & sets[b]) >= 0.8 * len(sets[a])}
         assert got == want, f"seed {seed}: {got ^ want}"
+
+
+
+def test_dynamic_window_respects_key_class(spark):
+    """A purchase 45 minutes from the view must match ONLY for users in
+    the 60-minute class (user_id % 3 == 2); 10- and 30-minute-class
+    users time out on the same offset — the per-key CASE, not the
+    widest-class state bound, decides matching."""
+    import datetime as dt
+
+    from left_join_on_timeout_spark.queries import QUERIES
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid in (3, 4, 5):  # classes 0 (10m), 1 (30m), 2 (60m)
+        rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(minutes=45), uid,
+                     "purchase", 1.0, "{}")); eid += 1
+    d = tempfile.mkdtemp(prefix="ljot_dyn_")
+    # write via pyarrow with µs timestamps: Spark 4 writes TIMESTAMP_NANOS
+    # by default, which load_table would treat as the driver's ns layout
+    cols = list(zip(*rows))
+    table = pa.table(
+        {"event_id": pa.array(cols[0], pa.int64()),
+         "ts": pa.array(cols[1], pa.timestamp("us")),
+         "user_id": pa.array(cols[2], pa.int64()),
+         "event_type": pa.array(cols[3], pa.string()),
+         "value": pa.array(cols[4], pa.float64()),
+         "props": pa.array(cols[5], pa.string())})
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in
+           QUERIES["dynamic_timeout_left_join"](spark, d).collect()}
+    assert out[3].r_event_id is None and out[3].window_min == 10
+    assert out[4].r_event_id is None and out[4].window_min == 30
+    assert out[5].r_event_id is not None and out[5].window_min == 60
