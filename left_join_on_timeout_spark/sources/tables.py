@@ -38,8 +38,18 @@ def _nanos_ts_columns(path: str) -> list[str]:
             return []
         path = parts[0]
     schema = pq.read_schema(path)
-    return [f.name for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    ns = {f.name for f in schema
+          if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
+    if not ns:
+        return []
+    # pyarrow reports INT96 timestamps (Spark's default parquet output)
+    # as timestamp[ns] too, but Spark reads INT96 natively — applying the
+    # nanosAsLong + div-1000 path to them would crash on our own sinks'
+    # round-trips. Only true INT64 TIMESTAMP(NANOS) columns qualify.
+    phys = pq.read_metadata(path).schema
+    int96 = {phys.column(i).name for i in range(len(phys))
+             if phys.column(i).physical_type == "INT96"}
+    return sorted(ns - int96)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -155,8 +155,9 @@ def test_dynamic_window_respects_key_class(spark):
         rows.append((eid, t0 + dt.timedelta(minutes=45), uid,
                      "purchase", 1.0, "{}")); eid += 1
     d = tempfile.mkdtemp(prefix="ljot_dyn_")
-    # write via pyarrow with µs timestamps: Spark 4 writes TIMESTAMP_NANOS
-    # by default, which load_table would treat as the driver's ns layout
+    # write via pyarrow with explicit µs timestamps so the fixture layout
+    # is unambiguous (Spark's own INT96 default is covered by the
+    # int96 regression test below)
     cols = list(zip(*rows))
     table = pa.table(
         {"event_id": pa.array(cols[0], pa.int64()),
@@ -171,3 +172,24 @@ def test_dynamic_window_respects_key_class(spark):
     assert out[3].r_event_id is None and out[3].window_min == 10
     assert out[4].r_event_id is None and out[4].window_min == 30
     assert out[5].r_event_id is not None and out[5].window_min == 60
+
+
+def test_load_table_reads_spark_written_int96(spark):
+    """Regression: Spark's default parquet output stores timestamps as
+    INT96, which pyarrow also reports as timestamp[ns] — load_table must
+    NOT apply the driver-layout nanosAsLong+div-1000 conversion to it
+    (that crashed round-trips through our own sinks); only true INT64
+    TIMESTAMP(NANOS) columns take that path."""
+    import datetime as dt
+
+    from left_join_on_timeout_spark.sources.tables import load_table
+
+    d = tempfile.mkdtemp(prefix="ljot_int96_")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0, 0), 7, "view", 1.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    df = load_table(spark, d, "events")
+    row = df.collect()[0]
+    assert row.ts == dt.datetime(2024, 1, 1, 12, 0, 0)
