@@ -1126,3 +1126,52 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("rr").alias("r_score"),
         score("rf").alias("f_score"),
         score("rm").alias("m_score"))
+
+
+@query("purchase_interarrival_stats", """
+WITH p AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT)
+           / 60000000.0 AS gap_min
+  FROM p WHERE prev_ts IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap_min, 0.5), 6) AS median_gap_min,
+       round(quantile_cont(gap_min, 0.25), 6) AS q1_gap_min,
+       round(quantile_cont(gap_min, 0.75), 6) AS q3_gap_min,
+       round(max(gap_min), 6) AS max_gap_min
+FROM gaps GROUP BY user_id
+""")
+def q_purchase_interarrival_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Recurrence modeling: per user, the distribution of gaps between
+    consecutive purchases (median/IQR/max, in minutes) — the input to
+    churn heuristics ("3× median gap without a purchase → at risk") and
+    to choosing the core operator's timeout window from data instead of
+    folklore. One keyed lag window over the purchase slice (ties break
+    on event_id for a total order), then a per-user exact-percentile
+    aggregate — interpolated quantiles are the ``iqr_outlier_stats``
+    parity surface (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    verified bit-identical); gap minutes derive from exact bigint
+    microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", "ts", "event_id")
+         .withColumn("prev_ts", F.lag("ts").over(w)))
+    gaps = (p.where(F.col("prev_ts").isNotNull())
+            .select("user_id",
+                    ((F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                     / F.lit(60000000.0)).alias("gap_min")))
+    pct = lambda q: F.round(F.percentile("gap_min", F.lit(q)), 6)
+    return (gaps.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                 pct(0.5).alias("median_gap_min"),
+                 pct(0.25).alias("q1_gap_min"),
+                 pct(0.75).alias("q3_gap_min"),
+                 F.round(F.max("gap_min"), 6).alias("max_gap_min")))
