@@ -1175,3 +1175,41 @@ def q_purchase_interarrival_stats(spark: SparkSession,
                  pct(0.25).alias("q1_gap_min"),
                  pct(0.75).alias("q3_gap_min"),
                  F.round(F.max("gap_min"), 6).alias("max_gap_min")))
+
+
+@query("events_burst_stats", """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+  FROM events),
+b AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN CURRENT ROW AND 600 FOLLOWING)
+           AS burst
+  FROM e)
+SELECT user_id, CAST(max(burst) AS BIGINT) AS max_burst_10m,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY user_id
+""")
+def q_events_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection (rate-limit / abuse signal): per user, the
+    maximum number of events inside any 10-minute window that STARTS at
+    one of their events — the exact sliding maximum, because a maximal
+    burst always has some event on its left edge. One keyed RANGE-frame
+    window over integer epoch-seconds (frame bounds are data values,
+    not row counts, so ties and gaps are handled exactly and both
+    engines agree on integer arithmetic), then a per-user max. No
+    self-join, no window-contribution fan-out: cost is one sort per
+    user partition regardless of the window width."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("bigint")
+        .alias("sec"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(0, 600))
+    return (e.withColumn("burst", F.count(F.lit(1)).over(w))
+            .groupBy("user_id")
+            .agg(F.max("burst").cast("bigint").alias("max_burst_10m"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events")))
