@@ -1146,3 +1146,55 @@ def q_source_term_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= 3)
             .select("source", "term", "zscore",
                     F.col("rn").cast("int").alias("rn")))
+
+
+@query("length_quality_corr", f"""
+WITH q AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(round({_QUALITY}, 3) AS DECIMAL(12,3)) AS y
+  FROM documents),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM q)
+SELECT n,
+       floor((n * sxy - sx * sy)
+             / sqrt((n * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (n * syy - sy * sy)) * 1000000.0) / 1000000.0
+         AS pearson_r
+FROM s
+""")
+def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-redundancy check #2: the exact Pearson correlation between
+    document length and the quality score — quality's strongest term is
+    a length ratio, so a high r quantifies how much of the "quality"
+    cut is really just a length cut (the scalar companion to
+    ``quality_dup_calibration``'s quartile table). One aggregate pass of
+    exact power sums: x is integer chars (int/decimal sums), y is 3-dp
+    decimal quality (products exact at 6 dp in BOTH engines — the Spark
+    decimal-scale-cap rule), so the final r is a handful of IEEE ops on
+    bit-identical operands, floor-quantized."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.round(quality_score("text"), 3).cast("decimal(12,3)").alias("y"))
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"))
+    r = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.sqrt((F.col("n") * F.col("sxx")
+                   - F.col("sx").cast("double") * F.col("sx"))
+                  * (F.col("n") * F.col("syy")
+                     - F.col("sy") * F.col("sy"))))
+    return s.select("n",
+                    (F.floor(r * 1000000.0) / 1000000.0)
+                    .alias("pearson_r"))
