@@ -110,3 +110,33 @@ def q_kafka_sink_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_json_records(
         events, key_col="user_id",
         value_cols=["event_id", "event_type", "props"])
+
+
+@query("multimodal_payload_dedup", f"""
+WITH {_ASSETS_CTE},
+d AS (SELECT asset_id, media_type,
+             md5(upper(hex(content))) AS digest
+      FROM assets)
+SELECT digest, media_type,
+       CAST(min(asset_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY digest, media_type
+""")
+def q_multimodal_payload_dedup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup — the image/audio dedup primitive:
+    hash-aggregate on the md5 of the raw asset BYTES (via uppercase hex
+    so DuckDB's text-only md5 agrees byte-for-byte), one keeper per
+    (digest, media_type) group. The shuffle carries 32-byte digests,
+    never payloads — at 100 TB of media this is the difference between
+    a metadata-sized exchange and moving the corpus; it is
+    ``dedup_exact``'s discipline lifted to the opaque-binary column the
+    multimodal pipeline rides on."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    d = assets.select(
+        "asset_id", "media_type",
+        F.md5(F.upper(F.hex("content"))).alias("digest"))
+    return (d.groupBy("digest", "media_type")
+            .agg(F.min("asset_id").cast("bigint").alias("keep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n")))
