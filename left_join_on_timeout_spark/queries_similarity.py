@@ -896,3 +896,42 @@ def q_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(F.col("s1") / F.col("n")).alias("mean"),
         q(var).alias("variance"),
         (var < 0.0001).alias("collapsed"))
+
+
+@query("embedding_norm_audit", """
+WITH n AS (
+  SELECT vec_id, label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       floor(min(nrm) * 1000000.0) / 1000000.0 AS min_norm,
+       floor(max(nrm) * 1000000.0) / 1000000.0 AS max_norm,
+       CAST(sum(CASE WHEN nrm < 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_zero
+FROM n GROUP BY label
+""")
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-axis embedding audit (the companion to
+    ``embedding_dim_health``'s column axis): per label, the L2-norm
+    envelope and the count of near-zero vectors — dead encoder outputs
+    that poison cosine similarity (a zero vector is 'similar' to
+    nothing and NaNs the normalization). The norm is a row-local
+    sequential dot product over the 64-float array — both engines
+    reduce the array in the same order, so the doubles agree
+    bit-for-bit (the ``knn_brute_cosine`` parity surface) — and min/max
+    are order-free; outputs floor-quantize."""
+    from left_join_on_timeout_spark.functions.vectors import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(dot(v, v))
+    qfl = lambda c: F.floor(c * 1000000.0) / 1000000.0
+    return (emb.select("label", nrm.alias("nrm"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 qfl(F.min("nrm")).alias("min_norm"),
+                 qfl(F.max("nrm")).alias("max_norm"),
+                 F.sum(F.when(F.col("nrm") < 0.1, 1).otherwise(0))
+                 .cast("bigint").alias("n_near_zero")))
