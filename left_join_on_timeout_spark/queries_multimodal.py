@@ -140,3 +140,34 @@ def q_multimodal_payload_dedup(spark: SparkSession,
     return (d.groupBy("digest", "media_type")
             .agg(F.min("asset_id").cast("bigint").alias("keep_id"),
                  F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+@query("stream_payload_dedup", f"""
+WITH {_ASSETS_CTE}
+SELECT DISTINCT md5(upper(hex(content))) AS digest, media_type
+FROM assets
+""")
+def q_stream_payload_dedup(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Ingest-time binary dedup: the asset stream drops payload
+    duplicates by content digest as they land (one emission per
+    distinct (digest, media_type) — the projection to the key columns
+    makes the drained output arrival-order-independent, so the batch
+    DISTINCT is an exact oracle). The digest is computed row-locally
+    BEFORE the stateful operator, so dedup state stores 32-byte keys,
+    never payloads; at 100 TB a deployment scopes it with
+    ``dropDuplicatesWithinWatermark`` on arrival time exactly like
+    ``stream_dedup_keys``."""
+    from left_join_on_timeout_spark.streaming.harness import drain_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars")
+
+    def dedup(stream: DataFrame) -> DataFrame:
+        assets = documents_as_assets(stream)
+        return (assets.select(
+            F.md5(F.upper(F.hex("content"))).alias("digest"),
+            "media_type")
+            .dropDuplicates(["digest", "media_type"]))
+
+    return drain_stream(spark, docs, dedup)
