@@ -1198,3 +1198,47 @@ def q_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("n",
                     (F.floor(r * 1000000.0) / 1000000.0)
                     .alias("pearson_r"))
+
+
+@query("corpus_health_dashboard", f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round({_QUALITY}, 3) AS DECIMAL(12,3)) AS q3,
+         CAST(len(regexp_split_to_array({_T_NORM}, '\\s+')) AS BIGINT)
+           AS n_words,
+         md5(regexp_replace({_T_NORM}, '\\s+', ' ', 'g')) AS cfp
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT cfp) AS BIGINT) AS n_unique,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(CAST(sum(q3) AS DOUBLE) / count(*), 6) AS mean_quality,
+       CAST(min(n_words) AS BIGINT) AS min_words,
+       CAST(max(n_words) AS BIGINT) AS max_words
+FROM q
+""")
+def q_corpus_health_dashboard(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The one-row corpus health header every run logs first: document
+    and source counts, exact-distinct fingerprints (dup mass at a
+    glance), token volume, mean quality, and the word-count envelope —
+    the numbers a pipeline asserts drift-bounds against between
+    snapshots before any expensive stage runs. ONE scan, one global
+    aggregate; distinct counts are exact (not sketches — this is the
+    assertion surface, approx_sketches is the cheap-monitor sibling);
+    mean quality divides an exact 3-dp decimal sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    q3 = F.round(quality_score("text"), 3).cast("decimal(12,3)")
+    base = docs.select(
+        "doc_id", "source", q3.alias("q3"),
+        n_words("text").cast("bigint").alias("n_words"),
+        fingerprint("text").alias("cfp"))
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("cfp").cast("bigint").alias("n_unique"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.round(F.sum("q3").cast("double") / F.count(F.lit(1)), 6)
+        .alias("mean_quality"),
+        F.min("n_words").cast("bigint").alias("min_words"),
+        F.max("n_words").cast("bigint").alias("max_words"))
