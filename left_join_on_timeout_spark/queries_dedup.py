@@ -862,7 +862,7 @@ def q_pagerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGREE = " + ".join(
     f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
-    for j in range(12))
+    for j in range(DEFAULT_K))
 
 
 @query("containment_minhash_est", f"""
@@ -884,10 +884,10 @@ inter AS (
   GROUP BY 1, 2)
 SELECT g.id_a, g.id_b, g.k_agree,
        round(g.k_agree * (na.n_sh + nb.n_sh)
-             / ((12 + g.k_agree) * na.n_sh), 6) AS c_ab_est,
+             / (({DEFAULT_K} + g.k_agree) * na.n_sh), 6) AS c_ab_est,
        round(coalesce(i.inter, 0) / na.n_sh, 6) AS c_ab_exact,
        round(g.k_agree * (na.n_sh + nb.n_sh)
-             / ((12 + g.k_agree) * na.n_sh)
+             / (({DEFAULT_K} + g.k_agree) * na.n_sh)
              - coalesce(i.inter, 0) / na.n_sh, 6) AS est_err
 FROM ag g
 LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
@@ -927,12 +927,14 @@ def q_containment_minhash_est(spark: SparkSession,
         .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig, "doc_id")
     a = sig.select(F.col("doc_id").alias("id_a"),
-                   *[F.col(f"m{j}").alias(f"a{j}") for j in range(12)])
+                   *[F.col(f"m{j}").alias(f"a{j}")
+                     for j in range(DEFAULT_K)])
     b = sig.select(F.col("doc_id").alias("id_b"),
-                   *[F.col(f"m{j}").alias(f"b{j}") for j in range(12)])
+                   *[F.col(f"m{j}").alias(f"b{j}")
+                     for j in range(DEFAULT_K)])
     agree = sum(
         (F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-         for j in range(12)),
+         for j in range(DEFAULT_K)),
         F.lit(0)).cast("bigint")
     ag = (pairs.join(a, "id_a").join(b, "id_b")
           .select("id_a", "id_b", agree.alias("k_agree")))
@@ -945,7 +947,7 @@ def q_containment_minhash_est(spark: SparkSession,
                       F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
     est = (F.col("k_agree") * (F.col("n_a") + F.col("n_b"))
-           / ((F.lit(12) + F.col("k_agree")) * F.col("n_a")))
+           / ((F.lit(DEFAULT_K) + F.col("k_agree")) * F.col("n_a")))
     exact = F.col("inter") / F.col("n_a")
     return (ag.join(sa, "id_a").join(sb, "id_b")
             .withColumn("inter", inter)
@@ -1066,7 +1068,7 @@ SELECT CAST((rnk - 1) * 4 // n AS BIGINT) AS quartile,
                   AS DOUBLE) / count(*), 6) AS dup_frac
 FROM ranked r LEFT JOIN dup d ON d.doc_id = r.doc_id
 GROUP BY (rnk - 1) * 4 // n
-""".replace("{{q}}", "{q}").replace("{q}", _QUALITY))
+""".replace("{q}", _QUALITY))
 def q_quality_dup_calibration(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Cross-signal calibration: does the quality score PREDICT

@@ -356,12 +356,30 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_tf_and_model,
     )
 
-    _, lr = dsir_tf_and_model(spark, sf_dir)
+    import math
+
+    from left_join_on_timeout_spark.queries_pipeline import _DSIR_B
+
+    tf, lr = dsir_tf_and_model(spark, sf_dir)
     model = {r["b"]: r["lr"] for r in lr.collect()}  # O(256) snapshot
     pairs: list = []
     for b, v in sorted(model.items()):
         pairs.extend([F.lit(b), F.lit(v).cast("decimal(25,6)")])
     lr_map = F.create_map(*pairs)
+    # Unseen-bucket floor (ADVICE r4): a bucket absent from the trained
+    # model gets the smoothed zero-count log-ratio instead of NULLing
+    # the whole document's score on genuinely new data. No-op on this
+    # corpus (the model covers every bucket the training text produces)
+    # so the oracle hash is unchanged — but the shipped pattern is now
+    # safe for streams the model has never seen.
+    tots = (tf.agg(
+        F.sum("tf").cast("bigint").alias("tr"),
+        F.coalesce(F.sum(F.when(F.col("doc_id") % 20 == 0, F.col("tf"))),
+                   F.lit(0)).cast("bigint").alias("tt"))
+        .collect()[0])
+    floor = Decimal(str(round(
+        math.log(1.0 / (tots["tt"] + _DSIR_B))
+        - math.log(1.0 / (tots["tr"] + _DSIR_B)), 6)))
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -369,8 +387,10 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = words("text")
         vals = F.transform(
             toks,
-            lambda t: F.element_at(
-                lr_map, F.substring(F.md5(t), 1, _DSIR_HEX)))
+            lambda t: F.coalesce(
+                F.element_at(
+                    lr_map, F.substring(F.md5(t), 1, _DSIR_HEX)),
+                F.lit(floor).cast("decimal(25,6)")))
         total = F.aggregate(
             vals,
             F.lit(Decimal(0)).cast("decimal(38,6)"),

@@ -864,20 +864,19 @@ def q_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-ascending tiebreak — fully deterministic). High OOV rate marks
     docs a fixed-vocabulary tokenizer will fragment into rare pieces —
     the standard pre-tokenization screen before committing a vocab
-    size. Plan: one tokenize pass, a vocabulary-sized aggregate whose
-    top-V is a broadcast table, and a map-side left join — the corpus
-    never shuffles for the vocabulary lookup."""
-    from pyspark.sql import Window
-
+    size. Plan: one tokenize pass, a vocabulary-sized aggregate ranked
+    by ``global_rank`` (range exchange — the term-count table is
+    corpus-vocabulary-sized, so no single-partition sort anywhere),
+    whose top-V is a broadcast table, and a map-side left join — the
+    corpus never shuffles for the vocabulary lookup."""
+    from left_join_on_timeout_spark.operators.ranking import global_rank
     from left_join_on_timeout_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
     toks = fan_out(docs).select(
         "doc_id", F.explode(words("text")).alias("term"))
     tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    rnk = F.row_number().over(
-        Window.orderBy(F.desc("c"), F.asc("term")))
-    vocab = (tc.withColumn("rnk", rnk)
+    vocab = (global_rank(tc, [F.desc("c"), F.asc("term")])
              .where(F.col("rnk") <= _VOCAB_V)
              .select("term", F.lit(True).alias("in_v")))
     is_oov = F.when(F.col("in_v").isNull(), 1).otherwise(0)
