@@ -87,7 +87,24 @@ HEADLINE = [
     "doc_lm2_score",
     "dedup_incremental_probe",
     "containment_pairs",
+    # round-5 additions: the heavy continuation tail that had no sf0.1
+    # timing on record (VERDICT r4 "Next round" #3)
+    "pagerank_candidates",
+    "dedup_prefix_jaccard",
+    "cluster_aware_split",
+    "events_pit_enrich",
+    "rolling_7d_active_users",
+    "quantile_normalize_quality",
+    "source_influence_loo",
+    "corpus_health_dashboard",
 ]
+
+# The previous round's headline set (BENCH_r04.json). The shared-subset
+# total below makes cross-round comparison composition-proof: the driver's
+# regression gate should read shared_with_prev_total_sec, which is summed
+# over identical query sets, not the headline total, which grows whenever
+# new queries join the set (VERDICT r4 "What's wrong" #3).
+PREV_HEADLINE = HEADLINE[:59]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -122,6 +139,7 @@ def main() -> None:
         for n in names:
             timings[n] = min(timings[n], round(run_query(spark, n, SF_DIR), 3))
     total = round(sum(timings.values()), 3)
+    shared = round(sum(timings[n] for n in PREV_HEADLINE), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -129,6 +147,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "shared_with_prev_total_sec": shared,
+        "shared_with_prev_n": len(PREV_HEADLINE),
     }))
 
 

@@ -141,12 +141,19 @@ def ann_top_neighbor(emb: DataFrame,
                      vec_col: str = "embedding",
                      dim: int = 64,
                      bands: int = DEFAULT_BANDS,
-                     n_bits: int = DEFAULT_BITS,
+                     n_bits: int | None = None,
                      seed: int = DEFAULT_SEED,
                      bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Approximate nearest neighbor per vector among its SRP candidates:
     (vec_id, neighbor_id, cos_sim). Vectors with no candidate are absent
-    (honest ANN recall semantics). Ties break to the smaller neighbor id."""
+    (honest ANN recall semantics). Ties break to the smaller neighbor id.
+
+    ``n_bits=None`` (the default) derives the bit width from the corpus
+    size via :func:`auto_knobs` — the fixed-knob quadratic cannot be
+    written by default; pass an explicit value to pin it (the recall
+    harnesses do, so their oracle CTEs stay static)."""
+    if n_bits is None:
+        n_bits = auto_knobs(emb.count())["n_bits"]
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
                                 seed, bucket_cap)
     scored = _score(pairs)
@@ -170,6 +177,43 @@ def ann_top_neighbor(emb: DataFrame,
 
 DEFAULT_IVF_CELLS = 32
 DEFAULT_CELL_CAP = 2000
+
+# The corpus size the library defaults are sized for (the sf0.1 bench
+# corpus: 2000 vectors → 32 cells ≈ 62 rows/cell, 8 SRP bits ≈ 2000/256
+# expected rows/bucket).
+ANN_REF_ROWS = 2000
+
+
+def auto_knobs(n_rows: int) -> dict[str, int]:
+    """Corpus-size-derived ANN knobs (VERDICT r4 item 4): the two
+    measured scaling rules from the PLANS.md heavy-query study, as code.
+
+    * ``n_cells`` grows **linearly** (cells ∝ n): constant ~62 rows per
+      cell keeps both the per-cell pairing work and the cell-cap
+      truncation rate flat as the corpus grows — the fixed-knob variant
+      reproduced a 10× quadratic at 10× rows, the scaled knob restored
+      linear (8.4 s → 1.2 s, PLANS.md §"second decade").
+    * ``n_bits`` grows **logarithmically** (bits ∝ log n): each extra
+      hyperplane halves expected bucket occupancy, so ``+log2(scale)``
+      bits hold bucket sizes constant (measured: 4.1 s → 2.2 s at 10×
+      with 8 → 11 bits).
+
+    Both are floored at the library defaults, so any corpus at or below
+    the reference bench scale (``ANN_REF_ROWS``) resolves to exactly the
+    default plan — existing oracle hashes at the bench SFs are
+    byte-identical. MinHash-LSH banding knobs are deliberately NOT
+    derived here: (bands, rows-per-band) encode the target Jaccard
+    threshold, not a corpus-size tradeoff, and bucket growth there is
+    bounded by the per-bucket cap instead."""
+    import math
+
+    scale = max(n_rows, 1) / ANN_REF_ROWS
+    return {
+        "n_cells": max(DEFAULT_IVF_CELLS,
+                       round(DEFAULT_IVF_CELLS * scale)),
+        "n_bits": max(DEFAULT_BITS,
+                      DEFAULT_BITS + round(math.log2(scale))),
+    }
 
 
 def ivf_assign(emb: DataFrame,
@@ -337,7 +381,7 @@ def kmeans_refined_cells(emb: DataFrame,
 def ivf_top_neighbor(emb: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     n_cells: int = DEFAULT_IVF_CELLS,
+                     n_cells: int | None = None,
                      cell_cap: int = DEFAULT_CELL_CAP,
                      nprobe: int = 1) -> DataFrame:
     """Approximate nearest neighbor per vector, IVF variant: pair only
@@ -351,9 +395,15 @@ def ivf_top_neighbor(emb: DataFrame,
     the corpus (cells ≈ n / target_cell_size) and ``cell_cap`` drops
     degenerate cells before pairing, so within-cell work is bounded by
     cap² per cell, never corpus-quadratic. Recall comes from cell
-    locality (× nprobe) instead of SRP band OR-ing."""
+    locality (× nprobe) instead of SRP band OR-ing.
+
+    ``n_cells=None`` (the default) sizes the cell count from the corpus
+    via :func:`auto_knobs` (cells ∝ n), so the fixed-knob quadratic
+    cannot be written by default; pass an explicit value to pin it."""
     from pyspark import StorageLevel
 
+    if n_cells is None:
+        n_cells = auto_knobs(emb.count())["n_cells"]
     if nprobe == 1:
         assigned = ivf_assign(emb, id_col, vec_col, n_cells)
     else:

@@ -356,102 +356,88 @@ EXTRA_ORACLE: dict[str, str] = {
 # Curated registration order.
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
-# entries of this registry (dict insertion order).  Rounds 1-3 adjudicated
-# 86 of the 114 then-registered queries; the 28 below have local-oracle
-# evidence only (VERDICT r3 "What's missing" #1).  Round 4 therefore
-# front-loads exactly those 28, then fills the window with 22 sentinels
-# spanning every family that already went driver-green (the four O3 tiers,
-# the O2/O6/O13 core, TPC-H, dedup, similarity, text, curation, sampling,
-# CDC/MERGE, streaming, as-of, range join, multimodal) as regression
-# coverage.  Everything after position 50 remains covered by the local
-# type-strict gate (tools/check_oracle.py, tests/test_queries_oracle.py).
+# entries of this registry (dict insertion order).  After round 4 the
+# r1-r4 adjudicated union covers 114 names (109 still registered); the 68
+# round-4 continuation additions have local-oracle evidence only (VERDICT
+# r4 "What's missing" #1).  Round 5 therefore front-loads 44 of those 68
+# in the verdict's priority order -- core-operator extensions first (they
+# extend O3 itself), then exact-dedup, IVF-PQ, data selection, audits,
+# time-series/lake -- and closes the window with 6 sentinels, one per
+# driver-green family, as regression coverage.  Everything after position
+# 50 remains covered by the local type-strict gate
+# (tools/check_oracle.py, tests/test_queries_oracle.py).
 #
-# ROUND-5 ROTATION NOTE: the late-round-4 additions (registered in the
-# tail, local-oracle evidence only) are the next window candidates:
-# boilerplate_strip_docs, source_mix_temperature, stream_source_mix,
-# train_val_split_leakproof, training_order_shuffle, pii_redaction,
-# stream_pii_redaction, doc_lm_score, pq_codes_recon, ann_top1_ivfpq,
-# ann_recall_ivfpq, dedup_multi_signal_clusters, bigram_pmi_top,
-# dedup_graph_triangles, length_equidepth_bins, events_fir_smoothing,
-# json_dead_letter, stream_json_dead_letter, scd2_user_state_intervals,
-# cms_heavy_hitters, full_outer_timeout_join,
-# stream_full_outer_timeout_join, weighted_sample_docs,
-# feature_hash_docs, dedup_prefix_jaccard, user_value_trend (~26),
-# plus the round-4 continuation family (all sf0.001+sf0.01
-# oracle-PASS locally): dup_span_detection, dup_span_removal_stats,
-# dsir_importance_weights, stream_dsir_score, doc_lm2_score,
-# dedup_incremental_probe, stream_incremental_probe,
-# cluster_aware_split, containment_pairs, containment_minhash_est,
-# oov_rate_docs, novelty_score_docs, pagerank_candidates,
-# dedup_savings_report, dow_seasonal_residuals,
-# time_decayed_user_value, embedding_dim_health,
-# schema_evolution_merge, lang_confusion_matrix, daily_forward_fill,
-# neyman_allocation_sample, source_length_ks, events_pit_enrich,
-# bootstrap_mean_quality, source_influence_loo,
-# quality_dup_calibration —
-# front-load them in r5 with family sentinels behind, exactly as r4
-# did for r3's gap.
+# ROUND-6 ROTATION NOTE: the 24 still never driver-adjudicated names to
+# front-load next: dedup_multi_signal_clusters, dedup_graph_triangles,
+# pagerank_candidates, containment_minhash_est, dedup_savings_report,
+# bigram_pmi_top, feature_hash_docs, boilerplate_strip_docs,
+# training_order_shuffle, length_equidepth_bins, events_fir_smoothing,
+# json_dead_letter, stream_json_dead_letter, user_value_trend,
+# iqr_outlier_stats, zorder_layout_stats, ordered_funnel_sessions,
+# quantile_normalize_quality, purchase_interarrival_stats,
+# events_burst_stats, weighted_sample_docs, neyman_allocation_sample,
+# bootstrap_mean_quality, novelty_score_docs -- all fit one window with
+# ~26 sentinels behind them.
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- never driver-adjudicated (r1+r2+r3 union gap) ------------- 28
-    #    ANN evidence ------------------------------------------------ 4
-    "ann_top1_ivf_probe2",
-    "ann_recall_srp",
-    "ann_recall_ivf",
-    "label_centroids",
-    #    corpus-curation remainder ----------------------------------- 5
-    "repetition_quality_flags",
-    "sequence_packing_bins",
-    "quality_gated_sample",
-    "chunk_documents_windows",
-    "text_token_entropy",
-    #    round-3 analytics ------------------------------------------- 3
-    "funnel_conversion_daily",
-    "cohort_retention_weekly",
-    "grouping_sets_revenue",
-    #    streaming twins --------------------------------------------- 5
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_semi_join",
-    "stream_quality_filter",
-    "stream_chunk_documents",
-    #    TPC-H remainder --------------------------------------------- 11
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_by_flag",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_heavy_gear_suppliers",
-    "q22_idle_rich_customers",
-    # -- family sentinels (all driver-green in r1-r3) --------------- 22
-    #    reference operator core ------------------------------------- 7
-    "timeout_left_join",
-    "stream_timeout_left_join",
-    "timer_timeout_left_join",
-    "tws_timeout_left_join",
-    "window_inner_join",
-    "timeout_only",
-    "json_extract_props",
-    #    one per extension family ------------------------------------ 15
-    "q1_pricing_summary",        # TPC-H core
-    "dedup_exact",               # exact dedup
-    "dedup_minhash_lsh",         # LSH near-dup
-    "dedup_keep_canonical",      # cleaned-corpus deliverable
-    "knn_brute_cosine",          # brute-force kNN
-    "ann_top1_ivf",              # IVF ANN
-    "text_quality_score",        # text analysis
-    "contamination_ngram_overlap",  # corpus curation
-    "sample_uniform_events",     # sampling
-    "cdc_latest_per_key",        # CDC
-    "merge_upsert_orders",       # MERGE
-    "stream_dedup_keys",         # streaming dedup
-    "asof_backward_join",        # as-of join
-    "range_overlap_incidents",   # range join
-    "multimodal_features",       # multimodal pipeline
+    # -- never driver-adjudicated (r1-r4 union gap, verdict order) -- 44
+    #    core-operator extensions (extend O3 itself) ----------------- 4
+    "full_outer_timeout_join",
+    "stream_full_outer_timeout_join",
+    "dynamic_timeout_left_join",
+    "stream_dynamic_timeout_left_join",
+    #    exact set/span dedup + ingest probe + payload dedup --------- 8
+    "containment_pairs",
+    "dedup_prefix_jaccard",
+    "dup_span_detection",
+    "dup_span_removal_stats",
+    "dedup_incremental_probe",
+    "stream_incremental_probe",
+    "multimodal_payload_dedup",
+    "stream_payload_dedup",
+    #    IVF-PQ ------------------------------------------------------ 3
+    "ann_top1_ivfpq",
+    "ann_recall_ivfpq",
+    "pq_codes_recon",
+    #    data selection & splits ------------------------------------ 10
+    "dsir_importance_weights",
+    "stream_dsir_score",
+    "doc_lm_score",
+    "doc_lm2_score",
+    "train_val_split_leakproof",
+    "cluster_aware_split",
+    "pii_redaction",
+    "stream_pii_redaction",
+    "source_mix_temperature",
+    "stream_source_mix",
+    #    statistical audits ----------------------------------------- 11
+    "oov_rate_docs",
+    "lang_confusion_matrix",
+    "source_length_ks",
+    "source_influence_loo",
+    "source_term_logodds",
+    "embedding_dim_health",
+    "embedding_norm_audit",
+    "corpus_health_dashboard",
+    "quality_dup_calibration",
+    "length_quality_corr",
+    "cms_heavy_hitters",
+    #    time-series & lake ops -------------------------------------- 8
+    "events_pit_enrich",
+    "daily_forward_fill",
+    "rolling_7d_active_users",
+    "dow_seasonal_residuals",
+    "schema_evolution_merge",
+    "scd2_user_state_intervals",
+    "user_rfm_segments",
+    "time_decayed_user_value",
+    # -- family sentinels (all driver-green in r1-r4) ---------------- 6
+    "tws_timeout_left_join",      # O3 core, most advanced tier
+    "q1_pricing_summary",         # TPC-H
+    "dedup_minhash_lsh",          # LSH near-dup
+    "ann_top1_ivf",               # IVF ANN
+    "text_quality_score",         # text analysis
+    "stream_dedup_keys",          # streaming
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
