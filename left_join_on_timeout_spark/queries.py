@@ -431,12 +431,12 @@ _PRIORITY: list[str] = [
     "scd2_user_state_intervals",
     "user_rfm_segments",
     "time_decayed_user_value",
-    # -- family sentinels (all driver-green in r1-r4) ---------------- 6
+    # -- family sentinels (driver-green r1-r4) + the one NEW r5 query - 6
     "tws_timeout_left_join",      # O3 core, most advanced tier
     "q1_pricing_summary",         # TPC-H
     "dedup_minhash_lsh",          # LSH near-dup
     "ann_top1_ivf",               # IVF ANN
-    "text_quality_score",         # text analysis
+    "decode_image_ppm",           # NEW in r5: executable image decode
     "stream_dedup_keys",          # streaming
 ]
 
