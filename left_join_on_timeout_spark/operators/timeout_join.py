@@ -79,7 +79,12 @@ def _prepare(left: DataFrame, right: DataFrame, on: str | Sequence[str],
     for k in _keys(on):
         c = F.col(k) == F.col(f"{right_prefix}{k}")
         cond = c if cond is None else (cond & c)
-    w = F.expr(f"INTERVAL {window_ms / 1000.0} SECOND")
+    if isinstance(window_ms, Column):
+        # per-left-row window (dynamic_left_join_on_timeout): evaluated
+        # against the LEFT row's columns, microsecond-exact interval
+        w = F.make_interval(secs=window_ms.cast("double") / F.lit(1000.0))
+    else:
+        w = F.expr(f"INTERVAL {window_ms / 1000.0} SECOND")
     rng = F.col(f"{right_prefix}{right_ts}").between(
         F.col(left_ts) - w, F.col(left_ts) + w)
     cond = cond & rng if cond is not None else rng
@@ -90,7 +95,10 @@ def _prepare(left: DataFrame, right: DataFrame, on: str | Sequence[str],
 
 def _join(left: DataFrame, right: DataFrame, on, window, left_ts, right_ts,
           joiner, joined_col, right_prefix, broadcast, how) -> DataFrame:
-    window_ms = TimeoutJoinConfig.of(window).window_ms  # validates (O15)
+    if isinstance(window, Column):
+        window_ms: int | Column = window        # per-row, validated upstream
+    else:
+        window_ms = TimeoutJoinConfig.of(window).window_ms  # validates (O15)
     r, cond, l_side, r_side = _prepare(
         left, right, on, left_ts, right_ts, window_ms, right_prefix)
     rhs = F.broadcast(r) if broadcast else r
@@ -163,6 +171,39 @@ def timeout_only(
     r, cond, _, _ = _prepare(
         left, right, on, left_ts, right_ts, window_ms, right_prefix)
     return left.join(r, cond, "left_anti")
+
+
+def dynamic_left_join_on_timeout(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    window_ms: Column,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    joiner: Joiner | None = None,
+    joined_col: str = "joined",
+    right_prefix: str = "r_",
+    broadcast: bool = False,
+) -> DataFrame:
+    """O3 extension — LEFT JOIN ON TIMEOUT with a PER-ROW window: the
+    join window is a Column evaluated against the LEFT row (milliseconds,
+    e.g. an SLA tier keyed on a customer-class column), not a constant.
+    The reference hard-codes one ``joinWindowInMs`` for the whole
+    topology (``LeftJoinOnTimeoutBuilder.java:33``); a DataFrame-native
+    operator gets data-dependent windows for free because the range
+    bound is just an expression — still an equi-key hash join with a
+    residual range filter, never a cartesian.
+
+    Streaming deployments must carry the widest class as constant
+    conjuncts for state-bound analysis (see
+    ``q_stream_dynamic_timeout_left_join``); the batch form needs no
+    such bound."""
+    if not isinstance(window_ms, Column):
+        raise TypeError(
+            "window_ms must be a Column; use left_join_on_timeout for "
+            "constant windows")
+    return _join(left, right, on, window_ms, left_ts, right_ts,
+                 joiner, joined_col, right_prefix, broadcast, "left")
 
 
 def full_outer_join_on_timeout(

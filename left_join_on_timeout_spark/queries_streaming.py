@@ -444,26 +444,24 @@ def q_dynamic_timeout_left_join(spark: SparkSession,
     whole topology (``LeftJoinOnTimeoutBuilder.java:33``), but a
     DataFrame-native operator gets data-dependent windows for free
     because the range condition is just an expression. Batch form:
-    one equi-key join whose range bounds read the left row."""
+    ``operators.timeout_join.dynamic_left_join_on_timeout`` — one
+    equi-key join whose range bounds read the left row (fuzz-verified
+    against a per-row brute-force evaluator over 200+ random
+    interleavings, ``tests/test_dynamic_window_fuzz.py``)."""
+    from left_join_on_timeout_spark.operators.timeout_join import (
+        dynamic_left_join_on_timeout,
+    )
     from left_join_on_timeout_spark.queries import _events_split
 
     left, right = _events_split(spark, sf_dir)
-    l = left.alias("l")
-    r = right.select(
-        F.col("user_id"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("ts").alias("r_ts")).alias("r")
-    wmin = _dyn_window_min(F.col("l.user_id"))
-    iv = F.make_interval(mins=wmin)
-    cond = ((F.col("l.user_id") == F.col("r.user_id"))
-            & (F.col("r.r_ts") >= F.col("l.ts") - iv)
-            & (F.col("r.r_ts") <= F.col("l.ts") + iv))
-    return (l.join(r, cond, "left")
-            .select(F.col("l.user_id").alias("user_id"),
-                    F.col("l.event_id").alias("event_id"),
-                    F.col("l.ts").alias("ts"),
-                    F.col("r_event_id"),
-                    wmin.cast("int").alias("window_min")))
+    wmin = _dyn_window_min(F.col("user_id"))
+    out = dynamic_left_join_on_timeout(
+        left.select("user_id", "event_id", "ts"),
+        right.select("user_id", "event_id", "ts"),
+        on="user_id", window_ms=wmin * 60_000)
+    return out.select(
+        "user_id", "event_id", "ts", "r_event_id",
+        wmin.cast("int").alias("window_min"))
 
 
 @query("stream_dynamic_timeout_left_join", _DYN_SQL)
