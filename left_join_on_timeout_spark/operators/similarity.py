@@ -404,10 +404,16 @@ def ivf_top_neighbor(emb: DataFrame,
 
     if n_cells is None:
         n_cells = auto_knobs(emb.count())["n_cells"]
-    if nprobe == 1:
-        assigned = ivf_assign(emb, id_col, vec_col, n_cells)
-    else:
-        assigned = ivf_assign_multi(emb, id_col, vec_col, n_cells, nprobe)
+    # ALL nprobe values (including 1) assign through the map-side
+    # multi-probe path: ivf_assign's broadcast-join shape materializes
+    # n·n_cells candidate rows each carrying the full vector, which at
+    # the third scaling decade (200k vectors × 3200 auto cells = 640M
+    # vector-bearing rows) exhausts the heap before the argmax collapses
+    # it; the multi path scores all anchors per row inside ONE array
+    # expression, so memory stays O(n_cells) per row regardless of
+    # corpus size. Tie-breaking is identical (desc sim, lowest cell), so
+    # nprobe=1 results are row-for-row the same (oracle-checked).
+    assigned = ivf_assign_multi(emb, id_col, vec_col, n_cells, nprobe)
     # The capped assignment is the IVF *index*: persist it so the a×b
     # cell self-join reads it twice without planning the whole assign
     # subtree twice (no ReusedExchange fires across the join sides —
