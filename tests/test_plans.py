@@ -153,6 +153,17 @@ def test_chunk_documents_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_decode_image_ppm_narrow_map(spark):
+    """Image decode is a narrow Arrow-batched map over the asset rows:
+    one scan, the MapInPandas decode stage, and NO shuffle anywhere —
+    payload bytes must never cross an exchange (at 100 TB of media the
+    exchange would be the corpus)."""
+    plan = plan_of(spark, "decode_image_ppm")
+    assert "MapInPandas" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
 def test_dup_span_shingles_once(spark):
     """Gram occurrence counts must come from a window over the digest
     (one corpus scan / one shingle pipeline), never a grams⋈grams
