@@ -241,3 +241,59 @@ def test_source_mix_broadcasts_mix_table(spark):
     plan = plan_of(spark, "source_mix_temperature")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_jaccard_reads_persisted_index(spark):
+    """The exact set-similarity join must read its token/prefix postings
+    from a persisted relation: ReusedExchange never fires across
+    self-join sides, so without the persist the whole tokenize+posting
+    subtree would execute once per side (the r4 LSH lesson, applied to
+    the r5-windowed exact joins)."""
+    plan = plan_of(spark, "dedup_prefix_jaccard")
+    assert "InMemoryTableScan" in plan
+
+
+def test_containment_reads_persisted_index(spark):
+    """Same discipline for the directed-containment join: probe prefix
+    and container postings come from one materialized token relation."""
+    plan = plan_of(spark, "containment_pairs")
+    assert "InMemoryTableScan" in plan
+
+
+def test_rolling_distinct_contribution_explode(spark):
+    """The sliding COUNT DISTINCT must be the window-contribution
+    explode (fan-out = window length, a constant) joined to the tiny
+    day-ends relation — never a data×data self-join over 7 days of
+    history per day."""
+    plan = plan_of(spark, "rolling_7d_active_users")
+    assert "Generate explode" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pit_enrich_is_joinless(spark):
+    """POINT-IN-TIME enrichment runs as the as-of union-window plan:
+    both relations union and sort inside ONE keyed window pass — there
+    must be no join operator of any kind in the plan (a range join per
+    event is the shape this operator exists to avoid)."""
+    plan = plan_of(spark, "events_pit_enrich")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_pagerank_lineage_truncated(spark):
+    """Five synchronous PageRank rounds must leave a checkpoint-
+    truncated lineage: the final plan reads the last round's RDD, not a
+    5x-unrolled join tree (which would replay every prior round per
+    action and grow exponentially with rounds)."""
+    plan = plan_of(spark, "pagerank_candidates")
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
+
+
+def test_cluster_split_lineage_truncated(spark):
+    """The cluster-aware split joins the corpus (one scan) to CC
+    cluster ids whose iterative lineage is checkpoint-truncated."""
+    plan = plan_of(spark, "cluster_aware_split")
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("FileScan parquet") == 1
