@@ -223,47 +223,48 @@ def ivf_assign(emb: DataFrame,
     """(id, v, nrm, cell): IVF coarse quantization — assign each vector
     to its nearest anchor by cosine. Anchors are the vectors with
     ``id < n_cells`` (deterministic, seedless; a k-means pass would drop
-    in here unchanged). The anchor table is tiny and broadcast, so the
-    n·n_cells dot products happen in the scanning tasks; the argmax
-    ``groupBy(id)`` is a shuffle, but partial aggregation collapses the
-    candidates map-side so only one row per id crosses the wire."""
+    in here unchanged). The anchors collapse into one broadcast array
+    row, so the n_cells dot products and the argmax run as a per-row
+    array reduction in the scanning tasks
+    (see :func:`_assign_to_anchors`) — no shuffle anywhere."""
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     anchors = (v.where(F.col(id_col) < n_cells)
                .select(F.col(id_col).alias("cell"),
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
-    # argmax over the anchors of ONE row = a per-row array reduction, not
-    # a groupBy: the broadcast anchor list is collapsed into an array
-    # literal-free aggregate via max(struct) over the exploded join, or —
-    # cheaper — a single max_by per row group. Using a per-row aggregate
-    # keeps v's columns on the row, so no join-back and no extra shuffle.
-    sims = (v.join(F.broadcast(anchors))
-            .select(id_col, "v", "nrm", "cell",
-                    (dot(F.col("v"), F.col("av"))
-                     / (F.col("nrm") * F.col("anrm"))).alias("sim")))
-    best = sims.groupBy(id_col).agg(
-        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"),
-                       F.col("v"), F.col("nrm"))).alias("b"))
-    return best.select(F.col(id_col), F.col("b.v").alias("v"),
-                       F.col("b.nrm").alias("nrm"),
-                       (-F.col("b.negc")).alias("cell"))
+    return _assign_to_anchors(v, anchors, id_col)
 
 
 def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
                        id_col: str) -> DataFrame:
     """(id, v, nrm, cell): nearest anchor by cosine, ties to the lowest
-    cell id — one broadcast join + partial-aggregated argmax."""
-    sims = (v.join(F.broadcast(anchors))
-            .select(id_col, "v", "nrm", "cell",
-                    (dot(F.col("v"), F.col("av"))
-                     / (F.col("nrm") * F.col("anrm"))).alias("sim")))
-    best = sims.groupBy(id_col).agg(
-        F.max(F.struct(F.col("sim"), (-F.col("cell")).alias("negc"),
-                       F.col("v"), F.col("nrm"))).alias("b"))
-    return best.select(F.col(id_col), F.col("b.v").alias("v"),
-                       F.col("b.nrm").alias("nrm"),
-                       (-F.col("b.negc")).alias("cell"))
+    cell id — fully map-side: the anchors collapse into ONE broadcast
+    array row and each vector argmaxes over it with a per-row
+    ``transform`` + native ``array_max`` (desc sim, ties to lowest cell
+    via the negated cell field, NaN high — identical ordering to the
+    grouped-max it replaces, oracle-checked).
+
+    The previous shape (broadcast-join the anchor *table*, then a
+    ``groupBy(id)`` argmax) materialized n·n_cells candidate rows each
+    carrying the full vector and paid a by-id shuffle to collapse them;
+    at the third scaling decade (200k vectors × 3200 auto cells) that
+    OOM'd (PLANS.md §"third decade"). This path is O(n_cells) memory
+    per row and adds NO exchange beyond the n_cells→1 anchor collect —
+    each k-means iteration and the IVF-PQ coarse assign drop one
+    data-scale shuffle outright."""
+    anchor_arr = anchors.agg(
+        F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
+    best = (v.join(F.broadcast(anchor_arr))
+            .select(id_col, "v", "nrm",
+                    F.array_max(F.transform(
+                        "arr",
+                        lambda a: F.struct(
+                            (dot(F.col("v"), a["av"])
+                             / (F.col("nrm") * a["anrm"])).alias("sim"),
+                            (-a["cell"]).alias("negc")))).alias("b")))
+    return best.select(F.col(id_col), "v", "nrm",
+                       (-F.col("b")["negc"]).alias("cell"))
 
 
 def ivf_assign_multi(emb: DataFrame,
