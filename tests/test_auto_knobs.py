@@ -59,3 +59,20 @@ def test_default_path_equals_explicit_default_knobs(spark):
     pinned = ivf_top_neighbor(
         emb, n_cells=DEFAULT_IVF_CELLS).orderBy("vec_id").collect()
     assert auto == pinned
+
+
+def test_corpus_rows_memoized_across_reads(spark):
+    """Two independent reads of the same source must hit one cache
+    entry (the catalog-statistics analog); a different source must not
+    collide with it."""
+    from left_join_on_timeout_spark.operators import similarity as s
+
+    s._ROWCOUNT_CACHE.clear()
+    a = s.corpus_rows(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    b = s.corpus_rows(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    assert a == b and len(s._ROWCOUNT_CACHE) == 1
+    c = s.corpus_rows(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assert len(s._ROWCOUNT_CACHE) == 2 and c != 0
