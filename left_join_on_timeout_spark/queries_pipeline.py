@@ -374,12 +374,14 @@ tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
 scored AS (
   SELECT tf.doc_id, tf.tf,
-         CAST(round(ln(CAST(tot.total AS DOUBLE) / tc.c), 6)
+         CAST(floor(ln(CAST(tot.total AS DOUBLE) / tc.c)
+                    * 1000000 + 0.5) / 1000000.0
               AS DECIMAL(25,6)) AS nll
   FROM tf JOIN tc ON tf.term = tc.term, tot)
 SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tok,
-       round(CAST(sum(nll * tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT), 6)
+       floor(CAST(sum(nll * tf) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+             * 1000000 + 0.5) / 1000000.0
          AS lm_score
 FROM scored
 GROUP BY doc_id
@@ -406,16 +408,16 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           .persist(StorageLevel.MEMORY_AND_DISK))
     tc = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("c"))
     tot = tc.agg(F.sum("c").cast("bigint").alias("total"))
-    nll = F.round(
-        F.log(F.col("total").cast("double") / F.col("c")), 6) \
+    nll = _r6(
+        F.log(F.col("total").cast("double") / F.col("c"))) \
         .cast("decimal(25,6)")
     scored = (tf.join(tc, "term").crossJoin(F.broadcast(tot))
               .select("doc_id", "tf", nll.alias("nll")))
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("bigint").alias("n_tok"),
-        F.round(
+        _r6(
             F.sum(F.col("nll") * F.col("tf")).cast("double")
-            / F.sum("tf").cast("bigint"), 6).alias("lm_score"))
+            / F.sum("tf").cast("bigint")).alias("lm_score"))
 
 
 # ---------------------------------------------------------------------------
@@ -940,6 +942,23 @@ _DSIR_HEX = 2     # 16^2 = 256 hashed feature buckets
 _DSIR_B = 256
 
 
+def _r6(c):
+    """Engine-portable 6-dp rounding: ``floor(x*1e6 + 0.5)/1e6`` — pure
+    IEEE binary64 ops, bit-identical in Spark and DuckDB. Spark's
+    ``round()`` (BigDecimal HALF_UP on the double's shortest decimal
+    repr) and DuckDB's (on the binary value) disagree when a score lands
+    exactly on a .5 boundary of its shortest repr — observed at sf0.1:
+    one doc's mean log-importance-weight -0.0162235 rounded to -0.016224
+    (Spark) vs -0.016223 (DuckDB), a silent cross-engine hash break the
+    sf0.01 gate never hits. The floor form decides ties identically
+    because both engines evaluate the identical double expression (same
+    hazard family as embedding_dim_health's micro-unit power sums); the
+    SQL twins carry the literal ``floor(x * 1000000 + 0.5) / 1000000.0``.
+    Used by the whole LM-scoring family (doc_lm_score, doc_lm2_score,
+    DSIR batch + stream)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
 def dsir_tf_and_model(spark: SparkSession, sf_dir: str):
     """(tf, lr): the persisted (doc, bucket, tf) feature relation and
     the {B}-row log-importance-ratio model table — shared by the batch
@@ -961,10 +980,10 @@ def dsir_tf_and_model(spark: SparkSession, sf_dir: str):
            .crossJoin(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0))
                               .cast("bigint").alias("tt"))))
     ct = F.coalesce(F.col("ct"), F.lit(0))
-    lr_val = F.round(
+    lr_val = _r6(
         F.log((ct + 1.0) / (F.col("tt") + float(_DSIR_B)))
-        - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B))),
-        6).cast("decimal(25,6)")
+        - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(_DSIR_B)))
+        ).cast("decimal(25,6)")
     lr = (raw.join(tgt, "b", "left")
           .crossJoin(F.broadcast(tot))
           .select("b", lr_val.alias("lr")))
@@ -983,15 +1002,17 @@ tgt AS (SELECT b, sum(tf) AS ct FROM tf WHERE doc_id % 20 = 0 GROUP BY b),
 tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr,
                (SELECT coalesce(sum(ct), 0) FROM tgt) AS tt),
 lr AS (SELECT r.b,
-              CAST(round(ln((coalesce(t.ct, 0) + 1.0) / (tt + {_DSIR_B}.0))
-                         - ln((r.cr + 1.0) / (tr + {_DSIR_B}.0)), 6)
+              CAST(floor((ln((coalesce(t.ct, 0) + 1.0) / (tt + {_DSIR_B}.0))
+                          - ln((r.cr + 1.0) / (tr + {_DSIR_B}.0)))
+                         * 1000000 + 0.5) / 1000000.0
                    AS DECIMAL(25,6)) AS lr
        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot)
 SELECT f.doc_id,
        CAST(sum(f.tf) AS BIGINT) AS n_tok,
-       round(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf), 6)
-         AS mean_log_iw,
-       (round(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf), 6) > 0.0)
+       floor(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf)
+             * 1000000 + 0.5) / 1000000.0 AS mean_log_iw,
+       (floor(CAST(sum(l.lr * f.tf) AS DOUBLE) / sum(f.tf)
+              * 1000000 + 0.5) / 1000000.0 > 0.0)
          AS selected
 FROM tf f JOIN lr l ON f.b = l.b
 GROUP BY f.doc_id
@@ -1021,9 +1042,9 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     round per row; ``selected`` compares the same rounded value, so
     both engines decide identically."""
     tf, lr = dsir_tf_and_model(spark, sf_dir)
-    score = F.round(
+    score = _r6(
         F.sum(F.col("lr") * F.col("tf")).cast("double")
-        / F.sum("tf").cast("bigint"), 6)
+        / F.sum("tf").cast("bigint"))
     return (tf.join(F.broadcast(lr), "b")
             .groupBy("doc_id")
             .agg(F.sum("tf").cast("bigint").alias("n_tok"),
@@ -1047,13 +1068,15 @@ c1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
 v AS (SELECT CAST(count(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS v
       FROM c2),
 gs AS (SELECT c2.g,
-              CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1)), 6)
+              CAST(floor(ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1))
+                         * 1000000 + 0.5) / 1000000.0
                    AS DECIMAL(25,6)) AS nll
        FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1, v)
 SELECT tf2.doc_id,
        CAST(sum(tf2.tf) AS BIGINT) AS n_bi,
-       round(CAST(sum(gs.nll * tf2.tf) AS DOUBLE)
-             / CAST(sum(tf2.tf) AS BIGINT), 6) AS lm2_score
+       floor(CAST(sum(gs.nll * tf2.tf) AS DOUBLE)
+             / CAST(sum(tf2.tf) AS BIGINT) * 1000000 + 0.5) / 1000000.0
+         AS lm2_score
 FROM tf2 JOIN gs ON tf2.g = gs.g
 GROUP BY tf2.doc_id
 """)
@@ -1088,18 +1111,18 @@ def q_doc_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = (c2.groupBy(w1.alias("w1"))
           .agg(F.sum("c2").cast("bigint").alias("c1")))
     v = c2.agg(F.countDistinct(w2).cast("bigint").alias("v"))
-    nll = F.round(
+    nll = _r6(
         F.log((F.col("c1") + F.col("v")).cast("double")
-              / (F.col("c2") + F.lit(1))), 6).cast("decimal(25,6)")
+              / (F.col("c2") + F.lit(1)))).cast("decimal(25,6)")
     gs = (c2.withColumn("w1", w1).join(c1, "w1")
           .crossJoin(F.broadcast(v))
           .select("g", nll.alias("nll")))
     return (tf2.join(gs, "g")
             .groupBy("doc_id")
             .agg(F.sum("tf").cast("bigint").alias("n_bi"),
-                 F.round(
+                 _r6(
                      F.sum(F.col("nll") * F.col("tf")).cast("double")
-                     / F.sum("tf").cast("bigint"), 6).alias("lm2_score")))
+                     / F.sum("tf").cast("bigint")).alias("lm2_score")))
 
 
 # ---------------------------------------------------------------------------

@@ -353,6 +353,7 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.functions.text import words
     from left_join_on_timeout_spark.queries_pipeline import (
         _DSIR_HEX,
+        _r6,
         dsir_tf_and_model,
     )
 
@@ -377,9 +378,10 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("doc_id") % 20 == 0, F.col("tf"))),
                    F.lit(0)).cast("bigint").alias("tt"))
         .collect()[0])
-    floor = Decimal(str(round(
-        math.log(1.0 / (tots["tt"] + _DSIR_B))
-        - math.log(1.0 / (tots["tr"] + _DSIR_B)), 6)))
+    floor = Decimal(math.floor(
+        (math.log(1.0 / (tots["tt"] + _DSIR_B))
+         - math.log(1.0 / (tots["tr"] + _DSIR_B)))
+        * 1000000 + 0.5)) / Decimal(1000000)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -396,7 +398,7 @@ def q_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(Decimal(0)).cast("decimal(38,6)"),
             lambda acc, x: acc + x)
         n_tok = F.size(toks).cast("bigint")
-        mean = F.round(total.cast("double") / n_tok, 6)
+        mean = _r6(total.cast("double") / n_tok)
         return stream.select(
             "doc_id",
             n_tok.alias("n_tok"),
