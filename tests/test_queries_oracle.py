@@ -1,8 +1,13 @@
-"""Every queries() entry must match its DuckDB oracle at sf0.001 — the
-in-repo twin of the driver's t2 gate (row count + schema + exact values)."""
+"""Every queries() entry must match its DuckDB oracle — the in-repo
+twin of the driver's t2 gate (row count + schema + exact values).
+Default SF is sf0.001; override with ``SPARK_GRAFT_ORACLE_SF_DIR`` to
+sweep another scale (an sf0.1 sweep is the detector that caught the
+round()-tie cross-engine hazard the small-SF gates structurally miss —
+see README §Correctness methodology)."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -14,7 +19,8 @@ from left_join_on_timeout_spark import queries as q
 from left_join_on_timeout_spark.sources.tables import TABLES
 from tools.check_oracle import compare
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
