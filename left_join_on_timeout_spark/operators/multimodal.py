@@ -174,6 +174,11 @@ def decode_ppm(content: bytes) -> DecodedImage:
             raise ValueError("malformed PPM header token")
         fields.append(int(content[start:pos]))
     width, height, maxval = fields
+    # zero dims are header-legal-looking but make every downstream
+    # per-pixel statistic divide by len(pixels)==0 inside the executor
+    # (ADVICE r5) — reject at parse time with a clear error instead
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PPM dimensions out of range: {width}x{height}")
     if not (0 < maxval < 65536):
         raise ValueError(f"PPM maxval out of range: {maxval}")
     # exactly one whitespace byte separates the header from raster data

@@ -151,7 +151,9 @@ def ann_top_neighbor(emb: DataFrame,
     ``n_bits=None`` (the default) derives the bit width from the corpus
     size via :func:`auto_knobs` — the fixed-knob quadratic cannot be
     written by default; pass an explicit value to pin it (the recall
-    harnesses do, so their oracle CTEs stay static)."""
+    harnesses do, so their oracle CTEs stay static). The derivation
+    runs an eager ``count()`` at construction (memoized per source,
+    see :func:`corpus_rows`)."""
     if n_bits is None:
         n_bits = auto_knobs(corpus_rows(emb))["n_bits"]
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
@@ -184,28 +186,49 @@ DEFAULT_CELL_CAP = 2000
 ANN_REF_ROWS = 2000
 
 
-_ROWCOUNT_CACHE: dict[int, int] = {}
+# Keyed on (semanticHash, schema string): the 32-bit semanticHash alone
+# can collide across distinct sources (ADVICE r5) — the schema second
+# component makes an accidental collision need BOTH a hash collision and
+# an identical schema. Capped so a long-lived session scanning many
+# corpora can't grow it unboundedly; eviction is whole-cache (counts are
+# cheap to re-derive, simplicity beats LRU bookkeeping here).
+_ROWCOUNT_CACHE: dict[tuple[int, str], int] = {}
+_ROWCOUNT_CACHE_CAP = 256
 
 
 def corpus_rows(df: DataFrame) -> int:
     """Corpus cardinality for knob derivation, memoized per canonical
-    plan (``semanticHash`` — stable across separate reads of the same
-    source, distinct across different sources). This is the
+    plan (``semanticHash`` + schema — stable across separate reads of
+    the same source, distinct across different sources). This is the
     catalog-statistics analog: a table's row count is a property of the
     catalog, not of each query, so a session deriving auto knobs for N
     ANN queries over one corpus pays the count job once instead of N
     times (measured: the per-query count job was the whole 1.3-1.8×
-    bench delta when knob derivation became the default path). Caveat:
-    like any cached statistic it can go stale if the underlying files
-    are rewritten mid-session — knobs derived from a stale count shift
-    performance, never correctness."""
+    bench delta when knob derivation became the default path).
+
+    NOTE this runs an EAGER ``count()`` job on first sight of a plan —
+    operators whose knobs default to ``None`` (``ann_top_neighbor``,
+    ``ivf_top_neighbor``) trigger it at construction time, not at
+    execution time. Caveat: like any cached statistic it can go stale
+    if the underlying files are rewritten mid-session — call
+    :func:`invalidate_corpus_rows` after a rewrite; knobs derived from
+    a stale count shift performance, never correctness."""
     try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (df._jdf.queryExecution().analyzed().semanticHash(),
+               df.schema.simpleString())
     except Exception:  # non-JVM-backed frames (e.g. connect) — no memo
         return df.count()
     if key not in _ROWCOUNT_CACHE:
+        if len(_ROWCOUNT_CACHE) >= _ROWCOUNT_CACHE_CAP:
+            _ROWCOUNT_CACHE.clear()
         _ROWCOUNT_CACHE[key] = df.count()
     return _ROWCOUNT_CACHE[key]
+
+
+def invalidate_corpus_rows() -> None:
+    """Drop all memoized corpus counts — call after rewriting source
+    files mid-session so auto knobs re-derive from fresh statistics."""
+    _ROWCOUNT_CACHE.clear()
 
 
 def auto_knobs(n_rows: int) -> dict[str, int]:
@@ -287,8 +310,13 @@ def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
                             (dot(F.col("v"), a["av"])
                              / (F.col("nrm") * a["anrm"])).alias("sim"),
                             (-a["cell"]).alias("negc")))).alias("b")))
-    return best.select(F.col(id_col), "v", "nrm",
-                       (-F.col("b")["negc"]).alias("cell"))
+    # An EMPTY anchor set makes array_max(NULL-over-empty) NULL — without
+    # this filter every vector would flow downstream with cell=NULL and
+    # reach groupBy-cell consumers (e.g. the k-means means), where the
+    # old join shape returned zero rows (ADVICE r5). Match that shape.
+    return (best.select(F.col(id_col), "v", "nrm",
+                        (-F.col("b")["negc"]).alias("cell"))
+            .where(F.col("cell").isNotNull()))
 
 
 def ivf_assign_multi(emb: DataFrame,
@@ -429,7 +457,9 @@ def ivf_top_neighbor(emb: DataFrame,
 
     ``n_cells=None`` (the default) sizes the cell count from the corpus
     via :func:`auto_knobs` (cells ∝ n), so the fixed-knob quadratic
-    cannot be written by default; pass an explicit value to pin it."""
+    cannot be written by default; pass an explicit value to pin it. The
+    derivation runs an eager ``count()`` at construction (memoized per
+    source, see :func:`corpus_rows`)."""
     from pyspark import StorageLevel
 
     if n_cells is None:

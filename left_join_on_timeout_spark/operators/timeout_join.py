@@ -81,8 +81,18 @@ def _prepare(left: DataFrame, right: DataFrame, on: str | Sequence[str],
         cond = c if cond is None else (cond & c)
     if isinstance(window_ms, Column):
         # per-left-row window (dynamic_left_join_on_timeout): evaluated
-        # against the LEFT row's columns, microsecond-exact interval
-        w = F.make_interval(secs=window_ms.cast("double") / F.lit(1000.0))
+        # against the LEFT row's columns, microsecond-exact interval.
+        # A NEGATIVE per-row window fails loudly at runtime (ADVICE r5 —
+        # it would otherwise silently produce an empty range, i.e. a
+        # null-padded left indistinguishable from a real timeout); a
+        # NULL window is a defined no-match (see the operator docstring).
+        checked = F.when(
+            window_ms < F.lit(0),
+            F.raise_error(F.concat(
+                F.lit("dynamic window_ms must be non-negative, got "),
+                window_ms.cast("string")))
+        ).otherwise(window_ms)
+        w = F.make_interval(secs=checked.cast("double") / F.lit(1000.0))
     else:
         w = F.expr(f"INTERVAL {window_ms / 1000.0} SECOND")
     rng = F.col(f"{right_prefix}{right_ts}").between(
@@ -96,7 +106,7 @@ def _prepare(left: DataFrame, right: DataFrame, on: str | Sequence[str],
 def _join(left: DataFrame, right: DataFrame, on, window, left_ts, right_ts,
           joiner, joined_col, right_prefix, broadcast, how) -> DataFrame:
     if isinstance(window, Column):
-        window_ms: int | Column = window        # per-row, validated upstream
+        window_ms: int | Column = window  # per-row; range-guarded in _prepare
     else:
         window_ms = TimeoutJoinConfig.of(window).window_ms  # validates (O15)
     r, cond, l_side, r_side = _prepare(
@@ -193,6 +203,13 @@ def dynamic_left_join_on_timeout(
     operator gets data-dependent windows for free because the range
     bound is just an expression — still an equi-key hash join with a
     residual range filter, never a cartesian.
+
+    Per-row window domain: a NEGATIVE evaluated window raises at
+    runtime (``raise_error`` inside the range bound — a silent empty
+    range would be indistinguishable from a real timeout); a NULL
+    window is a defined no-match — the row emits as a timeout
+    (null-padded right), the "unknown SLA class waits for nothing"
+    semantics.
 
     Streaming deployments must carry the widest class as constant
     conjuncts for state-bound analysis (see

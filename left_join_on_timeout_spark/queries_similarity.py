@@ -148,9 +148,17 @@ WHERE rn = 1
 def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor per vector via multi-band SRP LSH —
     candidate generation is (band, bucket) equi-joins with a hard bucket
-    cap; exact cosine scoring only on candidates."""
+    cap; exact cosine scoring only on candidates.
+
+    Knobs are pinned to the library defaults because the oracle CTE
+    embeds hyperplane literals generated at import time with
+    ``DEFAULT_BITS`` — at any corpus over ``ANN_REF_ROWS`` the auto
+    path would derive wider buckets than the static SQL and the
+    scale-overridable oracle sweep (``SPARK_GRAFT_ORACLE_SF_DIR``)
+    would mismatch spuriously (ADVICE r5). The auto-knob default path
+    is exercised by tests/test_auto_knobs.py and tools/knob_ab_100x.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_top_neighbor(emb, dim=_DIM)
+    return ann_top_neighbor(emb, dim=_DIM, n_bits=DEFAULT_BITS)
 
 
 @query("ann_top1_ivf", f"""
@@ -197,9 +205,13 @@ WHERE rn = 1
 def q_ann_top1_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-variant approximate nearest neighbor: broadcast coarse
     anchors, assign by cosine (argmax), pair only within the cell
-    (capped), exact cosine on cell-mates, bidirectional top-1."""
+    (capped), exact cosine on cell-mates, bidirectional top-1.
+
+    ``n_cells`` pinned to the static oracle's constant (ADVICE r5 —
+    the auto path would diverge from the SQL at corpora over
+    ``ANN_REF_ROWS``; auto knobs are covered by tests/test_auto_knobs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_top_neighbor(emb)
+    return ivf_top_neighbor(emb, n_cells=DEFAULT_IVF_CELLS)
 
 
 @query("ann_top1_ivf_probe2", f"""
@@ -247,9 +259,10 @@ def q_ann_top1_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (nprobe=2): each vector searches its two
     nearest coarse cells — the recall/cost knob every IVF deployment
     tunes. A pair sharing both cells is scored twice on both sides of
-    the oracle identically; the final per-vector top-1 dedupes."""
+    the oracle identically; the final per-vector top-1 dedupes.
+    ``n_cells`` pinned to the static oracle's constant (ADVICE r5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_top_neighbor(emb, nprobe=2)
+    return ivf_top_neighbor(emb, nprobe=2, n_cells=DEFAULT_IVF_CELLS)
 
 
 @query("embedding_near_dup", f"""
@@ -514,7 +527,8 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute force on the same deterministic 10% sample as
     ``ann_recall_srp`` — the two index families' recall/cost curves
     become directly comparable, measured not guessed. Truth pass is
-    O(|S|·N) on the hash-gated sample, linear in the corpus."""
+    O(|S|·N) on the hash-gated sample, linear in the corpus.
+    ``n_cells`` pinned to the static oracle's constant (ADVICE r5)."""
     from left_join_on_timeout_spark.operators.sampling import sample_key
     from pyspark.sql import Window
 
@@ -534,7 +548,9 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("s_id").orderBy(F.desc("sim"), F.asc("nbr"))
     truth = (sims.withColumn("rn", F.row_number().over(w))
              .where(F.col("rn") == 1).select("s_id", "nbr"))
-    ann = ivf_top_neighbor(emb, nprobe=2).select("vec_id", "neighbor_id")
+    ann = ivf_top_neighbor(emb, nprobe=2,
+                           n_cells=DEFAULT_IVF_CELLS).select("vec_id",
+                                                             "neighbor_id")
     joined = truth.join(ann, truth.s_id == ann.vec_id, "left")
     hit = F.count(F.when(F.col("neighbor_id") == F.col("nbr"), 1))
     return joined.agg(

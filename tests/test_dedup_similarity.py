@@ -99,6 +99,17 @@ def test_ivf_assign_picks_nearest_anchor(spark):
     assert cells == {0: 0, 1: 1, 10: 0, 11: 0, 20: 1, 21: 1}
 
 
+def test_ivf_assign_empty_anchor_set_yields_no_rows(spark):
+    """No ids below n_cells → no anchors. The broadcast-array argmax
+    would otherwise emit every vector with cell=NULL (array_max over an
+    empty collect_list), which reaches groupBy-cell consumers like the
+    k-means means (ADVICE r5); the operator must match the old join
+    shape and return zero rows."""
+    rows = [(10, [1.0, 0.0]), (11, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert ivf_assign(emb, n_cells=2).count() == 0
+
+
 def test_ivf_top_neighbor_within_cell(spark):
     """Top neighbor is the best cosine among cell-mates; every vector in
     a multi-vector cell gets a row."""

@@ -58,6 +58,16 @@ def test_decode_ppm_bad_maxval():
         decode_ppm(b"P6\n1 1\n0\n" + bytes(3))
 
 
+def test_decode_ppm_zero_dimensions_raise():
+    # width/height of 0 parse as valid header tokens but would make every
+    # per-pixel statistic divide by zero downstream (ADVICE r5) — the
+    # parser must reject them with a clear error
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n0 1\n255\n")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n1 0\n255\n")
+
+
 def test_decode_image_dispatches_p6_without_pillow():
     img = decode_image(_ppm(1, 2, bytes(6)))
     assert (img.width, img.height) == (1, 2)

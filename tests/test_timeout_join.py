@@ -161,3 +161,34 @@ def test_null_key_left_emits_timeout_only(spark):
     out = left_join_on_timeout(left, right, on="key", window="1 minute")
     got = {r.value: r.r_value for r in out.collect()}
     assert got == {"l_null": None, "l_one": "r_one"}
+
+
+def test_dynamic_negative_window_raises(spark):
+    """A negative evaluated per-row window is a bug in the caller's SLA
+    expression, not a timeout — it must fail loudly (ADVICE r5), never
+    silently produce an empty range / null-padded left."""
+    from left_join_on_timeout_spark.operators.timeout_join import (
+        dynamic_left_join_on_timeout,
+    )
+
+    left = mk(spark, [(1, "A", 0)]).withColumn(
+        "w", F.lit(-5).cast("long"))
+    right = mk(spark, [(1, "a", 0)])
+    out = dynamic_left_join_on_timeout(left, right, "key", F.col("w"))
+    with pytest.raises(Exception, match="non-negative"):
+        out.collect()
+
+
+def test_dynamic_null_window_is_defined_timeout(spark):
+    """A NULL per-row window is the documented no-match: the left emits
+    its timeout row (unknown SLA class waits for nothing)."""
+    from left_join_on_timeout_spark.operators.timeout_join import (
+        dynamic_left_join_on_timeout,
+    )
+
+    left = mk(spark, [(1, "A", 0), (2, "B", 0)]).withColumn(
+        "w", F.when(F.col("key") == 2, F.lit(1000)).cast("long"))
+    right = mk(spark, [(1, "a", 0), (2, "b", 0)])
+    out = dynamic_left_join_on_timeout(left, right, "key", F.col("w"),
+                                       joiner=joiner)
+    assert out_tuples(out) == [(1, "A+"), (2, "B+b")]
