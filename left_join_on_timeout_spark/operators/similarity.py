@@ -381,6 +381,34 @@ def ivf_assign_multi(emb: DataFrame,
             .where(F.col("cell").isNotNull()))
 
 
+def _lloyd(v: DataFrame, anchors: DataFrame, id_col: str,
+           iters: int) -> DataFrame:
+    """``iters`` Lloyd iterations over persisted parsed vectors ``v``
+    (id, v, nrm): argmax assignment to the broadcast anchors, then a
+    DECIMAL(25,6) per-dimension mean rebuilt into the next centroid
+    table — bit-identical regardless of partition order, so the loop
+    replays exactly in an unrolled-CTE DuckDB oracle. Each centroid
+    table (n_cells rows) is persisted to truncate lineage (the MLlib
+    k-means pattern); callers own persisting ``v``."""
+    from pyspark import StorageLevel
+
+    for _ in range(iters):
+        assigned = _assign_to_anchors(v, anchors, id_col)
+        dims = (assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                      / F.count("*")).alias("m")))
+        cent = (dims.groupBy("cell")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))).alias("a"))
+                .select("cell",
+                        F.transform(F.col("a"), lambda s: s["m"]).alias("av")))
+        anchors = cent.select("cell", "av",
+                              l2_norm(F.col("av")).alias("anrm")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+    return anchors
+
+
 def kmeans_refined_cells(emb: DataFrame,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
@@ -415,25 +443,193 @@ def kmeans_refined_cells(emb: DataFrame,
                .select(F.col(id_col).alias("cell"),
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
-    for _ in range(iters):
-        assigned = _assign_to_anchors(v, anchors, id_col)
-        dims = (assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cell", "pos")
-                .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
-                      / F.count("*")).alias("m")))
-        cent = (dims.groupBy("cell")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))).alias("a"))
-                .select("cell",
-                        F.transform(F.col("a"), lambda s: s["m"]).alias("av")))
-        anchors = cent.select("cell", "av",
-                              l2_norm(F.col("av")).alias("anrm")) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    anchors = _lloyd(v, anchors, id_col, iters)
     final = _assign_to_anchors(v, anchors, id_col)
     sizes = final.groupBy("cell").agg(F.count("*").alias("n_members"))
     return (sizes.join(anchors.select("cell", "anrm"), "cell")
             .select("cell", "n_members",
                     F.round("anrm", 6).alias("centroid_norm")))
+
+
+DEFAULT_SUPER_CELLS = 8
+DEFAULT_SUB_CELLS = 8
+
+
+def two_level_knobs(n_cells: int) -> dict[str, int]:
+    """Size the two-level coarse quantizer from a flat cell budget: the
+    per-row assignment cost is O(n_super + n_cells/n_super) dot
+    products, minimized at ``n_super = sqrt(n_cells)`` — the standard
+    inverted-multi-index decomposition (Babenko & Lempitsky, CVPR 2012,
+    applied to a cell *tree* rather than a product split; the untrained
+    product-split IMI prototype was measured and rejected at 0.42
+    assignment agreement, PLANS.md §"fourth decade"). ``k2`` is the
+    sub-cell budget per super-cell."""
+    import math
+
+    n_super = max(DEFAULT_SUPER_CELLS, round(math.sqrt(n_cells)))
+    k2 = max(DEFAULT_SUB_CELLS, -(-n_cells // n_super))
+    return {"n_super": n_super, "k2": k2}
+
+
+def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
+                    id_col: str) -> DataFrame:
+    """(id, v, nrm, sid, sub): nearest sub-anchor *within the row's own
+    super-cell* by cosine, ties to the lowest sub id — fully map-side.
+    All sub-anchors collapse into ONE broadcast nested-array row
+    (sid → its sub-anchor structs); each row looks up its super-cell's
+    bucket with a cheap id-compare ``filter`` (no dot products) and
+    argmaxes over only those ``k2`` anchors. Per-row dot-product cost is
+    O(k2), not O(n_cells) — the whole point of the two-level tree."""
+    nested = (sub_anchors.groupBy("sid")
+              .agg(F.collect_list(
+                  F.struct("sub", "av", "anrm")).alias("cells"))
+              .agg(F.collect_list(
+                  F.struct(F.col("sid").alias("g"),
+                           F.col("cells"))).alias("nested")))
+    own = F.element_at(
+        F.filter("nested", lambda s: s["g"] == F.col("sid")), 1)["cells"]
+    best = (sup.join(F.broadcast(nested))
+            .select(id_col, "v", "nrm", "sid",
+                    F.array_max(F.transform(
+                        own,
+                        lambda a: F.struct(
+                            (dot(F.col("v"), a["av"])
+                             / (F.col("nrm") * a["anrm"])).alias("sim"),
+                            (-a["sub"]).alias("negs")))).alias("b")))
+    return (best.select(F.col(id_col), "v", "nrm", "sid",
+                        (-F.col("b")["negs"]).alias("sub"))
+            .where(F.col("sub").isNotNull()))
+
+
+def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,
+                   iters: int) -> DataFrame:
+    """Grouped Lloyd: like :func:`_lloyd` but each vector only competes
+    for the sub-anchors of its own super-cell, and means aggregate per
+    (sid, sub). DECIMAL(25,6) means keep both engines bit-identical."""
+    from pyspark import StorageLevel
+
+    for _ in range(iters):
+        assigned = _assign_to_subs(sup, sub_anchors, id_col)
+        dims = (assigned
+                .select("sid", "sub", F.posexplode("v").alias("pos", "x"))
+                .groupBy("sid", "sub", "pos")
+                .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                      / F.count("*")).alias("m")))
+        cent = (dims.groupBy("sid", "sub")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))).alias("a"))
+                .select("sid", "sub",
+                        F.transform(F.col("a"), lambda s: s["m"]).alias("av")))
+        sub_anchors = cent.select("sid", "sub", "av",
+                                  l2_norm(F.col("av")).alias("anrm")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+    return sub_anchors
+
+
+def two_level_assign(emb: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_super: int = DEFAULT_SUPER_CELLS,
+                     k2: int = DEFAULT_SUB_CELLS,
+                     iters: int = 1) -> DataFrame:
+    """(id, v, nrm, sid, sub): the TRAINED two-level coarse quantizer —
+    the fourth-decade successor to the flat broadcast argmax (VERDICT r5
+    item 3). The flat assign is O(n · n_cells) dot products, ~4 TFLOP at
+    2M vectors × 32k cells; this tree is O(n · (n_super + k2)) — at
+    n_cells = 32k with n_super = k2 = 181 that is ~90× fewer FLOPs for
+    the same cell budget.
+
+    Both levels are k-means-TRAINED (``iters`` Lloyd passes each — the
+    drop-in trainer promised by ``kmeans_refined_cells``), which is what
+    the measured-and-rejected *untrained* product-split IMI prototype
+    lacked (0.42 assignment agreement vs flat, PLANS.md §"fourth
+    decade"):
+
+    1. level-1 centroids: seed anchors = ids < ``n_super``, refined by
+       :func:`_lloyd` over the whole corpus;
+    2. every vector → nearest super-centroid (flat broadcast argmax
+       over only ``n_super`` anchors);
+    3. level-2 sub-anchors per super-cell: seeded by each cell's first
+       ``k2`` members (by id), refined by :func:`_lloyd_grouped` —
+       each refinement assigns members only against their own cell's
+       anchors (map-side nested-broadcast lookup, O(k2) dots per row);
+    4. final (sid, sub) assignment through the same grouped argmax.
+
+    Every pass is linear in the corpus; the only exchanges are the
+    centroid aggregations (n_super·k2 rows) and the decimal means. The
+    parsed corpus is persisted once (the standing cost of any iterative
+    pass, as in ``kmeans_refined_cells``)."""
+    from pyspark import StorageLevel
+
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sup_anchors = (v.where(F.col(id_col) < n_super)
+                   .select(F.col(id_col).alias("cell"),
+                           F.col("v").alias("av"),
+                           F.col("nrm").alias("anrm")))
+    sup_anchors = _lloyd(v, sup_anchors, id_col, iters)
+    sup = (_assign_to_anchors(v, sup_anchors, id_col)
+           .withColumnRenamed("cell", "sid")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    w = Window.partitionBy("sid").orderBy(id_col)
+    sub0 = (sup.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k2)
+            .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
+                    F.col("v").alias("av"), F.col("nrm").alias("anrm")))
+    sub_anchors = _lloyd_grouped(sup, sub0, id_col, iters)
+    return _assign_to_subs(sup, sub_anchors, id_col)
+
+
+def ivf2_top_neighbor(emb: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      n_super: int | None = None,
+                      k2: int | None = None,
+                      iters: int = 1,
+                      cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+    """Approximate nearest neighbor per vector over the TRAINED
+    two-level quantizer: pair only within the final (sid, sub) cell,
+    exact cosine on cell-mates, bidirectional top-1 — identical search
+    semantics to :func:`ivf_top_neighbor`, with the assignment cost cut
+    from O(n_cells) to O(n_super + k2) dot products per row.
+
+    ``n_super``/``k2`` default to :func:`two_level_knobs` over the
+    corpus-sized flat cell budget from :func:`auto_knobs` (an eager
+    memoized ``count()``, see :func:`corpus_rows`); pass explicit values
+    to pin a static plan (the oracle-paired query does)."""
+    from pyspark import StorageLevel
+
+    if n_super is None or k2 is None:
+        tk = two_level_knobs(auto_knobs(corpus_rows(emb))["n_cells"])
+        n_super = n_super if n_super is not None else tk["n_super"]
+        k2 = k2 if k2 is not None else tk["k2"]
+    assigned = two_level_assign(emb, id_col, vec_col, n_super, k2, iters)
+    w = Window.partitionBy("sid", "sub")
+    capped = (assigned.withColumn("csz", F.count("*").over(w))
+              .where(F.col("csz") <= cell_cap).drop("csz")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    a = capped.select(F.col(id_col).alias("id_a"), "sid", "sub",
+                      F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = capped.select(F.col(id_col).alias("id_b"), "sid", "sub",
+                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (a.join(b, ["sid", "sub"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "va", "na", "vb", "nb"))
+    scored = _score(pairs)
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
+    )).alias("e")).select("e.*")
+    best = both.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
+        .alias("best"))
+    return best.select(
+        "vec_id",
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.col("best.cos_sim").alias("cos_sim"))
 
 
 def ivf_top_neighbor(emb: DataFrame,

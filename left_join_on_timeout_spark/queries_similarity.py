@@ -333,6 +333,121 @@ def _kmeans_oracle(n_cells: int, iters: int, dim: int = 64) -> str:
             f"GROUP BY g.cell, a.anrm")
 
 
+def _ivf2_oracle(n_super: int, k2: int, dim: int = 64,
+                 cell_cap: int = DEFAULT_CELL_CAP) -> str:
+    """Unrolled-CTE DuckDB twin of the TRAINED two-level coarse
+    quantizer ANN (one Lloyd pass per level): level-1 refine + assign,
+    level-2 per-super-cell seed/refine/assign, then the standard
+    within-cell pairing / exact cosine / bidirectional top-1. Decimal
+    means and (sim DESC, cell) tie-breaks mirror the Spark operator
+    bit-for-bit (same arithmetic as the proven ``_kmeans_oracle``)."""
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+pa0 AS (SELECT vec_id AS cell, v AS av, nrm AS anrm FROM v
+        WHERE vec_id < {n_super}),
+ps1 AS (SELECT vec_id, v.v AS v, v.nrm AS nrm, cell,
+               list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+        FROM v, pa0),
+pg1 AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT vec_id, v, nrm, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS rn
+          FROM ps1) t WHERE rn = 1),
+pd1 AS (SELECT cell, i,
+               CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                 AS m
+        FROM pg1, range(1, {dim + 1}) t(i) GROUP BY cell, i),
+pc1 AS (SELECT cell, list(m ORDER BY i) AS av FROM pd1 GROUP BY cell),
+pa1 AS (SELECT cell, av, sqrt(list_dot_product(av, av)) AS anrm FROM pc1),
+ss AS (SELECT vec_id, v.v AS v, v.nrm AS nrm, cell,
+              list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
+       FROM v, pa1),
+sup AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+          SELECT vec_id, v, nrm, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS rn
+          FROM ss) t WHERE rn = 1),
+sb0 AS (SELECT sid, CAST(rn - 1 AS BIGINT) AS sub, av, anrm FROM (
+          SELECT sid, v AS av, nrm AS anrm,
+                 row_number() OVER (PARTITION BY sid
+                                    ORDER BY vec_id) AS rn
+          FROM sup) t WHERE rn <= {k2}),
+s2 AS (SELECT m.vec_id, m.v, m.nrm, m.sid, b.sub,
+              list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+       FROM sup m JOIN sb0 b ON m.sid = b.sid),
+g2 AS (SELECT vec_id, v, nrm, sid, sub FROM (
+         SELECT vec_id, v, nrm, sid, sub,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, sub) AS rn
+         FROM s2) t WHERE rn = 1),
+d2 AS (SELECT sid, sub, i,
+              CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                AS m
+       FROM g2, range(1, {dim + 1}) t(i) GROUP BY sid, sub, i),
+c2 AS (SELECT sid, sub, list(m ORDER BY i) AS av FROM d2
+       GROUP BY sid, sub),
+a2 AS (SELECT sid, sub, av, sqrt(list_dot_product(av, av)) AS anrm
+       FROM c2),
+s3 AS (SELECT m.vec_id, m.sid, b.sub,
+              list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+       FROM sup m JOIN a2 b ON m.sid = b.sid),
+fin AS (SELECT vec_id, sid, sub FROM (
+          SELECT vec_id, sid, sub,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, sub) AS rn
+          FROM s3) t WHERE rn = 1),
+capped AS (SELECT vec_id, sid, sub FROM (
+             SELECT vec_id, sid, sub,
+                    count(*) OVER (PARTITION BY sid, sub) AS csz
+             FROM fin) t WHERE csz <= {cell_cap}),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM capped a
+  JOIN capped b ON a.sid = b.sid AND a.sub = b.sub
+                AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+bidir AS (
+  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+  UNION ALL
+  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored)
+SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM bidir) t
+WHERE rn = 1
+"""
+
+
+_IVF2_SUPER = 8
+_IVF2_K2 = 8
+
+
+@query("ann_top1_ivf2", _ivf2_oracle(_IVF2_SUPER, _IVF2_K2))
+def q_ann_top1_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the TRAINED two-level coarse quantizer (VERDICT r5
+    item 3 — the fourth-decade assignment path): k-means at BOTH levels
+    (one Lloyd pass each), vectors assigned super→sub with
+    O(n_super + k2) dot products per row instead of the flat argmax's
+    O(n_cells), then the standard within-cell exact-cosine
+    bidirectional top-1. Knobs pinned to the static oracle's constants
+    (the ADVICE r5 rule); the auto path sizes ``n_super ≈
+    sqrt(n_cells)`` via ``two_level_knobs`` and is A/B-measured at the
+    third decade in PLANS.md."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf2_top_neighbor,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf2_top_neighbor(emb, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+
+
 @query("ivf_kmeans_cells", _kmeans_oracle(DEFAULT_IVF_CELLS, 2))
 def q_ivf_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed iterative k-means (2 Lloyd iterations) refining the

@@ -76,3 +76,63 @@ def test_corpus_rows_memoized_across_reads(spark):
     c = s.corpus_rows(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     assert len(s._ROWCOUNT_CACHE) == 2 and c != 0
+
+
+def test_two_level_knobs_sqrt_decomposition():
+    from left_join_on_timeout_spark.operators.similarity import (
+        two_level_knobs,
+    )
+
+    # floors at the library defaults for small budgets
+    assert two_level_knobs(32) == {"n_super": 8, "k2": 8}
+    # third-decade budget: n_super ≈ sqrt(3200), k2 covers the budget
+    k = two_level_knobs(3200)
+    assert k["n_super"] == 57 and k["k2"] == 57
+    assert k["n_super"] * k["k2"] >= 3200
+    # assignment cost collapses vs the flat argmax at the same budget
+    assert k["n_super"] + k["k2"] < 3200 / 20
+
+
+def test_two_level_assign_trains_and_groups(spark):
+    """Axis-clustered vectors: the trained two-level quantizer puts
+    same-axis vectors in the same final (sid, sub) cell, and every
+    vector gets exactly one assignment."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        two_level_assign,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.9, 0.1, 0.0, 0.0]),
+        (11, [0.8, 0.0, 0.1, 0.0]),
+        (20, [0.0, 0.9, 0.1, 0.0]),
+        (21, [0.1, 0.8, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = two_level_assign(emb, n_super=2, k2=2).collect()
+    assert len(out) == len(rows)
+    cell = {r.vec_id: (r.sid, r.sub) for r in out}
+    # same dominant axis ⇒ same super-cell
+    assert cell[10][0] == cell[11][0] == cell[0][0]
+    assert cell[20][0] == cell[21][0] == cell[1][0]
+    assert cell[0][0] != cell[1][0]
+
+
+def test_ivf2_matches_ivf_search_semantics(spark):
+    """With one super-cell the two-level search degenerates to pairing
+    within sub-cells — every vector sharing a final cell with another
+    gets its exact-cosine best cell-mate, same contract as
+    ivf_top_neighbor."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf2_top_neighbor,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = ivf2_top_neighbor(emb, n_super=2, k2=3).collect()
+    assert 0 < len(out) <= 24
+    for r in out:
+        assert r.vec_id != r.neighbor_id
+        assert -1.0 <= r.cos_sim <= 1.0
