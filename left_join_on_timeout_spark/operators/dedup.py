@@ -36,6 +36,51 @@ DEFAULT_K = 12       # minhash permutations
 DEFAULT_BANDS = 4    # 4 bands × 3 rows
 
 
+def lsh_band_knobs(threshold: float, k: int = DEFAULT_K,
+                   dense: bool = False) -> dict[str, int]:
+    """Banding knobs from the target Jaccard threshold — the LSH analog
+    of :func:`~left_join_on_timeout_spark.operators.similarity.auto_knobs`
+    (VERDICT r5 item 5). Unlike the IVF/SRP knobs these do NOT scale
+    with corpus size: (bands, rows-per-band) set the S-curve inflection
+    ``t* = (1/bands)^(rows/1)``⁻¹ — i.e. ``(1/b)^(1/r)`` — the
+    similarity at which a pair's candidate probability
+    ``1 − (1 − s^r)^b`` crosses ~50%. What corpus size DOES change is
+    the *cost of the choice*, and that is governed by duplicate
+    DENSITY, not rows:
+
+    * ``dense=False`` (the realistic web-corpus case, measured dup
+      rates of a few percent — see the fourth-decade density study in
+      PLANS.md): pick the decomposition with the LARGEST inflection ≤
+      ``threshold`` — recall-first. The candidate term is
+      ~n·dup_rate·E[clique−1], corpus-linear, so extra candidate mass
+      from a generous curve is cheap.
+    * ``dense=True`` (dup-heavy or adversarial corpora — replica
+      cliques, boilerplate floods): pick the SMALLEST inflection ≥
+      ``threshold`` — precision-first. Candidates grow with
+      clique²·n_cliques (the third-decade 26.8 M-pair shape), so the
+      curve must suppress sub-threshold mass; the per-bucket cap then
+      bounds what remains. The library default (4 bands × 3 rows,
+      inflection ≈ 0.63 for t = 0.5) is exactly this arm — sized for
+      the adversarial bench corpora the suite measures.
+
+    Only exact divisors of ``k`` are considered (bands must tile the
+    signature); falls back to the nearest-inflection decomposition when
+    no divisor lands on the requested side of the threshold."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1): {threshold}")
+    opts = [(b, k // b) for b in range(1, k + 1) if k % b == 0]
+
+    def infl(bt: tuple[int, int]) -> float:
+        b, r = bt
+        return (1.0 / b) ** (1.0 / r)
+
+    side = ([o for o in opts if infl(o) >= threshold] if dense
+            else [o for o in opts if infl(o) <= threshold])
+    pick = (min(side, key=infl) if dense else max(side, key=infl)) \
+        if side else min(opts, key=lambda o: abs(infl(o) - threshold))
+    return {"bands": pick[0], "rows_per_band": pick[1]}
+
+
 def streaming_exact_dedup(stream: DataFrame, keys: list[str], ts_col: str,
                           delay: str) -> DataFrame:
     """Streaming exact dedup (SURVEY §2.2): keep the first record per key

@@ -302,7 +302,17 @@ def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
     data-scale shuffle outright."""
     anchor_arr = anchors.agg(
         F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
-    best = (v.join(F.broadcast(anchor_arr))
+    # The EMPTY-anchor guard (ADVICE r5 — array_max over an empty arr
+    # would emit every vector with cell=NULL into groupBy-cell
+    # consumers) lives in the JOIN CONDITION as a cheap size() check,
+    # NOT as a post-filter on the derived cell: a filter on the argmax
+    # output gets predicate-pushed into the BroadcastNestedLoopJoin's
+    # bound condition, where Spark re-evaluates the ENTIRE interpreted
+    # dot-product argmax per row a second time (measured 2× on the
+    # third-decade assignment). size(arr) > 0 is O(1) per row and with
+    # a non-empty anchor array the argmax struct is always non-null, so
+    # cell cannot be NULL downstream.
+    best = (v.join(F.broadcast(anchor_arr), F.size("arr") > 0)
             .select(id_col, "v", "nrm",
                     F.array_max(F.transform(
                         "arr",
@@ -310,13 +320,8 @@ def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
                             (dot(F.col("v"), a["av"])
                              / (F.col("nrm") * a["anrm"])).alias("sim"),
                             (-a["cell"]).alias("negc")))).alias("b")))
-    # An EMPTY anchor set makes array_max(NULL-over-empty) NULL — without
-    # this filter every vector would flow downstream with cell=NULL and
-    # reach groupBy-cell consumers (e.g. the k-means means), where the
-    # old join shape returned zero rows (ADVICE r5). Match that shape.
-    return (best.select(F.col(id_col), "v", "nrm",
-                        (-F.col("b")["negc"]).alias("cell"))
-            .where(F.col("cell").isNotNull()))
+    return best.select(F.col(id_col), "v", "nrm",
+                       (-F.col("b")["negc"]).alias("cell"))
 
 
 def ivf_assign_multi(emb: DataFrame,
@@ -373,11 +378,22 @@ def ivf_assign_multi(emb: DataFrame,
                 return lambda s: s["negc"] != F.col(bname)["negc"]
 
             cur = cur.withColumn("sims", F.filter("sims", _excl(b)))
+    # explode_OUTER, not explode: InferFiltersFromGenerate turns a plain
+    # explode into an inferred size(top) > 0 predicate that sinks into
+    # the BroadcastNestedLoopJoin condition — re-evaluating the ENTIRE
+    # interpreted scoring transform per row a second time (measured ~2×
+    # of the whole third-decade assignment wall; 96 s of the 196 s cold
+    # build at 200k × 3200). The outer generator infers nothing; the
+    # NULL rows it adds (empty anchor set) and NULL probes (nprobe >
+    # live anchors) are dropped by the isNotNull on the generator
+    # OUTPUT, which cannot be pushed below the Generate and costs one
+    # null-check on a long.
     top = cur.select(
         id_col, "v", "nrm",
         F.array(*[(-F.col(b)["negc"]).alias("cell")
                   for b in best_cols]).alias("top"))
-    return (top.select(id_col, "v", "nrm", F.explode("top").alias("cell"))
+    return (top.select(id_col, "v", "nrm",
+                       F.explode_outer("top").alias("cell"))
             .where(F.col("cell").isNotNull()))
 
 
@@ -488,7 +504,15 @@ def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
                            F.col("cells"))).alias("nested")))
     own = F.element_at(
         F.filter("nested", lambda s: s["g"] == F.col("sid")), 1)["cells"]
-    best = (sup.join(F.broadcast(nested))
+    # Empty-anchor guard as a cheap join condition, never a post-filter
+    # on the derived sub (same predicate-pushdown trap as
+    # _assign_to_anchors: the argmax would re-run interpreted inside
+    # the BNLJ bound condition). Per-row safety needs no filter: every
+    # row's sid comes from the level-1 assignment, and any sid with a
+    # member has ≥1 sub-anchor at every stage (its members seed and
+    # then retain at least one sub through each grouped Lloyd mean),
+    # so the own-bucket lookup cannot be empty.
+    best = (sup.join(F.broadcast(nested), F.size("nested") > 0)
             .select(id_col, "v", "nrm", "sid",
                     F.array_max(F.transform(
                         own,
@@ -496,9 +520,8 @@ def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
                             (dot(F.col("v"), a["av"])
                              / (F.col("nrm") * a["anrm"])).alias("sim"),
                             (-a["sub"]).alias("negs")))).alias("b")))
-    return (best.select(F.col(id_col), "v", "nrm", "sid",
-                        (-F.col("b")["negs"]).alias("sub"))
-            .where(F.col("sub").isNotNull()))
+    return best.select(F.col(id_col), "v", "nrm", "sid",
+                       (-F.col("b")["negs"]).alias("sub"))
 
 
 def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,

@@ -136,3 +136,31 @@ def test_ivf2_matches_ivf_search_semantics(spark):
     for r in out:
         assert r.vec_id != r.neighbor_id
         assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_lsh_band_knobs_threshold_brackets():
+    """The LSH analog of auto_knobs (VERDICT r5 item 5): banding knobs
+    derive from the target threshold and the measured dup DENSITY, not
+    the corpus size — value-pinned like the IVF/SRP rules."""
+    import pytest
+
+    from left_join_on_timeout_spark.operators.dedup import lsh_band_knobs
+
+    # dense (adversarial) arm at t=0.5 reproduces the library default:
+    # 4 bands x 3 rows, inflection (1/4)^(1/3) ~ 0.63 >= 0.5
+    assert lsh_band_knobs(0.5, dense=True) == {"bands": 4,
+                                               "rows_per_band": 3}
+    # sparse (realistic) arm goes recall-first: 6 bands x 2 rows,
+    # inflection (1/6)^(1/2) ~ 0.41 <= 0.5
+    assert lsh_band_knobs(0.5, dense=False) == {"bands": 6,
+                                                "rows_per_band": 2}
+    # a high-precision threshold tightens both arms
+    assert lsh_band_knobs(0.9, dense=False)["bands"] == 2
+    # bands always tile the signature
+    for t in (0.3, 0.5, 0.7, 0.9):
+        for dense in (True, False):
+            kn = lsh_band_knobs(t, dense=dense)
+            assert 12 % kn["bands"] == 0
+            assert kn["bands"] * kn["rows_per_band"] == 12
+    with pytest.raises(ValueError):
+        lsh_band_knobs(1.5)

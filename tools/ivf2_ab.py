@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Third-decade A/B for the TRAINED two-level coarse quantizer (VERDICT
+r5 item 3): on the 100× corpus (200k vectors), time the flat broadcast
+argmax against the two-level tree at the SAME flat cell budget
+(auto_knobs(200000) → 3200 cells; two_level_knobs(3200) → 57×57).
+
+Two comparisons:
+
+* assignment only — the stage the fourth decade breaks: flat is
+  O(n·n_cells) dot products (~41 GFLOP here, ~4 TFLOP at 2M×32k), the
+  tree is O(n·(n_super + k2)) INCLUDING its own two Lloyd training
+  passes;
+* end-to-end top-neighbor search with each assignment feeding the same
+  capped within-cell pairing.
+
+Plus a recall@1 sanity check at the bench corpus (sf0.1, 2000 vectors,
+10% hash-gated sample) so the speedup is shown not to come from a
+degenerate quantizer.
+
+Usage: python tools/ivf2_ab.py [sf10x_dir] [sf01_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.functions.vectors import as_double, l2_norm
+from left_join_on_timeout_spark.operators.sampling import sample_key
+from left_join_on_timeout_spark.operators.similarity import (
+    auto_knobs,
+    ivf2_top_neighbor,
+    ivf_assign_multi,
+    ivf_top_neighbor,
+    two_level_assign,
+    two_level_knobs,
+)
+from left_join_on_timeout_spark.partitioning import fan_out
+from left_join_on_timeout_spark.session import get_spark
+from left_join_on_timeout_spark.sources.tables import load_table
+
+
+def timed(fn, repeats: int = 2) -> float:
+    def one() -> float:
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    if repeats == 1:
+        # single-shot: the COLD index-build arms (assignment/training
+        # has no persisted index to hit; a warm+min discipline would
+        # just re-measure the cache)
+        return round(one(), 3)
+    one()  # warm — materializes the persisted index; measured runs are
+    # the steady-state search a deployment pays per query wave (same
+    # discipline as tools/knob_ab_100x.py / PLANS.md third decade)
+    return round(min(one() for _ in range(repeats)), 3)
+
+
+def recall_at_1(spark, emb, ann_df) -> float:
+    """Exact top-1 agreement on the deterministic 10% sample (the
+    ann_recall_srp machinery, inlined)."""
+    v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
+    v = v.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    s = (v.where(sample_key("vec_id") < "1999")
+         .select(F.col("vec_id").alias("s_id"), F.col("v").alias("sv"),
+                 F.col("nrm").alias("snrm")))
+    sims = (v.join(F.broadcast(s), F.col("vec_id") != F.col("s_id"))
+            .select("s_id", F.col("vec_id").alias("nbr"),
+                    F.round(F.aggregate(
+                        F.zip_with("sv", "v", lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+                        / (F.col("snrm") * F.col("nrm")), 6).alias("sim")))
+    w = Window.partitionBy("s_id").orderBy(F.desc("sim"), F.asc("nbr"))
+    truth = (sims.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("s_id", "nbr"))
+    ann = ann_df.select("vec_id", "neighbor_id")
+    joined = truth.join(ann, truth.s_id == ann.vec_id, "left")
+    row = joined.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("neighbor_id") == F.col("nbr"), 1))
+        .alias("hit")).collect()[0]
+    return round(row.hit / row.n, 4)
+
+
+def main() -> None:
+    sf10x = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf10x"
+    sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="ivf2_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf10x, "embeddings")
+    n = emb.count()
+    budget = auto_knobs(n)["n_cells"]
+    tk = two_level_knobs(budget)
+    out = {"sf_dir": sf10x, "n_rows": n, "flat_cells": budget, **tk}
+
+    out["assign_flat_cold"] = timed(
+        lambda: ivf_assign_multi(emb, n_cells=budget, nprobe=1)
+        .select("vec_id", "cell"), repeats=1)
+    print(json.dumps(out), flush=True)
+    out["assign_two_level_cold"] = timed(
+        lambda: two_level_assign(emb, n_super=tk["n_super"], k2=tk["k2"])
+        .select("vec_id", "sid", "sub"), repeats=1)
+    print(json.dumps(out), flush=True)
+    out["search_flat"] = timed(lambda: ivf_top_neighbor(emb, n_cells=budget))
+    print(json.dumps(out), flush=True)
+    out["search_two_level"] = timed(
+        lambda: ivf2_top_neighbor(emb, n_super=tk["n_super"], k2=tk["k2"]))
+    print(json.dumps(out), flush=True)
+
+    # recall sanity at the bench corpus: same FINAL cell count both arms
+    emb01 = load_table(spark, sf01, "embeddings")
+    out["recall_flat_64"] = recall_at_1(
+        spark, emb01, ivf_top_neighbor(emb01, n_cells=64))
+    out["recall_two_level_8x8"] = recall_at_1(
+        spark, emb01, ivf2_top_neighbor(emb01, n_super=8, k2=8))
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
