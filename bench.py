@@ -97,14 +97,25 @@ HEADLINE = [
     "quantile_normalize_quality",
     "source_influence_loo",
     "corpus_health_dashboard",
+    # round-6 additions: the last unbenched heavy names (VERDICT r5
+    # item 6 — every query with >1 s sf0.01 wall gets an sf0.1 row)
+    # plus the new trained two-level quantizer
+    "dedup_graph_triangles",
+    "dedup_savings_report",
+    "containment_minhash_est",
+    "bootstrap_mean_quality",
+    "novelty_score_docs",
+    "neyman_allocation_sample",
+    "ann_top1_ivf2",
 ]
 
-# The previous round's headline set (BENCH_r04.json). The shared-subset
-# total below makes cross-round comparison composition-proof: the driver's
-# regression gate should read shared_with_prev_total_sec, which is summed
-# over identical query sets, not the headline total, which grows whenever
-# new queries join the set (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:59]
+# The previous round's headline set (BENCH_r05.json / BENCH_FULL.json).
+# The shared-subset total below makes cross-round comparison
+# composition-proof: the driver's regression gate should read
+# shared_with_prev_total_sec, which is summed over identical query sets,
+# not the headline total, which grows whenever new queries join the set
+# (VERDICT r4 "What's wrong" #3).
+PREV_HEADLINE = HEADLINE[:67]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

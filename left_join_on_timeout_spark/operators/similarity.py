@@ -320,8 +320,16 @@ def _assign_to_anchors(v: DataFrame, anchors: DataFrame,
                             (dot(F.col("v"), a["av"])
                              / (F.col("nrm") * a["anrm"])).alias("sim"),
                             (-a["cell"]).alias("negc")))).alias("b")))
+    # coalesce with an unreachable sentinel makes `cell` NON-NULLABLE:
+    # otherwise any downstream equi-join on cell has
+    # InferFiltersFromConstraints add isnotnull(cell), which predicate-
+    # pushes the ENTIRE interpreted argmax back into the BNLJ condition
+    # (the functions/text.py::normalize hazard, here with a 2× wall
+    # cost). The sentinel cannot occur: the join condition guarantees a
+    # non-empty anchor array, so the argmax struct is never null.
     return best.select(F.col(id_col), "v", "nrm",
-                       (-F.col("b")["negc"]).alias("cell"))
+                       F.coalesce(-F.col("b")["negc"],
+                                  F.lit(-1).cast("long")).alias("cell"))
 
 
 def ivf_assign_multi(emb: DataFrame,
@@ -520,8 +528,11 @@ def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
                             (dot(F.col("v"), a["av"])
                              / (F.col("nrm") * a["anrm"])).alias("sim"),
                             (-a["sub"]).alias("negs")))).alias("b")))
+    # non-nullable via unreachable sentinel — same
+    # InferFiltersFromConstraints hazard as _assign_to_anchors
     return best.select(F.col(id_col), "v", "nrm", "sid",
-                       (-F.col("b")["negs"]).alias("sub"))
+                       F.coalesce(-F.col("b")["negs"],
+                                  F.lit(-1).cast("long")).alias("sub"))
 
 
 def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,

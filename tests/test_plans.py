@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "ann_recall_ivfpq",
     "ann_top1_ivf",
     "ann_top1_ivf_probe2",
+    "ann_top1_ivf2",    # broadcast super/sub anchor arrays (two-level)
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
@@ -93,6 +94,28 @@ def test_no_cartesian_or_stray_nlj(spark, name):
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unexpected broadcast nested loop join")
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n in ("ann_top1_ivf", "ann_top1_ivf_probe2", "ann_top1_ivf2",
+                "ann_top1_ivfpq", "ann_recall_ivf", "ann_recall_ivfpq",
+                "ivf_kmeans_cells", "knn_brute_cosine", "ann_top1_srp")
+    if n in q.QUERIES))
+def test_no_scoring_transform_in_join_conditions(spark, name):
+    """Round-6 regression gate: predicate pushdown (null guards on
+    derived cells) and InferFiltersFromGenerate (size(top) > 0 from a
+    plain explode) must never sink the interpreted dot-product scoring
+    transform into a BroadcastNestedLoopJoin bound condition — Spark
+    then re-evaluates the whole argmax per row a second time (measured
+    2× of the third-decade assignment wall: 196 s → 101.5 s once
+    removed). The join-condition line may carry cheap size()/id checks,
+    never the zip_with dot product."""
+    plan = plan_of(spark, name)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "zip_with" not in line, (
+                f"{name}: scoring transform evaluated inside a join "
+                f"condition: {line.strip()[:160]}")
 
 
 def test_q1_filter_pushdown_and_pruning(spark):
