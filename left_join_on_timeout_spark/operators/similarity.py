@@ -560,6 +560,37 @@ def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,
     return sub_anchors
 
 
+def _train_two_level(
+        emb: DataFrame, id_col: str, vec_col: str, n_super: int, k2: int,
+        iters: int) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared trainer for the two-level quantizer variants: returns
+    (v, sup_anchors, sup, sub_anchors) with ``v`` (parsed vectors) and
+    ``sup`` (the primary super-assignment) persisted, and the level-2
+    anchors trained against the PRIMARY (top-1) super-assignment —
+    multi-probe is a search-time recall knob, the index is trained once
+    (the standard IVF discipline)."""
+    from pyspark import StorageLevel
+
+    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
+    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sup_anchors = (v.where(F.col(id_col) < n_super)
+                   .select(F.col(id_col).alias("cell"),
+                           F.col("v").alias("av"),
+                           F.col("nrm").alias("anrm")))
+    sup_anchors = _lloyd(v, sup_anchors, id_col, iters)
+    sup = (_assign_to_anchors(v, sup_anchors, id_col)
+           .withColumnRenamed("cell", "sid")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    w = Window.partitionBy("sid").orderBy(id_col)
+    sub0 = (sup.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k2)
+            .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
+                    F.col("v").alias("av"), F.col("nrm").alias("anrm")))
+    sub_anchors = _lloyd_grouped(sup, sub0, id_col, iters)
+    return v, sup_anchors, sup, sub_anchors
+
+
 def two_level_assign(emb: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -593,26 +624,96 @@ def two_level_assign(emb: DataFrame,
     centroid aggregations (n_super·k2 rows) and the decimal means. The
     parsed corpus is persisted once (the standing cost of any iterative
     pass, as in ``kmeans_refined_cells``)."""
-    from pyspark import StorageLevel
-
-    v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
-    v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    sup_anchors = (v.where(F.col(id_col) < n_super)
-                   .select(F.col(id_col).alias("cell"),
-                           F.col("v").alias("av"),
-                           F.col("nrm").alias("anrm")))
-    sup_anchors = _lloyd(v, sup_anchors, id_col, iters)
-    sup = (_assign_to_anchors(v, sup_anchors, id_col)
-           .withColumnRenamed("cell", "sid")
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    w = Window.partitionBy("sid").orderBy(id_col)
-    sub0 = (sup.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k2)
-            .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
-                    F.col("v").alias("av"), F.col("nrm").alias("anrm")))
-    sub_anchors = _lloyd_grouped(sup, sub0, id_col, iters)
+    v, _sup_anchors, sup, sub_anchors = _train_two_level(
+        emb, id_col, vec_col, n_super, k2, iters)
     return _assign_to_subs(sup, sub_anchors, id_col)
+
+
+def two_level_assign_multi(emb: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_super: int = DEFAULT_SUPER_CELLS,
+                           k2: int = DEFAULT_SUB_CELLS,
+                           iters: int = 1,
+                           nprobe: int = 2) -> DataFrame:
+    """(id, v, nrm, sid, sub) with up to ``nprobe`` rows per vector —
+    SUPER-level multi-probe over the trained two-level quantizer: the
+    recall knob for the tree's one measured cost (the greedy super-cell
+    choice splits some true neighbor pairs a flat argmax co-locates;
+    PLANS.md §"fourth-decade ANN"). Each vector takes its top-``nprobe``
+    super-cells by ``nprobe`` successive native argmax passes (the
+    ``ivf_assign_multi`` pattern), then the best sub-cell WITHIN each
+    probed super via the nested-broadcast lookup — O(n_super +
+    nprobe·k2) dot products per row, still ~n_cells/√n_cells cheaper
+    than the flat argmax. Training (level-1 Lloyd, level-2 seeds and
+    grouped Lloyd) uses only the primary assignment — multi-probe is a
+    search-time knob, the index is trained once."""
+    v, sup_anchors, _sup, sub_anchors = _train_two_level(
+        emb, id_col, vec_col, n_super, k2, iters)
+    sup_arr = sup_anchors.agg(
+        F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
+    nested = (sub_anchors.groupBy("sid")
+              .agg(F.collect_list(
+                  F.struct("sub", "av", "anrm")).alias("cells"))
+              .agg(F.collect_list(
+                  F.struct(F.col("sid").alias("g"),
+                           F.col("cells"))).alias("nested")))
+    scored = (v.join(F.broadcast(sup_arr), F.size("arr") > 0)
+              .join(F.broadcast(nested), F.size("nested") > 0)
+              .select(id_col, "v", "nrm", "nested",
+                      F.transform(
+                          "arr",
+                          lambda a: F.struct(
+                              (dot(F.col("v"), a["av"])
+                               / (F.col("nrm") * a["anrm"])).alias("sim"),
+                              (-a["cell"]).alias("negc"))).alias("sims")))
+    cur = scored
+    entries = []
+    for i in range(nprobe):
+        b = f"__b{i}"
+        cur = cur.withColumn(b, F.array_max("sims"))
+        sid_i = -F.col(b)["negc"]
+
+        def _own_bucket(sid_col: F.Column):
+            # single-parameter lambda: a (s, i) signature would be read
+            # by PySpark as the (element, index) form and the captured
+            # column would silently become the array index
+            return lambda s: s["g"] == sid_col
+
+        # try_element_at: a probed NON-primary super can be empty (every
+        # vector's primary lies elsewhere → it seeded no sub-anchors);
+        # probing it yields no index entry rather than an error
+        own_i = F.try_element_at(
+            F.filter("nested", _own_bucket(sid_i)), F.lit(1))["cells"]
+        best_i = F.array_max(F.transform(
+            own_i,
+            lambda a: F.struct(
+                (dot(F.col("v"), a["av"])
+                 / (F.col("nrm") * a["anrm"])).alias("sim"),
+                (-a["sub"]).alias("negs"))))
+        entries.append(F.struct(sid_i.alias("sid"),
+                                (-best_i["negs"]).alias("sub")))
+        if i + 1 < nprobe:
+            def _excl(bname: str):
+                return lambda s: s["negc"] != F.col(bname)["negc"]
+
+            cur = cur.withColumn("sims", F.filter("sims", _excl(b)))
+    # explode_outer + generator-output filter: the InferFiltersFromGenerate
+    # hazard (see ivf_assign_multi) would re-run the whole probe chain
+    # inside the BNLJ condition with a plain explode
+    top = cur.select(id_col, "v", "nrm",
+                     F.array(*entries).alias("top"))
+    out = top.select(id_col, "v", "nrm",
+                     F.explode_outer("top").alias("e"))
+    # filter on sub, not sid: a NULL sub also marks a probed-but-empty
+    # super (no sub-anchors to index under) — both degenerate entries
+    # drop here, so the non-null sentinels below are unreachable
+    return (out.where(F.col("e")["sub"].isNotNull())
+            .select(id_col, "v", "nrm",
+                    F.coalesce(F.col("e")["sid"],
+                               F.lit(-1).cast("long")).alias("sid"),
+                    F.coalesce(F.col("e")["sub"],
+                               F.lit(-1).cast("long")).alias("sub")))
 
 
 def ivf2_top_neighbor(emb: DataFrame,
@@ -621,12 +722,16 @@ def ivf2_top_neighbor(emb: DataFrame,
                       n_super: int | None = None,
                       k2: int | None = None,
                       iters: int = 1,
-                      cell_cap: int = DEFAULT_CELL_CAP) -> DataFrame:
+                      cell_cap: int = DEFAULT_CELL_CAP,
+                      nprobe: int = 1) -> DataFrame:
     """Approximate nearest neighbor per vector over the TRAINED
     two-level quantizer: pair only within the final (sid, sub) cell,
     exact cosine on cell-mates, bidirectional top-1 — identical search
     semantics to :func:`ivf_top_neighbor`, with the assignment cost cut
     from O(n_cells) to O(n_super + k2) dot products per row.
+    ``nprobe`` > 1 probes the top-``nprobe`` SUPER-cells per vector
+    (:func:`two_level_assign_multi`) — the recall knob that recovers
+    neighbor pairs the greedy super-cell split separates.
 
     ``n_super``/``k2`` default to :func:`two_level_knobs` over the
     corpus-sized flat cell budget from :func:`auto_knobs` (an eager
@@ -638,7 +743,12 @@ def ivf2_top_neighbor(emb: DataFrame,
         tk = two_level_knobs(auto_knobs(corpus_rows(emb))["n_cells"])
         n_super = n_super if n_super is not None else tk["n_super"]
         k2 = k2 if k2 is not None else tk["k2"]
-    assigned = two_level_assign(emb, id_col, vec_col, n_super, k2, iters)
+    if nprobe > 1:
+        assigned = two_level_assign_multi(emb, id_col, vec_col, n_super,
+                                          k2, iters, nprobe)
+    else:
+        assigned = two_level_assign(emb, id_col, vec_col, n_super, k2,
+                                    iters)
     w = Window.partitionBy("sid", "sub")
     capped = (assigned.withColumn("csz", F.count("*").over(w))
               .where(F.col("csz") <= cell_cap).drop("csz")) \

@@ -419,8 +419,9 @@ _PRIORITY: list[str] = [
     "neyman_allocation_sample",
     "bootstrap_mean_quality",
     "novelty_score_docs",
-    # -- NEW in r6: trained two-level coarse quantizer ANN ------------- 1
+    # -- NEW in r6: trained two-level coarse quantizer ANN ------------- 2
     "ann_top1_ivf2",
+    "ann_top1_ivf2_probe2",   # super-level multi-probe recall knob
     # -- sentinels: every code path CHANGED this round ---------------- 10
     "tws_timeout_left_join",       # tier column now in the hash (item 4)
     "timer_timeout_left_join",     # tier column now in the hash
@@ -432,11 +433,10 @@ _PRIORITY: list[str] = [
     "ivf_kmeans_cells",            # _lloyd refactor
     "decode_image_ppm",            # PPM zero-dims validation
     "ann_recall_ivf",              # oracle knobs pinned
-    # -- sentinels: driver-green family representatives --------------- 15
+    # -- sentinels: driver-green family representatives --------------- 14
     "timeout_left_join",           # O3 core batch flagship
     "full_outer_timeout_join",     # O3 full-outer extension
     "q1_pricing_summary",          # TPC-H
-    "q18_large_volume_customer",   # TPC-H heavy
     "asof_backward_join",          # as-of join
     "dedup_exact",                 # exact dedup
     "dedup_minhash_lsh",           # LSH near-dup

@@ -334,13 +334,18 @@ def _kmeans_oracle(n_cells: int, iters: int, dim: int = 64) -> str:
 
 
 def _ivf2_oracle(n_super: int, k2: int, dim: int = 64,
-                 cell_cap: int = DEFAULT_CELL_CAP) -> str:
+                 cell_cap: int = DEFAULT_CELL_CAP,
+                 nprobe: int = 1) -> str:
     """Unrolled-CTE DuckDB twin of the TRAINED two-level coarse
     quantizer ANN (one Lloyd pass per level): level-1 refine + assign,
     level-2 per-super-cell seed/refine/assign, then the standard
     within-cell pairing / exact cosine / bidirectional top-1. Decimal
     means and (sim DESC, cell) tie-breaks mirror the Spark operator
-    bit-for-bit (same arithmetic as the proven ``_kmeans_oracle``)."""
+    bit-for-bit (same arithmetic as the proven ``_kmeans_oracle``).
+    ``nprobe`` > 1 probes the top-``nprobe`` super-cells per vector at
+    SEARCH time (training stays on the primary assignment, as in the
+    Spark operator): the final assignment ranks within (vec_id, sid)
+    over the probed supers instead of taking one global row."""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
@@ -391,12 +396,17 @@ c2 AS (SELECT sid, sub, list(m ORDER BY i) AS av FROM d2
        GROUP BY sid, sub),
 a2 AS (SELECT sid, sub, av, sqrt(list_dot_product(av, av)) AS anrm
        FROM c2),
+probes AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+             SELECT vec_id, v, nrm, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) AS rn
+             FROM ss) t WHERE rn <= {nprobe}),
 s3 AS (SELECT m.vec_id, m.sid, b.sub,
               list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
-       FROM sup m JOIN a2 b ON m.sid = b.sid),
+       FROM probes m JOIN a2 b ON m.sid = b.sid),
 fin AS (SELECT vec_id, sid, sub FROM (
           SELECT vec_id, sid, sub,
-                 row_number() OVER (PARTITION BY vec_id
+                 row_number() OVER (PARTITION BY vec_id, sid
                                     ORDER BY sim DESC, sub) AS rn
           FROM s3) t WHERE rn = 1),
 capped AS (SELECT vec_id, sid, sub FROM (
@@ -446,6 +456,25 @@ def q_ann_top1_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf2_top_neighbor(emb, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+
+
+@query("ann_top1_ivf2_probe2",
+       _ivf2_oracle(_IVF2_SUPER, _IVF2_K2, nprobe=2))
+def q_ann_top1_ivf2_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPER-level multi-probe (nprobe=2) over the trained two-level
+    quantizer — the recall knob for the tree's one measured cost (the
+    greedy super-cell choice splits some true neighbor pairs; PLANS.md
+    §"fourth-decade ANN"). Each vector indexes under its best sub-cell
+    in BOTH of its two nearest super-cells; training stays on the
+    primary assignment. Knobs pinned to the static oracle's constants
+    (ADVICE r5 rule)."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf2_top_neighbor,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf2_top_neighbor(emb, n_super=_IVF2_SUPER, k2=_IVF2_K2,
+                             nprobe=2)
 
 
 @query("ivf_kmeans_cells", _kmeans_oracle(DEFAULT_IVF_CELLS, 2))

@@ -164,3 +164,24 @@ def test_lsh_band_knobs_threshold_brackets():
             assert kn["bands"] * kn["rows_per_band"] == 12
     with pytest.raises(ValueError):
         lsh_band_knobs(1.5)
+
+
+def test_ivf2_super_multiprobe_only_improves(spark):
+    """nprobe=2 probes a superset of cells: every vector matched at
+    nprobe=1 is still matched, and its best cosine can only improve
+    (the recall-knob contract of the super-level multi-probe)."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf2_top_neighbor,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    one = {r.vec_id: r.cos_sim
+           for r in ivf2_top_neighbor(emb, n_super=2, k2=2).collect()}
+    two = {r.vec_id: r.cos_sim
+           for r in ivf2_top_neighbor(emb, n_super=2, k2=2,
+                                      nprobe=2).collect()}
+    assert set(one) <= set(two)
+    for vid, cs in one.items():
+        assert two[vid] >= cs

@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "ann_top1_ivf",
     "ann_top1_ivf_probe2",
     "ann_top1_ivf2",    # broadcast super/sub anchor arrays (two-level)
+    "ann_top1_ivf2_probe2",
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
@@ -98,6 +99,7 @@ def test_no_cartesian_or_stray_nlj(spark, name):
 
 @pytest.mark.parametrize("name", sorted(
     n for n in ("ann_top1_ivf", "ann_top1_ivf_probe2", "ann_top1_ivf2",
+                "ann_top1_ivf2_probe2",
                 "ann_top1_ivfpq", "ann_recall_ivf", "ann_recall_ivfpq",
                 "ivf_kmeans_cells", "knn_brute_cosine", "ann_top1_srp")
     if n in q.QUERIES))

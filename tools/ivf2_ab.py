@@ -122,6 +122,10 @@ def main() -> None:
         spark, emb01, ivf_top_neighbor(emb01, n_cells=64))
     out["recall_two_level_8x8"] = recall_at_1(
         spark, emb01, ivf2_top_neighbor(emb01, n_super=8, k2=8))
+    out["recall_two_level_8x8_p2"] = recall_at_1(
+        spark, emb01, ivf2_top_neighbor(emb01, n_super=8, k2=8, nprobe=2))
+    out["recall_flat_64_p2"] = recall_at_1(
+        spark, emb01, ivf_top_neighbor(emb01, n_cells=64, nprobe=2))
     print(json.dumps(out), flush=True)
 
 
