@@ -165,11 +165,21 @@ def main() -> None:
                    "shared_with_prev_total_sec": shared,
                    "shared_with_prev_n": len(PREV_HEADLINE),
                    "queries": timings}, fh)
+    print(build_line(timings, total, shared, float(sf)))
+
+
+def build_line(timings: dict, total: float, shared: float,
+               sf: float) -> str:
+    """The printed JSON line: summary fields FIRST, then as many
+    per-query entries (heaviest first, 2 dp) as fit the line budget —
+    the driver records only the last ~2000 chars of stdout and
+    json-parses that tail, so the whole line must fit it
+    (BENCH_r05.json came back "parsed": null when it didn't)."""
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "sf": float(sf),
+        "sf": sf,
         "shared_with_prev_total_sec": shared,
         "shared_with_prev_n": len(PREV_HEADLINE),
         "queries_n": len(timings),
@@ -184,7 +194,7 @@ def main() -> None:
             break
     line = json.dumps(payload)
     assert len(line) <= 2000, f"bench line exceeds driver capture: {len(line)}"
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
