@@ -295,18 +295,30 @@ def jaccard_verify(candidates: DataFrame, sh: DataFrame, id_col: str,
 def lsh_verified_near_dups(df: DataFrame, id_col: str, text_col: str,
                            threshold: float = 0.5,
                            k: int = DEFAULT_K,
-                           bands: int = DEFAULT_BANDS,
+                           bands: int | None = None,
                            shingle_n: int = DEFAULT_SHINGLE,
-                           bucket_cap: int = DEFAULT_LSH_BUCKET_CAP
-                           ) -> DataFrame:
+                           bucket_cap: int = DEFAULT_LSH_BUCKET_CAP,
+                           dense: bool = True) -> DataFrame:
     """The full near-dup pipeline at its 100 TB shape: MinHash → LSH
     banding → candidate pairs → exact Jaccard ≥ ``threshold`` verify on
     candidates only. Signatures are row-local array math (no shuffle);
     candidates come from a capped equi-join; the verify stage joins the
     (small) candidate list back to per-doc shingle arrays on id and
     scores each pair with one ``array_intersect`` — nothing is quadratic
-    in the corpus, and no shingle-level join ever runs."""
+    in the corpus, and no shingle-level join ever runs.
+
+    ``bands=None`` (the default) derives the band count from the target
+    ``threshold`` via :func:`lsh_band_knobs` — ``dense=True``
+    (precision-first, the conservative arm for dup-heavy corpora; at
+    the default threshold 0.5 it resolves to the library's historical
+    4×3 banding, so existing plans and oracle hashes are unchanged) or
+    ``dense=False`` (recall-first, for corpora with measured-sparse dup
+    density — the fourth-decade study in PLANS.md). Pass an explicit
+    value to pin the banding regardless of threshold."""
     from pyspark import StorageLevel
+
+    if bands is None:
+        bands = lsh_band_knobs(threshold, k, dense=dense)["bands"]
 
     # the shingle-set relation feeds the signature AND both verify
     # sides — persist it once (the pipeline's standing index cost)

@@ -136,6 +136,45 @@ def _score(pairs: DataFrame) -> DataFrame:
                 / (F.col("na") * F.col("nb")), 6).alias("cos_sim"))
 
 
+def _bidir_top1(scored: DataFrame) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim): each pair feeds BOTH directions
+    from one evaluation of the scoring subtree (a union of two selects
+    would re-run the whole candidate+score plan per branch), then a
+    per-vector argmax — desc cos_sim, ties to the smaller neighbor id
+    via the negated-id struct field. The shared tail of every top-1 ANN
+    searcher here (SRP, IVF, IVF multi-probe, two-level, IVF-PQ
+    rerank)."""
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
+    )).alias("e")).select("e.*")
+    best = both.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
+        .alias("best"))
+    return best.select(
+        "vec_id",
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.col("best.cos_sim").alias("cos_sim"))
+
+
+def _pair_within_cells(capped: DataFrame, keys: list[str],
+                       id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ALL ``keys`` cell columns,
+    vectors and norms carried through — the within-cell pairing stage
+    shared by the flat-IVF and two-level searchers. ``capped`` must be
+    the persisted index relation (both join sides read it; no
+    ReusedExchange fires across self-join sides)."""
+    a = capped.select(F.col(id_col).alias("id_a"), *keys,
+                      F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = capped.select(F.col(id_col).alias("id_b"), *keys,
+                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (a.join(b, keys)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "na", "vb", "nb"))
+
+
 def ann_top_neighbor(emb: DataFrame,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -158,23 +197,7 @@ def ann_top_neighbor(emb: DataFrame,
         n_bits = auto_knobs(corpus_rows(emb))["n_bits"]
     pairs = srp_candidate_pairs(emb, id_col, vec_col, dim, bands, n_bits,
                                 seed, bucket_cap)
-    scored = _score(pairs)
-    # both directions from one evaluation of the scoring subtree — a
-    # union of two selects over `scored` would re-run the whole
-    # pairs+score plan per branch
-    both = scored.select(F.explode(F.array(
-        F.struct(F.col("id_a").alias("vec_id"),
-                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
-        F.struct(F.col("id_b").alias("vec_id"),
-                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
-    )).alias("e")).select("e.*")
-    best = both.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
-        .alias("best"))
-    return best.select(
-        "vec_id",
-        (-F.col("best.neg_id")).alias("neighbor_id"),
-        F.col("best.cos_sim").alias("cos_sim"))
+    return _bidir_top1(_score(pairs))
 
 
 DEFAULT_IVF_CELLS = 32
@@ -495,6 +518,19 @@ def two_level_knobs(n_cells: int) -> dict[str, int]:
     return {"n_super": n_super, "k2": k2}
 
 
+def _nested_sub_anchors(sub_anchors: DataFrame) -> DataFrame:
+    """ONE broadcast row: ``nested = [(g=sid, cells=[(sub, av, anrm)])]``
+    — the sid-bucketed sub-anchor index every grouped argmax looks its
+    own super-cell up in. Single construction site so the broadcast
+    layout and the per-row lookups can never drift apart."""
+    return (sub_anchors.groupBy("sid")
+            .agg(F.collect_list(
+                F.struct("sub", "av", "anrm")).alias("cells"))
+            .agg(F.collect_list(
+                F.struct(F.col("sid").alias("g"),
+                         F.col("cells"))).alias("nested")))
+
+
 def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
                     id_col: str) -> DataFrame:
     """(id, v, nrm, sid, sub): nearest sub-anchor *within the row's own
@@ -504,12 +540,7 @@ def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
     bucket with a cheap id-compare ``filter`` (no dot products) and
     argmaxes over only those ``k2`` anchors. Per-row dot-product cost is
     O(k2), not O(n_cells) — the whole point of the two-level tree."""
-    nested = (sub_anchors.groupBy("sid")
-              .agg(F.collect_list(
-                  F.struct("sub", "av", "anrm")).alias("cells"))
-              .agg(F.collect_list(
-                  F.struct(F.col("sid").alias("g"),
-                           F.col("cells"))).alias("nested")))
+    nested = _nested_sub_anchors(sub_anchors)
     own = F.element_at(
         F.filter("nested", lambda s: s["g"] == F.col("sid")), 1)["cells"]
     # Empty-anchor guard as a cheap join condition, never a post-filter
@@ -636,7 +667,9 @@ def two_level_assign_multi(emb: DataFrame,
                            k2: int = DEFAULT_SUB_CELLS,
                            iters: int = 1,
                            nprobe: int = 2) -> DataFrame:
-    """(id, v, nrm, sid, sub) with up to ``nprobe`` rows per vector —
+    """(id, v, nrm, sid, sub, pri) with up to ``nprobe`` rows per
+    vector (``pri`` marks the primary probe — cell caps count only
+    primaries, see :func:`ivf2_top_neighbor`) —
     SUPER-level multi-probe over the trained two-level quantizer: the
     recall knob for the tree's one measured cost (the greedy super-cell
     choice splits some true neighbor pairs a flat argmax co-locates;
@@ -652,12 +685,7 @@ def two_level_assign_multi(emb: DataFrame,
         emb, id_col, vec_col, n_super, k2, iters)
     sup_arr = sup_anchors.agg(
         F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
-    nested = (sub_anchors.groupBy("sid")
-              .agg(F.collect_list(
-                  F.struct("sub", "av", "anrm")).alias("cells"))
-              .agg(F.collect_list(
-                  F.struct(F.col("sid").alias("g"),
-                           F.col("cells"))).alias("nested")))
+    nested = _nested_sub_anchors(sub_anchors)
     scored = (v.join(F.broadcast(sup_arr), F.size("arr") > 0)
               .join(F.broadcast(nested), F.size("nested") > 0)
               .select(id_col, "v", "nrm", "nested",
@@ -692,7 +720,8 @@ def two_level_assign_multi(emb: DataFrame,
                  / (F.col("nrm") * a["anrm"])).alias("sim"),
                 (-a["sub"]).alias("negs"))))
         entries.append(F.struct(sid_i.alias("sid"),
-                                (-best_i["negs"]).alias("sub")))
+                                (-best_i["negs"]).alias("sub"),
+                                F.lit(i == 0).alias("pri")))
         if i + 1 < nprobe:
             def _excl(bname: str):
                 return lambda s: s["negc"] != F.col(bname)["negc"]
@@ -713,7 +742,9 @@ def two_level_assign_multi(emb: DataFrame,
                     F.coalesce(F.col("e")["sid"],
                                F.lit(-1).cast("long")).alias("sid"),
                     F.coalesce(F.col("e")["sub"],
-                               F.lit(-1).cast("long")).alias("sub")))
+                               F.lit(-1).cast("long")).alias("sub"),
+                    F.coalesce(F.col("e")["pri"],
+                               F.lit(False)).alias("pri")))
 
 
 def ivf2_top_neighbor(emb: DataFrame,
@@ -740,40 +771,36 @@ def ivf2_top_neighbor(emb: DataFrame,
     from pyspark import StorageLevel
 
     if n_super is None or k2 is None:
-        tk = two_level_knobs(auto_knobs(corpus_rows(emb))["n_cells"])
-        n_super = n_super if n_super is not None else tk["n_super"]
-        k2 = k2 if k2 is not None else tk["k2"]
+        budget = auto_knobs(corpus_rows(emb))["n_cells"]
+        if n_super is None and k2 is None:
+            tk = two_level_knobs(budget)
+            n_super, k2 = tk["n_super"], tk["k2"]
+        elif n_super is None:
+            # derive the companion from the CALLER's knob so the tree
+            # still covers the corpus-sized cell budget — mixing one
+            # explicit knob with the sqrt decomposition's other half
+            # could silently undershoot it ~budget/sqrt-fold
+            n_super = max(DEFAULT_SUPER_CELLS, -(-budget // k2))
+        else:
+            k2 = max(DEFAULT_SUB_CELLS, -(-budget // n_super))
     if nprobe > 1:
         assigned = two_level_assign_multi(emb, id_col, vec_col, n_super,
                                           k2, iters, nprobe)
     else:
         assigned = two_level_assign(emb, id_col, vec_col, n_super, k2,
-                                    iters)
+                                    iters).withColumn("pri", F.lit(True))
+    # The cell cap counts PRIMARY rows only: a secondary-probe row
+    # landing in a cell must not evict a cell that passed the cap at
+    # nprobe=1, or multi-probe could LOSE matches (the only-improves
+    # contract pinned by tests/test_auto_knobs.py). Degenerate-cell
+    # protection is unchanged — primaries are what concentrate.
     w = Window.partitionBy("sid", "sub")
-    capped = (assigned.withColumn("csz", F.count("*").over(w))
-              .where(F.col("csz") <= cell_cap).drop("csz")) \
+    csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
+    capped = (assigned.withColumn("csz", csz)
+              .where(F.col("csz") <= cell_cap).drop("csz", "pri")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    a = capped.select(F.col(id_col).alias("id_a"), "sid", "sub",
-                      F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = capped.select(F.col(id_col).alias("id_b"), "sid", "sub",
-                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (a.join(b, ["sid", "sub"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "va", "na", "vb", "nb"))
-    scored = _score(pairs)
-    both = scored.select(F.explode(F.array(
-        F.struct(F.col("id_a").alias("vec_id"),
-                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
-        F.struct(F.col("id_b").alias("vec_id"),
-                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
-    )).alias("e")).select("e.*")
-    best = both.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
-        .alias("best"))
-    return best.select(
-        "vec_id",
-        (-F.col("best.neg_id")).alias("neighbor_id"),
-        F.col("best.cos_sim").alias("cos_sim"))
+    pairs = _pair_within_cells(capped, ["sid", "sub"], id_col)
+    return _bidir_top1(_score(pairs))
 
 
 def ivf_top_neighbor(emb: DataFrame,
@@ -824,27 +851,8 @@ def ivf_top_neighbor(emb: DataFrame,
     capped = (assigned.withColumn("csz", F.count("*").over(w))
               .where(F.col("csz") <= cell_cap).drop("csz")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    a = capped.select(F.col(id_col).alias("id_a"), F.col("cell"),
-                      F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = capped.select(F.col(id_col).alias("id_b"), F.col("cell"),
-                      F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = (a.join(b, "cell")
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "va", "na", "vb", "nb"))
-    scored = _score(pairs)
-    both = scored.select(F.explode(F.array(
-        F.struct(F.col("id_a").alias("vec_id"),
-                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
-        F.struct(F.col("id_b").alias("vec_id"),
-                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
-    )).alias("e")).select("e.*")
-    best = both.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
-        .alias("best"))
-    return best.select(
-        "vec_id",
-        (-F.col("best.neg_id")).alias("neighbor_id"),
-        F.col("best.cos_sim").alias("cos_sim"))
+    pairs = _pair_within_cells(capped, ["cell"], id_col)
+    return _bidir_top1(_score(pairs))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,

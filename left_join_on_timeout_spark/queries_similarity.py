@@ -396,22 +396,23 @@ c2 AS (SELECT sid, sub, list(m ORDER BY i) AS av FROM d2
        GROUP BY sid, sub),
 a2 AS (SELECT sid, sub, av, sqrt(list_dot_product(av, av)) AS anrm
        FROM c2),
-probes AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+probes AS (SELECT vec_id, v, nrm, cell AS sid, rn AS prank FROM (
              SELECT vec_id, v, nrm, cell,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY sim DESC, cell) AS rn
              FROM ss) t WHERE rn <= {nprobe}),
-s3 AS (SELECT m.vec_id, m.sid, b.sub,
+s3 AS (SELECT m.vec_id, m.sid, m.prank, b.sub,
               list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
        FROM probes m JOIN a2 b ON m.sid = b.sid),
-fin AS (SELECT vec_id, sid, sub FROM (
-          SELECT vec_id, sid, sub,
+fin AS (SELECT vec_id, sid, sub, prank FROM (
+          SELECT vec_id, sid, sub, prank,
                  row_number() OVER (PARTITION BY vec_id, sid
                                     ORDER BY sim DESC, sub) AS rn
           FROM s3) t WHERE rn = 1),
 capped AS (SELECT vec_id, sid, sub FROM (
              SELECT vec_id, sid, sub,
-                    count(*) OVER (PARTITION BY sid, sub) AS csz
+                    count(CASE WHEN prank = 1 THEN 1 END)
+                      OVER (PARTITION BY sid, sub) AS csz
              FROM fin) t WHERE csz <= {cell_cap}),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,

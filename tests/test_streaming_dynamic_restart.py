@@ -130,7 +130,11 @@ def test_dynamic_window_state_bounded_by_widest_class(spark):
         # widest-window horizon, so state never accumulates history
         for total in state_totals:
             assert total <= 2 * per_epoch, state_totals
-        # and the bound is meaningful: 3 epochs ingested 3x that volume
-        assert sum(1 for _ in range(3)) * 2 * per_epoch == 72
+        # and the bound is meaningful: the query really processed all
+        # three epochs (every left matched its same-ts right and
+        # emitted — matches don't wait for the watermark), so ingest
+        # tripled while state stayed at the one-epoch level
+        emitted = spark.read.parquet(sink).count()
+        assert emitted >= 3 * per_epoch, emitted
     finally:
         q.stop()
