@@ -518,47 +518,61 @@ def two_level_knobs(n_cells: int) -> dict[str, int]:
     return {"n_super": n_super, "k2": k2}
 
 
-def _nested_sub_anchors(sub_anchors: DataFrame) -> DataFrame:
-    """ONE broadcast row: ``nested = [(g=sid, cells=[(sub, av, anrm)])]``
-    — the sid-bucketed sub-anchor index every grouped argmax looks its
-    own super-cell up in. Single construction site so the broadcast
-    layout and the per-row lookups can never drift apart."""
-    return (sub_anchors.groupBy("sid")
+def _sub_anchor_buckets(sub_anchors: DataFrame) -> DataFrame:
+    """One broadcast row PER SUPER-CELL: ``(g = sid, cells = [(sub, av,
+    anrm)])`` — the build side of every grouped sub-anchor lookup.
+    Single construction site so the bucket layout and the per-row
+    argmaxes can never drift apart.
+
+    This was originally ONE collapsed row holding all buckets, looked
+    up per row through a ``filter``/``element_at`` over the nested
+    array. The fourth-decade A/B exposed that shape's hidden cost:
+    every interpreted-fallback expression eval against the joined row
+    COPIES the whole row (``UnsafeRow.copy`` — jstack showed the
+    executors memcpy-bound, not FLOP-bound), and the one-row form puts
+    the ENTIRE index (n_super · k2 anchors, ~17.6 MB at 179×179) into
+    every joined row: an O(n_rows · index_bytes) memcpy term, ~35 TB
+    at 2 M rows, invisible at the third decade where the index was
+    1.8 MB. Bucketed per super-cell, the broadcast HASH equi-join on
+    ``g`` hands each row only its OWN ~k2-anchor bucket (~100 KB) —
+    the copy term drops by n_super× and the per-row filter scan
+    disappears into the hash lookup."""
+    return (sub_anchors.groupBy(F.col("sid").alias("g"))
             .agg(F.collect_list(
-                F.struct("sub", "av", "anrm")).alias("cells"))
-            .agg(F.collect_list(
-                F.struct(F.col("sid").alias("g"),
-                         F.col("cells"))).alias("nested")))
+                F.struct("sub", "av", "anrm")).alias("cells")))
+
+
+def _best_sub(cells) -> F.Column:
+    """argmax over one bucket's sub-anchors by cosine, ties to the
+    lowest sub id (the (sim, -sub) struct-max discipline shared with
+    ``_assign_to_anchors``)."""
+    return F.array_max(F.transform(
+        cells,
+        lambda a: F.struct(
+            (dot(F.col("v"), a["av"])
+             / (F.col("nrm") * a["anrm"])).alias("sim"),
+            (-a["sub"]).alias("negs"))))
 
 
 def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
                     id_col: str) -> DataFrame:
     """(id, v, nrm, sid, sub): nearest sub-anchor *within the row's own
-    super-cell* by cosine, ties to the lowest sub id — fully map-side.
-    All sub-anchors collapse into ONE broadcast nested-array row
-    (sid → its sub-anchor structs); each row looks up its super-cell's
-    bucket with a cheap id-compare ``filter`` (no dot products) and
-    argmaxes over only those ``k2`` anchors. Per-row dot-product cost is
-    O(k2), not O(n_cells) — the whole point of the two-level tree."""
-    nested = _nested_sub_anchors(sub_anchors)
-    own = F.element_at(
-        F.filter("nested", lambda s: s["g"] == F.col("sid")), 1)["cells"]
-    # Empty-anchor guard as a cheap join condition, never a post-filter
-    # on the derived sub (same predicate-pushdown trap as
-    # _assign_to_anchors: the argmax would re-run interpreted inside
-    # the BNLJ bound condition). Per-row safety needs no filter: every
-    # row's sid comes from the level-1 assignment, and any sid with a
-    # member has ≥1 sub-anchor at every stage (its members seed and
-    # then retain at least one sub through each grouped Lloyd mean),
-    # so the own-bucket lookup cannot be empty.
-    best = (sup.join(F.broadcast(nested), F.size("nested") > 0)
+    super-cell* by cosine, ties to the lowest sub id — a broadcast HASH
+    equi-join on the super-cell id (no shuffle: the bucket side is
+    n_super rows), then an in-row argmax over only the own bucket's
+    ``k2`` anchors. Per-row dot-product cost is O(k2), not O(n_cells) —
+    the whole point of the two-level tree; per-row payload is the own
+    bucket, not the whole index (see :func:`_sub_anchor_buckets`).
+
+    The inner equi-join IS the empty-bucket guard: a sid with no
+    sub-anchors simply has no build row (cannot happen for a primary
+    assignment — any sid with a member seeds and retains ≥1 sub through
+    each grouped Lloyd mean — and for a probed secondary super it is
+    the defined probed-empty semantics: no index entry)."""
+    buckets = _sub_anchor_buckets(sub_anchors)
+    best = (sup.join(F.broadcast(buckets), F.col("sid") == F.col("g"))
             .select(id_col, "v", "nrm", "sid",
-                    F.array_max(F.transform(
-                        own,
-                        lambda a: F.struct(
-                            (dot(F.col("v"), a["av"])
-                             / (F.col("nrm") * a["anrm"])).alias("sim"),
-                            (-a["sub"]).alias("negs")))).alias("b")))
+                    _best_sub(F.col("cells")).alias("b")))
     # non-nullable via unreachable sentinel — same
     # InferFiltersFromConstraints hazard as _assign_to_anchors
     return best.select(F.col(id_col), "v", "nrm", "sid",
@@ -676,19 +690,23 @@ def two_level_assign_multi(emb: DataFrame,
     PLANS.md §"fourth-decade ANN"). Each vector takes its top-``nprobe``
     super-cells by ``nprobe`` successive native argmax passes (the
     ``ivf_assign_multi`` pattern), then the best sub-cell WITHIN each
-    probed super via the nested-broadcast lookup — O(n_super +
+    probed super via the per-super broadcast hash join — O(n_super +
     nprobe·k2) dot products per row, still ~n_cells/√n_cells cheaper
     than the flat argmax. Training (level-1 Lloyd, level-2 seeds and
     grouped Lloyd) uses only the primary assignment — multi-probe is a
-    search-time knob, the index is trained once."""
+    search-time knob, the index is trained once.
+
+    The probe chain computes SIDS ONLY; the sub lookup happens after
+    the explode, as a hash equi-join of the (row, probed sid) pairs
+    against the per-super buckets — so neither the whole sub-anchor
+    index nor any bucket rides through the probe chain's fallback-eval
+    row copies (see :func:`_sub_anchor_buckets`)."""
     v, sup_anchors, _sup, sub_anchors = _train_two_level(
         emb, id_col, vec_col, n_super, k2, iters)
     sup_arr = sup_anchors.agg(
         F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
-    nested = _nested_sub_anchors(sub_anchors)
     scored = (v.join(F.broadcast(sup_arr), F.size("arr") > 0)
-              .join(F.broadcast(nested), F.size("nested") > 0)
-              .select(id_col, "v", "nrm", "nested",
+              .select(id_col, "v", "nrm",
                       F.transform(
                           "arr",
                           lambda a: F.struct(
@@ -700,27 +718,9 @@ def two_level_assign_multi(emb: DataFrame,
     for i in range(nprobe):
         b = f"__b{i}"
         cur = cur.withColumn(b, F.array_max("sims"))
-        sid_i = -F.col(b)["negc"]
-
-        def _own_bucket(sid_col: F.Column):
-            # single-parameter lambda: a (s, i) signature would be read
-            # by PySpark as the (element, index) form and the captured
-            # column would silently become the array index
-            return lambda s: s["g"] == sid_col
-
-        # try_element_at: a probed NON-primary super can be empty (every
-        # vector's primary lies elsewhere → it seeded no sub-anchors);
-        # probing it yields no index entry rather than an error
-        own_i = F.try_element_at(
-            F.filter("nested", _own_bucket(sid_i)), F.lit(1))["cells"]
-        best_i = F.array_max(F.transform(
-            own_i,
-            lambda a: F.struct(
-                (dot(F.col("v"), a["av"])
-                 / (F.col("nrm") * a["anrm"])).alias("sim"),
-                (-a["sub"]).alias("negs"))))
-        entries.append(F.struct(sid_i.alias("sid"),
-                                (-best_i["negs"]).alias("sub"),
+        # NULL when fewer than i+1 supers exist (sims exhausted) — the
+        # post-explode filter drops that probe's row
+        entries.append(F.struct((-F.col(b)["negc"]).alias("sid"),
                                 F.lit(i == 0).alias("pri")))
         if i + 1 < nprobe:
             def _excl(bname: str):
@@ -734,17 +734,23 @@ def two_level_assign_multi(emb: DataFrame,
                      F.array(*entries).alias("top"))
     out = top.select(id_col, "v", "nrm",
                      F.explode_outer("top").alias("e"))
-    # filter on sub, not sid: a NULL sub also marks a probed-but-empty
-    # super (no sub-anchors to index under) — both degenerate entries
-    # drop here, so the non-null sentinels below are unreachable
-    return (out.where(F.col("e")["sub"].isNotNull())
-            .select(id_col, "v", "nrm",
-                    F.coalesce(F.col("e")["sid"],
-                               F.lit(-1).cast("long")).alias("sid"),
-                    F.coalesce(F.col("e")["sub"],
-                               F.lit(-1).cast("long")).alias("sub"),
-                    F.coalesce(F.col("e")["pri"],
-                               F.lit(False)).alias("pri")))
+    probed = (out.where(F.col("e")["sid"].isNotNull())
+              .select(id_col, "v", "nrm",
+                      F.coalesce(F.col("e")["sid"],
+                                 F.lit(-1).cast("long")).alias("sid"),
+                      F.coalesce(F.col("e")["pri"],
+                                 F.lit(False)).alias("pri")))
+    # Inner hash join = the probed-empty-super semantics: a NON-primary
+    # probed super that seeded no sub-anchors (every member's primary
+    # lies elsewhere) has no bucket row → no index entry, by design
+    buckets = _sub_anchor_buckets(sub_anchors)
+    best = (probed.join(F.broadcast(buckets), F.col("sid") == F.col("g"))
+            .select(id_col, "v", "nrm", "sid", "pri",
+                    _best_sub(F.col("cells")).alias("b")))
+    return best.select(F.col(id_col), "v", "nrm", "sid",
+                       F.coalesce(-F.col("b")["negs"],
+                                  F.lit(-1).cast("long")).alias("sub"),
+                       "pri")
 
 
 def ivf2_top_neighbor(emb: DataFrame,
