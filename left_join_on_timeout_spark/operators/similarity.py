@@ -423,9 +423,17 @@ def ivf_assign_multi(emb: DataFrame,
         id_col, "v", "nrm",
         F.array(*[(-F.col(b)["negc"]).alias("cell")
                   for b in best_cols]).alias("top"))
+    # posexplode keeps the probe rank so consumers can tell PRIMARY
+    # rows (pos 0, the nprobe=1 assignment) from secondary probe
+    # copies: the cell cap must count primaries only, or a probe copy
+    # landing in a cell that passed the cap at nprobe=1 would evict the
+    # whole cell and multi-probe could LOSE matches (the only-improves
+    # contract — same rule as ivf2_top_neighbor's pri flag).
     return (top.select(id_col, "v", "nrm",
-                       F.explode_outer("top").alias("cell"))
-            .where(F.col("cell").isNotNull()))
+                       F.posexplode_outer("top").alias("pos", "cell"))
+            .where(F.col("cell").isNotNull())
+            .select(id_col, "v", "nrm", "cell",
+                    (F.col("pos") == 0).alias("pri")))
 
 
 def _lloyd(v: DataFrame, anchors: DataFrame, id_col: str,
@@ -853,9 +861,15 @@ def ivf_top_neighbor(emb: DataFrame,
     # measured, r4: the duplicated subtree cost more than the pairing).
     # Same standing cost as kmeans_refined_cells' iterative persist: an
     # IVF deployment always materializes its index once per corpus pass.
+    # The cap counts PRIMARY rows only (pos-0 probes): a secondary
+    # probe copy must not evict a cell that passed the cap at nprobe=1,
+    # or multi-probe could LOSE matches — the same only-improves rule
+    # ivf2_top_neighbor applies; at nprobe=1 every row is primary and
+    # this is exactly the old count(*).
     w = Window.partitionBy("cell")
-    capped = (assigned.withColumn("csz", F.count("*").over(w))
-              .where(F.col("csz") <= cell_cap).drop("csz")) \
+    csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
+    capped = (assigned.withColumn("csz", csz)
+              .where(F.col("csz") <= cell_cap).drop("csz", "pri")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _pair_within_cells(capped, ["cell"], id_col)
     return _bidir_top1(_score(pairs))
