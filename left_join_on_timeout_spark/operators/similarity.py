@@ -360,10 +360,12 @@ def ivf_assign_multi(emb: DataFrame,
                      vec_col: str = "embedding",
                      n_cells: int = DEFAULT_IVF_CELLS,
                      nprobe: int = 2) -> DataFrame:
-    """(id, v, nrm, cell) with up to ``nprobe`` rows per vector — the
-    multi-probe IVF assignment (top-``nprobe`` anchors by cosine, ties
-    to the lowest cell id), the recall/cost knob every IVF deployment
-    tunes.
+    """(id, v, nrm, cell, pri) with up to ``nprobe`` rows per vector —
+    the multi-probe IVF assignment (top-``nprobe`` anchors by cosine,
+    ties to the lowest cell id), the recall/cost knob every IVF
+    deployment tunes. ``pri`` marks the pos-0 PRIMARY probe (the
+    nprobe=1 assignment); consumers cap cells on primaries so probe
+    copies can never evict them (the only-improves contract).
 
     Fully map-side (VERDICT r3 item 3): the ``n_cells`` anchors collapse
     into ONE broadcast array row; each vector scores all anchors with a
@@ -803,15 +805,23 @@ def ivf2_top_neighbor(emb: DataFrame,
     else:
         assigned = two_level_assign(emb, id_col, vec_col, n_super, k2,
                                     iters).withColumn("pri", F.lit(True))
-    # The cell cap counts PRIMARY rows only: a secondary-probe row
-    # landing in a cell must not evict a cell that passed the cap at
-    # nprobe=1, or multi-probe could LOSE matches (the only-improves
-    # contract pinned by tests/test_auto_knobs.py). Degenerate-cell
-    # protection is unchanged — primaries are what concentrate.
+    # Two-sided cap (ADVICE r6). The cell cap counts PRIMARY rows to
+    # gate the whole cell: a secondary-probe row landing in a cell must
+    # not evict a cell that passed the cap at nprobe=1, or multi-probe
+    # could LOSE matches (the only-improves contract pinned by
+    # tests/test_auto_knobs.py). SECONDARY probe rows are then
+    # rank-capped per cell (by vec_id — unique within a cell, so
+    # deterministic) at cell_cap, bounding a hub cell's probe volume:
+    # total rows per surviving cell ≤ 2·cell_cap at any nprobe, and
+    # primaries are never dropped.
     w = Window.partitionBy("sid", "sub")
     csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
-    capped = (assigned.withColumn("csz", csz)
-              .where(F.col("csz") <= cell_cap).drop("csz", "pri")) \
+    srk = F.row_number().over(
+        Window.partitionBy("sid", "sub", "pri").orderBy(id_col))
+    capped = (assigned.withColumn("csz", csz).withColumn("srk", srk)
+              .where((F.col("csz") <= cell_cap)
+                     & (F.col("pri") | (F.col("srk") <= cell_cap)))
+              .drop("csz", "srk", "pri")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _pair_within_cells(capped, ["sid", "sub"], id_col)
     return _bidir_top1(_score(pairs))
@@ -831,10 +841,16 @@ def ivf_top_neighbor(emb: DataFrame,
     volume for recall.
 
     Scale shape: cells shuffle on the cell id; ``n_cells`` is sized to
-    the corpus (cells ≈ n / target_cell_size) and ``cell_cap`` drops
-    degenerate cells before pairing, so within-cell work is bounded by
-    cap² per cell, never corpus-quadratic. Recall comes from cell
-    locality (× nprobe) instead of SRP band OR-ing.
+    the corpus (cells ≈ n / target_cell_size) and ``cell_cap`` bounds
+    every cell before pairing — the PRIMARY count gates the whole cell
+    (a cell whose primaries exceed the cap is degenerate and dropped)
+    and SECONDARY probe rows are separately rank-capped at ``cell_cap``
+    per cell (by vec_id, deterministic), so a "hub" cell that is the
+    second-nearest anchor for many vectors cannot accumulate O(n)
+    probe rows. Within-cell work is therefore bounded by (2·cap)² per
+    cell at any nprobe, never corpus-quadratic, and primaries are never
+    evicted by probe copies (the only-improves contract). Recall comes
+    from cell locality (× nprobe) instead of SRP band OR-ing.
 
     ``n_cells=None`` (the default) sizes the cell count from the corpus
     via :func:`auto_knobs` (cells ∝ n), so the fixed-knob quadratic
@@ -861,15 +877,24 @@ def ivf_top_neighbor(emb: DataFrame,
     # measured, r4: the duplicated subtree cost more than the pairing).
     # Same standing cost as kmeans_refined_cells' iterative persist: an
     # IVF deployment always materializes its index once per corpus pass.
-    # The cap counts PRIMARY rows only (pos-0 probes): a secondary
-    # probe copy must not evict a cell that passed the cap at nprobe=1,
-    # or multi-probe could LOSE matches — the same only-improves rule
-    # ivf2_top_neighbor applies; at nprobe=1 every row is primary and
-    # this is exactly the old count(*).
+    # Two-sided cap (ADVICE r6). PRIMARY rows (pos-0 probes) gate the
+    # whole cell: a secondary probe copy must not evict a cell that
+    # passed the cap at nprobe=1, or multi-probe could LOSE matches —
+    # the same only-improves rule ivf2_top_neighbor applies; at
+    # nprobe=1 every row is primary and this is exactly the old
+    # count(*). SECONDARY rows are then rank-capped per cell (by
+    # vec_id, deterministic — vec_id is unique within a cell) so a hub
+    # cell that is the second-nearest anchor for many vectors cannot
+    # accumulate O(n) probe rows: total rows per surviving cell are
+    # ≤ 2·cell_cap at any nprobe, and primaries are never dropped.
     w = Window.partitionBy("cell")
     csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
-    capped = (assigned.withColumn("csz", csz)
-              .where(F.col("csz") <= cell_cap).drop("csz", "pri")) \
+    srk = F.row_number().over(
+        Window.partitionBy("cell", "pri").orderBy(id_col))
+    capped = (assigned.withColumn("csz", csz).withColumn("srk", srk)
+              .where((F.col("csz") <= cell_cap)
+                     & (F.col("pri") | (F.col("srk") <= cell_cap)))
+              .drop("csz", "srk", "pri")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _pair_within_cells(capped, ["cell"], id_col)
     return _bidir_top1(_score(pairs))

@@ -161,28 +161,43 @@ def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_top_neighbor(emb, dim=_DIM, n_bits=DEFAULT_BITS)
 
 
-@query("ann_top1_ivf", f"""
+def _ivf_oracle(n_cells: int, cell_cap: int = DEFAULT_CELL_CAP,
+                nprobe: int = 1) -> str:
+    """DuckDB twin of :func:`ivf_top_neighbor` — parametric in the
+    knobs so binding-cap tests can exercise the exact cap semantics the
+    registered queries run at corpus scale. The cap is two-sided,
+    mirroring the implementation (ADVICE r6): the PRIMARY (rn = 1)
+    count gates the whole cell, and SECONDARY probe rows are
+    rank-capped per cell by vec_id — so a probe copy can never evict a
+    cell that passed at nprobe=1, and a hub cell cannot accumulate
+    unbounded probe rows. At nprobe=1 both clauses degenerate to the
+    plain count(*) cap."""
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
                                         embedding::DOUBLE[])) AS nrm
            FROM embeddings),
 anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
-            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
+            FROM v WHERE vec_id < {n_cells}),
 sims AS (SELECT vec_id, cell,
                 list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
          FROM v, anchors),
 assigned AS (
-  SELECT vec_id, cell FROM (
+  SELECT vec_id, cell, rn FROM (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY sim DESC, cell) AS rn
     FROM sims) t
-  WHERE rn = 1),
+  WHERE rn <= {nprobe}),
 capped AS (
   SELECT vec_id, cell FROM (
-    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+    SELECT vec_id, cell, rn,
+           count(CASE WHEN rn = 1 THEN 1 END)
+             OVER (PARTITION BY cell) AS csz,
+           row_number() OVER (PARTITION BY cell, rn = 1
+                              ORDER BY vec_id) AS srk
     FROM assigned) t
-  WHERE csz <= {DEFAULT_CELL_CAP}),
+  WHERE csz <= {cell_cap} AND (rn = 1 OR srk <= {cell_cap})),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
@@ -201,7 +216,10 @@ SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
                             ORDER BY cos_sim DESC, nbr) AS rn
   FROM bidir) t
 WHERE rn = 1
-""")
+"""
+
+
+@query("ann_top1_ivf", _ivf_oracle(DEFAULT_IVF_CELLS))
 def q_ann_top1_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-variant approximate nearest neighbor: broadcast coarse
     anchors, assign by cosine (argmax), pair only within the cell
@@ -214,47 +232,7 @@ def q_ann_top1_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_neighbor(emb, n_cells=DEFAULT_IVF_CELLS)
 
 
-@query("ann_top1_ivf_probe2", f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_dot_product(embedding::DOUBLE[],
-                                        embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-anchors AS (SELECT vec_id AS cell, v AS av, nrm AS anrm
-            FROM v WHERE vec_id < {DEFAULT_IVF_CELLS}),
-sims AS (SELECT vec_id, cell,
-                list_dot_product(v.v, av) / (v.nrm * anrm) AS sim
-         FROM v, anchors),
-assigned AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, cell) AS rn
-    FROM sims) t
-  WHERE rn <= 2),
-capped AS (
-  SELECT vec_id, cell FROM (
-    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
-    FROM assigned) t
-  WHERE csz <= {DEFAULT_CELL_CAP}),
-scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
-           AS cos_sim
-  FROM capped a
-  JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  JOIN v va ON va.vec_id = a.vec_id
-  JOIN v vb ON vb.vec_id = b.vec_id),
-bidir AS (
-  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
-  UNION ALL
-  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored)
-SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
-  SELECT vec_id, nbr, cos_sim,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos_sim DESC, nbr) AS rn
-  FROM bidir) t
-WHERE rn = 1
-""")
+@query("ann_top1_ivf_probe2", _ivf_oracle(DEFAULT_IVF_CELLS, nprobe=2))
 def q_ann_top1_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (nprobe=2): each vector searches its two
     nearest coarse cells — the recall/cost knob every IVF deployment
@@ -345,7 +323,10 @@ def _ivf2_oracle(n_super: int, k2: int, dim: int = 64,
     ``nprobe`` > 1 probes the top-``nprobe`` super-cells per vector at
     SEARCH time (training stays on the primary assignment, as in the
     Spark operator): the final assignment ranks within (vec_id, sid)
-    over the probed supers instead of taking one global row."""
+    over the probed supers instead of taking one global row. The cell
+    cap is two-sided like the operator's (ADVICE r6): primaries
+    (prank = 1) gate the whole cell, secondaries are rank-capped per
+    cell by vec_id."""
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
@@ -410,10 +391,14 @@ fin AS (SELECT vec_id, sid, sub, prank FROM (
                                     ORDER BY sim DESC, sub) AS rn
           FROM s3) t WHERE rn = 1),
 capped AS (SELECT vec_id, sid, sub FROM (
-             SELECT vec_id, sid, sub,
+             SELECT vec_id, sid, sub, prank,
                     count(CASE WHEN prank = 1 THEN 1 END)
-                      OVER (PARTITION BY sid, sub) AS csz
-             FROM fin) t WHERE csz <= {cell_cap}),
+                      OVER (PARTITION BY sid, sub) AS csz,
+                    row_number() OVER (PARTITION BY sid, sub, prank = 1
+                                       ORDER BY vec_id) AS srk
+             FROM fin) t
+           WHERE csz <= {cell_cap}
+             AND (prank = 1 OR srk <= {cell_cap})),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)

@@ -185,3 +185,85 @@ def test_ivf2_super_multiprobe_only_improves(spark):
     assert set(one) <= set(two)
     for vid, cs in one.items():
         assert two[vid] >= cs
+
+
+def _duck_on(pdf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("pdf", pdf)
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM pdf")
+    return con
+
+
+def test_ivf_binding_cap_counts_primaries_only(spark):
+    """ADVICE r6 (high): at a cap where a cell's probe-inclusive row
+    count exceeds cell_cap but its PRIMARY count does not, the cell
+    must SURVIVE (primary-only gating) with secondaries rank-capped —
+    and the parametric DuckDB oracle agrees exactly. Under the old
+    count(*)-over-all-probe-rows semantics both cells here would be
+    evicted and the result would be empty."""
+    import left_join_on_timeout_spark.queries  # noqa: F401 (registry import order)
+    from left_join_on_timeout_spark.queries_similarity import _ivf_oracle
+    from tools.check_oracle import compare
+
+    # 2 anchors (ids 0, 1) on orthogonal axes; 5 vectors near each.
+    # nprobe=2 puts ALL 12 vectors in BOTH cells: probe-inclusive size
+    # 12 > cap 6 > primary count 6 per cell.
+    rows = []
+    for i in range(12):
+        side = i % 2
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[side] = 1.0
+        v[1 - side] = 0.01 + 0.007 * i   # distinct cosines, no ties
+        v[2] = 0.002 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = ivf_top_neighbor(emb, n_cells=2, cell_cap=6, nprobe=2)
+    spark_pdf = got.toPandas()
+    # the binding condition: cells survive (old semantics -> empty)
+    assert len(spark_pdf) > 0
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    con = _duck_on(pdf)
+    duck_pdf = con.execute(_ivf_oracle(2, cell_cap=6, nprobe=2)).fetchdf()
+    problems = compare("ivf_binding_cap", spark_pdf, duck_pdf)
+    assert not problems, problems
+    # only-improves still holds at the binding cap
+    one = {r.vec_id: r.cos_sim
+           for r in ivf_top_neighbor(emb, n_cells=2, cell_cap=6,
+                                     nprobe=1).collect()}
+    two = dict(zip(spark_pdf.vec_id, spark_pdf.cos_sim))
+    assert set(one) <= set(two)
+    for vid, cs in one.items():
+        assert two[vid] >= cs
+
+
+def test_ivf2_binding_cap_matches_oracle(spark):
+    """The two-level quantizer's two-sided cap (primary gate +
+    secondary rank-cap) matches its unrolled oracle at caps that BIND
+    on the 24-row corpus — both engines drop exactly the same rows."""
+    import pandas as pd
+
+    import left_join_on_timeout_spark.queries  # noqa: F401 (registry import order)
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf2_top_neighbor,
+    )
+    from left_join_on_timeout_spark.queries_similarity import _ivf2_oracle
+    from tools.check_oracle import compare
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    con = _duck_on(pdf)
+    for cap in (3, 7):
+        spark_pdf = ivf2_top_neighbor(emb, n_super=2, k2=2, nprobe=2,
+                                      cell_cap=cap).toPandas()
+        duck_pdf = con.execute(
+            _ivf2_oracle(2, 2, dim=4, cell_cap=cap, nprobe=2)).fetchdf()
+        problems = compare(f"ivf2_binding_cap_{cap}", spark_pdf, duck_pdf)
+        assert not problems, problems
