@@ -617,32 +617,73 @@ def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,
 
 def _train_two_level(
         emb: DataFrame, id_col: str, vec_col: str, n_super: int, k2: int,
-        iters: int) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        iters: int, train_frac: float | None = None,
+        train_seed: str = "42",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared trainer for the two-level quantizer variants: returns
     (v, sup_anchors, sup, sub_anchors) with ``v`` (parsed vectors) and
     ``sup`` (the primary super-assignment) persisted, and the level-2
     anchors trained against the PRIMARY (top-1) super-assignment —
     multi-probe is a search-time recall knob, the index is trained once
-    (the standard IVF discipline)."""
+    (the standard IVF discipline).
+
+    ``train_frac`` (VERDICT r6 item 2): when set, every Lloyd pass —
+    the O(iters) full-corpus scans that dominate the fourth-decade
+    build wall — trains on a deterministic md5-gated sample (the
+    ``operators.sampling`` hash gate: reproducible across retries,
+    partition counts, and engines, so a DuckDB oracle can replay the
+    exact sample). The FULL corpus is still assigned exactly once per
+    level: seeds stay id-deterministic (level-1 seeds = ids <
+    ``n_super`` from the full corpus; level-2 seeds = each cell's first
+    ``k2`` SAMPLED members), centroid means aggregate over sampled
+    members only, and the final super/sub assignments run over
+    everything. This is the standard large-scale k-means recipe (train
+    on a slice, assign the universe)."""
     from pyspark import StorageLevel
 
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    if train_frac is not None and train_frac < 1.0:
+        from left_join_on_timeout_spark.operators.sampling import (
+            sample_gate,
+        )
+        gate = sample_gate(id_col, train_frac, train_seed)
+        vt = v.where(gate).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        gate = None
+        vt = v
     sup_anchors = (v.where(F.col(id_col) < n_super)
                    .select(F.col(id_col).alias("cell"),
                            F.col("v").alias("av"),
                            F.col("nrm").alias("anrm")))
-    sup_anchors = _lloyd(v, sup_anchors, id_col, iters)
+    sup_anchors = _lloyd(vt, sup_anchors, id_col, iters)
     sup = (_assign_to_anchors(v, sup_anchors, id_col)
            .withColumnRenamed("cell", "sid")
            .persist(StorageLevel.MEMORY_AND_DISK))
+    supt = sup.where(gate) if gate is not None else sup
     w = Window.partitionBy("sid").orderBy(id_col)
-    sub0 = (sup.withColumn("rn", F.row_number().over(w))
+    sub0 = (supt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k2)
             .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
                     F.col("v").alias("av"), F.col("nrm").alias("anrm")))
-    sub_anchors = _lloyd_grouped(sup, sub0, id_col, iters)
+    sub_anchors = _lloyd_grouped(supt, sub0, id_col, iters)
+    if gate is not None:
+        # A super-cell whose members are ALL unsampled has no level-2
+        # seeds and would silently drop its vectors from the index (the
+        # inner bucket join). Fall back to ONE sub-anchor per such sid:
+        # the cell's first FULL-corpus member by id — deterministic,
+        # mirrored in the DuckDB oracle, and vanishing as train_frac or
+        # the corpus grows (a sid with any sampled member trains
+        # normally).
+        wf = Window.partitionBy("sid").orderBy(id_col)
+        fb = (sup.join(sub_anchors.select("sid").distinct(), "sid",
+                       "left_anti")
+              .withColumn("rn", F.row_number().over(wf))
+              .where(F.col("rn") == 1)
+              .select("sid", F.lit(0).cast("long").alias("sub"),
+                      F.col("v").alias("av"), F.col("nrm").alias("anrm")))
+        sub_anchors = sub_anchors.unionByName(fb)
     return v, sup_anchors, sup, sub_anchors
 
 
@@ -651,7 +692,9 @@ def two_level_assign(emb: DataFrame,
                      vec_col: str = "embedding",
                      n_super: int = DEFAULT_SUPER_CELLS,
                      k2: int = DEFAULT_SUB_CELLS,
-                     iters: int = 1) -> DataFrame:
+                     iters: int = 1,
+                     train_frac: float | None = None,
+                     train_seed: str = "42") -> DataFrame:
     """(id, v, nrm, sid, sub): the TRAINED two-level coarse quantizer —
     the fourth-decade successor to the flat broadcast argmax (VERDICT r5
     item 3). The flat assign is O(n · n_cells) dot products, ~4 TFLOP at
@@ -680,7 +723,7 @@ def two_level_assign(emb: DataFrame,
     parsed corpus is persisted once (the standing cost of any iterative
     pass, as in ``kmeans_refined_cells``)."""
     v, _sup_anchors, sup, sub_anchors = _train_two_level(
-        emb, id_col, vec_col, n_super, k2, iters)
+        emb, id_col, vec_col, n_super, k2, iters, train_frac, train_seed)
     return _assign_to_subs(sup, sub_anchors, id_col)
 
 
@@ -690,7 +733,9 @@ def two_level_assign_multi(emb: DataFrame,
                            n_super: int = DEFAULT_SUPER_CELLS,
                            k2: int = DEFAULT_SUB_CELLS,
                            iters: int = 1,
-                           nprobe: int = 2) -> DataFrame:
+                           nprobe: int = 2,
+                           train_frac: float | None = None,
+                           train_seed: str = "42") -> DataFrame:
     """(id, v, nrm, sid, sub, pri) with up to ``nprobe`` rows per
     vector (``pri`` marks the primary probe — cell caps count only
     primaries, see :func:`ivf2_top_neighbor`) —
@@ -712,7 +757,20 @@ def two_level_assign_multi(emb: DataFrame,
     index nor any bucket rides through the probe chain's fallback-eval
     row copies (see :func:`_sub_anchor_buckets`)."""
     v, sup_anchors, _sup, sub_anchors = _train_two_level(
-        emb, id_col, vec_col, n_super, k2, iters)
+        emb, id_col, vec_col, n_super, k2, iters, train_frac, train_seed)
+    return probe_assign_multi(v, sup_anchors, sub_anchors, id_col, nprobe)
+
+
+def probe_assign_multi(v: DataFrame, sup_anchors: DataFrame,
+                       sub_anchors: DataFrame, id_col: str,
+                       nprobe: int) -> DataFrame:
+    """(id, v, nrm, sid, sub, pri): assign parsed vectors ``v`` (id, v,
+    nrm) through GIVEN trained two-level anchors — no training. The
+    probe/assignment stage of :func:`two_level_assign_multi`, factored
+    out so a search over a LOADED index (``operators.ann_index``) runs
+    the identical chain: top-``nprobe`` super-cells per vector by
+    successive native argmax passes, then the best sub-cell within each
+    probed super via the per-super broadcast hash join."""
     sup_arr = sup_anchors.agg(
         F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
     scored = (v.join(F.broadcast(sup_arr), F.size("arr") > 0)
@@ -770,7 +828,9 @@ def ivf2_top_neighbor(emb: DataFrame,
                       k2: int | None = None,
                       iters: int = 1,
                       cell_cap: int = DEFAULT_CELL_CAP,
-                      nprobe: int = 1) -> DataFrame:
+                      nprobe: int = 1,
+                      train_frac: float | None = None,
+                      train_seed: str = "42") -> DataFrame:
     """Approximate nearest neighbor per vector over the TRAINED
     two-level quantizer: pair only within the final (sid, sub) cell,
     exact cosine on cell-mates, bidirectional top-1 — identical search
@@ -801,10 +861,13 @@ def ivf2_top_neighbor(emb: DataFrame,
             k2 = max(DEFAULT_SUB_CELLS, -(-budget // n_super))
     if nprobe > 1:
         assigned = two_level_assign_multi(emb, id_col, vec_col, n_super,
-                                          k2, iters, nprobe)
+                                          k2, iters, nprobe, train_frac,
+                                          train_seed)
     else:
         assigned = two_level_assign(emb, id_col, vec_col, n_super, k2,
-                                    iters).withColumn("pri", F.lit(True))
+                                    iters, train_frac,
+                                    train_seed).withColumn("pri",
+                                                           F.lit(True))
     # Two-sided cap (ADVICE r6). The cell cap counts PRIMARY rows to
     # gate the whole cell: a secondary-probe row landing in a cell must
     # not evict a cell that passed the cap at nprobe=1, or multi-probe
