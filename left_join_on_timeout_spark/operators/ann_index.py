@@ -185,6 +185,44 @@ def ivf2_index_search(queries: DataFrame, index: dict,
         F.col("best.cos_sim").alias("cos_sim"))
 
 
+def ivf2_index_probe_hits(queries: DataFrame, index: dict,
+                          threshold: float,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """(new_id, old_id, cos_sim): every indexed cell-mate of each query
+    vector with cosine ≥ ``threshold`` — the STATELESS probe shape for
+    streaming ingest. Unlike :func:`ivf2_index_search` (per-query
+    argmax = a stateful aggregation under streaming semantics), this
+    emits the thresholded candidate hits directly: parse → broadcast
+    anchor assignment → one equi-join against the standing postings →
+    filter, all narrow or stream-static, so a ``readStream`` of new
+    vectors can run it per micro-batch with zero streaming state — the
+    embedding analog of ``lsh_probe_pairs``'s incremental-ingest
+    screen. No ``fan_out`` repartition on the query side: the stream
+    stays shuffle-free before the static join."""
+    sup_anchors = index["sup_anchors"]
+    sub_anchors = index["sub_anchors"]
+    postings = index["postings"]
+    vq = queries.select(F.col(id_col), as_double(vec_col).alias("v"))
+    vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    sup = (_assign_to_anchors(vq, sup_anchors, id_col)
+           .withColumnRenamed("cell", "sid"))
+    probed = _assign_to_subs(sup, sub_anchors, id_col)
+    q = probed.select(F.col(id_col).alias("new_id"), "sid", "sub",
+                      F.col("v").alias("va"), F.col("nrm").alias("na"))
+    p = postings.select(F.col("id").alias("old_id"), "sid", "sub",
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    from left_join_on_timeout_spark.functions.vectors import dot
+
+    return (q.join(p, ["sid", "sub"])
+            .where(F.col("new_id") != F.col("old_id"))
+            .select("new_id", "old_id",
+                    F.round(dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 6)
+                    .alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def ivf2_self_search_saved(emb: DataFrame, path: str,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

@@ -507,3 +507,151 @@ def q_stream_dynamic_timeout_left_join(spark: SparkSession,
 
     return drain_two_streams(spark, left, right, on="user_id",
                              build=build)
+
+
+# Unrolled DuckDB twin of the streaming ANN ingest probe: the two-level
+# quantizer TRAINED ON THE CORPUS SIDE ONLY (one Lloyd pass per level,
+# same decimal-mean / (sim DESC, cell) arithmetic as
+# queries_similarity._ivf2_oracle), corpus postings capped per cell,
+# then the held-out batch assigned through the SAME trained anchors and
+# thresholded against its cell-mates.
+_ANN_PROBE_SUPER = 8
+_ANN_PROBE_K2 = 8
+_ANN_PROBE_CAP = 2000
+_ANN_PROBE_T = 0.35
+
+_STREAM_ANN_PROBE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+c AS (SELECT * FROM v WHERE vec_id % 10 != 0),
+bq AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+pa0 AS (SELECT vec_id AS cell, v AS av, nrm AS anrm FROM c
+        WHERE vec_id < {_ANN_PROBE_SUPER}),
+ps1 AS (SELECT vec_id, m.v AS v, m.nrm AS nrm, cell,
+               list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
+        FROM c m, pa0),
+pg1 AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT vec_id, v, nrm, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS rn
+          FROM ps1) t WHERE rn = 1),
+pd1 AS (SELECT cell, i,
+               CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                 AS m
+        FROM pg1, range(1, 65) t(i) GROUP BY cell, i),
+pc1 AS (SELECT cell, list(m ORDER BY i) AS av FROM pd1 GROUP BY cell),
+pa1 AS (SELECT cell, av, sqrt(list_dot_product(av, av)) AS anrm FROM pc1),
+ss AS (SELECT vec_id, m.v AS v, m.nrm AS nrm, cell,
+              list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
+       FROM c m, pa1),
+sup AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+          SELECT vec_id, v, nrm, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cell) AS rn
+          FROM ss) t WHERE rn = 1),
+sb0 AS (SELECT sid, CAST(rn - 1 AS BIGINT) AS sub, av, anrm FROM (
+          SELECT sid, v AS av, nrm AS anrm,
+                 row_number() OVER (PARTITION BY sid
+                                    ORDER BY vec_id) AS rn
+          FROM sup) t WHERE rn <= {_ANN_PROBE_K2}),
+s2 AS (SELECT m.vec_id, m.v, m.nrm, m.sid, b.sub,
+              list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+       FROM sup m JOIN sb0 b ON m.sid = b.sid),
+g2 AS (SELECT vec_id, v, nrm, sid, sub FROM (
+         SELECT vec_id, v, nrm, sid, sub,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, sub) AS rn
+         FROM s2) t WHERE rn = 1),
+d2 AS (SELECT sid, sub, i,
+              CAST(sum(CAST(v[i] AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+                AS m
+       FROM g2, range(1, 65) t(i) GROUP BY sid, sub, i),
+c2 AS (SELECT sid, sub, list(m ORDER BY i) AS av FROM d2
+       GROUP BY sid, sub),
+a2 AS (SELECT sid, sub, av, sqrt(list_dot_product(av, av)) AS anrm
+       FROM c2),
+s3 AS (SELECT m.vec_id, m.sid, b.sub,
+              list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+       FROM sup m JOIN a2 b ON m.sid = b.sid),
+fin AS (SELECT vec_id, sid, sub FROM (
+          SELECT vec_id, sid, sub,
+                 row_number() OVER (PARTITION BY vec_id, sid
+                                    ORDER BY sim DESC, sub) AS rn
+          FROM s3) t WHERE rn = 1),
+capped AS (SELECT vec_id, sid, sub FROM (
+             SELECT vec_id, sid, sub,
+                    count(*) OVER (PARTITION BY sid, sub) AS csz
+             FROM fin) t WHERE csz <= {_ANN_PROBE_CAP}),
+bs AS (SELECT vec_id, m.v AS v, m.nrm AS nrm, cell,
+              list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
+       FROM bq m, pa1),
+bsup AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+           SELECT vec_id, v, nrm, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell) AS rn
+           FROM bs) t WHERE rn = 1),
+bs3 AS (SELECT m.vec_id, m.sid, b.sub,
+               list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+        FROM bsup m JOIN a2 b ON m.sid = b.sid),
+bfin AS (SELECT vec_id, sid, sub FROM (
+           SELECT vec_id, sid, sub,
+                  row_number() OVER (PARTITION BY vec_id, sid
+                                     ORDER BY sim DESC, sub) AS rn
+           FROM bs3) t WHERE rn = 1)
+SELECT * FROM (
+  SELECT q.vec_id AS new_id, p.vec_id AS old_id,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM bfin q
+  JOIN capped p ON q.sid = p.sid AND q.sub = p.sub
+                AND q.vec_id != p.vec_id
+  JOIN v va ON va.vec_id = q.vec_id
+  JOIN v vb ON vb.vec_id = p.vec_id) t
+WHERE cos_sim >= {_ANN_PROBE_T}
+"""
+
+
+@query("stream_ann_probe", _STREAM_ANN_PROBE_SQL)
+def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest (VERDICT r6 item 3): new embedding vectors
+    arrive as a STREAM and probe a STANDING two-level index — the
+    embedding analog of ``stream_incremental_probe``'s LSH screen, tied
+    to the index lifecycle: the standing side is the SAVED index
+    (``ivf2_index_build`` → parquet → ``ivf2_index_load``), exactly
+    what a daily-ingest deployment serves from.
+
+    Per micro-batch the probe is stateless end to end (the streaming
+    shape ANN ingest needs): parse (narrow) → broadcast anchor argmax
+    (stream-static, map-side) → best-sub hash lookup (stream-static
+    broadcast) → one equi-join of probed (sid, sub) cells against the
+    postings scan → thresholded exact cosine. Zero streaming state, so
+    state never grows with corpus or stream; the per-batch cost is
+    bounded by batch × own-cell postings. Top-1 reduction (a stateful
+    agg under streaming semantics) belongs downstream in batch, as
+    with the LSH twin's exact-Jaccard verify."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_probe_hits,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = (emb.where(F.col("vec_id") % 10 == 0)
+             .select("vec_id", "embedding"))
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
+                          "/tmp/spark_graft_index")
+    path = os.path.join(
+        root, "ivf2probe_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(corpus, path, n_super=_ANN_PROBE_SUPER,
+                     k2=_ANN_PROBE_K2, cell_cap=_ANN_PROBE_CAP)
+    index = ivf2_index_load(spark, path)
+
+    def probe(stream: DataFrame) -> DataFrame:
+        return ivf2_index_probe_hits(stream, index, _ANN_PROBE_T)
+
+    return drain_stream(spark, batch, probe)
