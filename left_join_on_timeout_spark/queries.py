@@ -378,77 +378,74 @@ EXTRA_ORACLE: dict[str, str] = {
 # Curated registration order.
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
-# entries of this registry (dict insertion order).  After round 5 the
-# r1-r5 adjudicated union covers everything except 24 names (the tail of
-# the round-4 continuation additions; VERDICT r5 "What's missing" #1).
-# Round 6 front-loads ALL 24 -- closing the evidence debt to zero for the
-# first time: union driver coverage becomes 180/180 registered names.
-# Positions 25-26 are the TWO new r6 queries (ann_top1_ivf2 and its
-# super-level multi-probe twin ann_top1_ivf2_probe2 -- the trained
-# two-level coarse quantizer, VERDICT r5 item 3; new queries always
-# adjudicate inside the window).  The closing 24 sentinels prioritize
-# every query whose code path CHANGED this round (tier-column stamping,
-# dynamic-window guard, ANN knob pinning, the _lloyd refactor, PPM
-# header validation), then one driver-green representative per family
-# as regression coverage.  Everything after position 50 remains covered
-# by the local type-strict gate (tools/check_oracle.py,
-# tests/test_queries_oracle.py).
+# entries of this registry (dict insertion order).  Union driver coverage
+# reached 180/180 in round 6 (zero evidence debt), so from round 7 on the
+# window rotates by EVIDENCE STALENESS (VERDICT r6 item 4): positions 1-3
+# are the round's NEW queries (new names always adjudicate inside the
+# window -- here the ANN index lifecycle, the sample-trained Lloyd, and
+# the streaming ANN ingest probe), followed by the 47 names whose latest
+# driver-green row is OLDEST (the full r2 vintage, then the r3 vintage
+# alphabetically), so external evidence ages uniformly as code churns.
+# The selection is mechanical -- regenerate with tools/evidence_age.py
+# after each round's CORRECTNESS_r{N}.json lands.  A green r7 window
+# drops the registry's maximum evidence age to 4 rounds.  Everything
+# after position 50 remains covered by the local type-strict gate
+# (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- the final 24 never driver-adjudicated names (r5 verdict list) - 24
-    "dedup_multi_signal_clusters",
-    "dedup_graph_triangles",
-    "pagerank_candidates",
-    "containment_minhash_est",
-    "dedup_savings_report",
-    "bigram_pmi_top",
-    "feature_hash_docs",
-    "boilerplate_strip_docs",
-    "training_order_shuffle",
-    "length_equidepth_bins",
-    "events_fir_smoothing",
-    "json_dead_letter",
-    "stream_json_dead_letter",
-    "user_value_trend",
-    "iqr_outlier_stats",
-    "zorder_layout_stats",
-    "ordered_funnel_sessions",
-    "quantile_normalize_quality",
-    "purchase_interarrival_stats",
-    "events_burst_stats",
-    "weighted_sample_docs",
-    "neyman_allocation_sample",
-    "bootstrap_mean_quality",
-    "novelty_score_docs",
-    # -- NEW in r6: trained two-level coarse quantizer ANN ------------- 2
-    "ann_top1_ivf2",
-    "ann_top1_ivf2_probe2",   # super-level multi-probe recall knob
-    # -- sentinels: every code path CHANGED this round ---------------- 10
-    "tws_timeout_left_join",       # tier column now in the hash (item 4)
-    "timer_timeout_left_join",     # tier column now in the hash
-    "dynamic_timeout_left_join",   # negative-window guard in range bound
-    "stream_dynamic_timeout_left_join",  # same guard, streaming form
-    "ann_top1_ivf",                # oracle knobs pinned (ADVICE r5)
-    "ann_top1_srp",                # oracle knobs pinned
-    "ann_top1_ivf_probe2",         # oracle knobs pinned
-    "ivf_kmeans_cells",            # _lloyd refactor
-    "decode_image_ppm",            # PPM zero-dims validation
-    "ann_recall_ivf",              # oracle knobs pinned
-    # -- sentinels: driver-green family representatives --------------- 14
-    "timeout_left_join",           # O3 core batch flagship
-    "full_outer_timeout_join",     # O3 full-outer extension
-    "q1_pricing_summary",          # TPC-H
-    "asof_backward_join",          # as-of join
-    "dedup_exact",                 # exact dedup
-    "dedup_minhash_lsh",           # LSH near-dup
-    "containment_pairs",           # exact set-similarity join
-    "dup_span_detection",          # substring dup spans
-    "dedup_incremental_probe",     # incremental ingest probe
-    "ann_top1_ivfpq",              # IVF-PQ
-    "multimodal_payload_dedup",    # binary payload dedup
-    "dsir_importance_weights",     # data selection
-    "events_pit_enrich",           # point-in-time lake ops
-    "stream_dedup_keys",           # streaming
+    # -- NEW in r7: ANN index lifecycle + sampled Lloyd + stream probe - 3
+    "ann_top1_ivf2_saved",
+    "ann_top1_ivf2_sampled",
+    "stream_ann_probe",
+    # -- stalest evidence: the full r2 vintage ------------------------ 30
+    "approx_sketches",
+    "cube_order_status",
+    "dedup_cc_clusters",
+    "dedup_edit_distance",
+    "dedup_lsh_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming2",
+    "distinct_counts",
+    "exists_semi_join",
+    "global_price_rank",
+    "kafka_sink_encode",
+    "multimodal_frame_sample",
+    "nested_array_types",
+    "pivot_event_types",
+    "props_map_explode",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "rollup_revenue",
+    "scalar_functions",
+    "session_window_stats",
+    "sessionization",
+    "set_ops_customers",
+    "sliding_window_events",
+    "top_k_orders",
+    "tumbling_window_events",
+    "union_all_keys",
+    "window_running_revenue",
+    "window_top3_per_customer",
+    # -- next-stalest: first 17 of the r3 vintage (alphabetical) ------ 17
+    "analytic_order_moves",
+    "crossdoc_dup_ngrams",
+    "embedding_near_dup",
+    "events_daily_resample",
+    "exact_median_prices",
+    "incremental_agg_refresh",
+    "key_partition_hist",
+    "multi_format_roundtrip",
+    "multi_match_cardinality",
+    "profile_documents",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q9_product_profit",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
