@@ -254,9 +254,24 @@ def invalidate_corpus_rows() -> None:
     _ROWCOUNT_CACHE.clear()
 
 
-def auto_knobs(n_rows: int) -> dict[str, int]:
-    """Corpus-size-derived ANN knobs (VERDICT r4 item 4): the two
-    measured scaling rules from the PLANS.md heavy-query study, as code.
+# The measured flat-argmax → two-level-tree assignment crossover
+# (tools/ivf2_crossover.py, round 7 — cold builds, training included):
+#
+#   cells    32    322    558    799    1008    3200
+#   flat    1.7s   3.1s   9.3s  15.3s   21.2s  156.8s
+#   tree    5.6s   4.6s   8.0s   6.4s    6.8s   20.9s
+#
+# Flat wins through 322 cells (the tree pays two Lloyd passes plus its
+# extra stage overhead); the arms meet near ~500 cells and the tree
+# wins from 558 up, widening to 7.5× at 3200 and 42.8× at 32 000 (the
+# fourth decade, PLANS.md). 512 splits the measured bracket and is
+# conservative at the boundary (the arms are within noise there).
+IVF2_CROSSOVER_CELLS = 512
+
+
+def auto_knobs(n_rows: int) -> dict:
+    """Corpus-size-derived ANN knobs (VERDICT r4 item 4): the measured
+    scaling rules from the PLANS.md heavy-query study, as code.
 
     * ``n_cells`` grows **linearly** (cells ∝ n): constant ~62 rows per
       cell keeps both the per-cell pairing work and the cell-cap
@@ -267,22 +282,30 @@ def auto_knobs(n_rows: int) -> dict[str, int]:
       hyperplane halves expected bucket occupancy, so ``+log2(scale)``
       bits hold bucket sizes constant (measured: 4.1 s → 2.2 s at 10×
       with 8 → 11 bits).
+    * ``assign`` routes the IVF assignment stage (VERDICT r6 item 6):
+      ``"flat"`` (one broadcast argmax over all anchors) below the
+      measured ``IVF2_CROSSOVER_CELLS``, ``"tree"`` (the trained
+      two-level quantizer, O(n_super + k2) dots per row) at or above
+      it — so a scale user gets the fourth-decade-surviving path
+      without opting in.
 
-    Both are floored at the library defaults, so any corpus at or below
-    the reference bench scale (``ANN_REF_ROWS``) resolves to exactly the
-    default plan — existing oracle hashes at the bench SFs are
-    byte-identical. MinHash-LSH banding knobs are deliberately NOT
-    derived here: (bands, rows-per-band) encode the target Jaccard
-    threshold, not a corpus-size tradeoff, and bucket growth there is
-    bounded by the per-bucket cap instead."""
+    Numeric knobs are floored at the library defaults, so any corpus at
+    or below the reference bench scale (``ANN_REF_ROWS``) resolves to
+    exactly the default plan — existing oracle hashes at the bench SFs
+    are byte-identical (the crossover sits at ~16× the bench corpus,
+    far above every test SF). MinHash-LSH banding knobs are
+    deliberately NOT derived here: (bands, rows-per-band) encode the
+    target Jaccard threshold, not a corpus-size tradeoff, and bucket
+    growth there is bounded by the per-bucket cap instead."""
     import math
 
     scale = max(n_rows, 1) / ANN_REF_ROWS
+    n_cells = max(DEFAULT_IVF_CELLS, round(DEFAULT_IVF_CELLS * scale))
     return {
-        "n_cells": max(DEFAULT_IVF_CELLS,
-                       round(DEFAULT_IVF_CELLS * scale)),
+        "n_cells": n_cells,
         "n_bits": max(DEFAULT_BITS,
                       DEFAULT_BITS + round(math.log2(scale))),
+        "assign": "tree" if n_cells >= IVF2_CROSSOVER_CELLS else "flat",
     }
 
 
@@ -923,7 +946,18 @@ def ivf_top_neighbor(emb: DataFrame,
     from pyspark import StorageLevel
 
     if n_cells is None:
-        n_cells = auto_knobs(corpus_rows(emb))["n_cells"]
+        knobs = auto_knobs(corpus_rows(emb))
+        if knobs["assign"] == "tree":
+            # Past the measured crossover (IVF2_CROSSOVER_CELLS) the
+            # flat argmax is no longer the surviving plan — route the
+            # auto path to the trained two-level tree at the same cell
+            # budget (VERDICT r6 item 6). Explicit n_cells pins the
+            # flat arm (the oracle-paired queries do).
+            tk = two_level_knobs(knobs["n_cells"])
+            return ivf2_top_neighbor(emb, id_col, vec_col,
+                                     n_super=tk["n_super"], k2=tk["k2"],
+                                     cell_cap=cell_cap, nprobe=nprobe)
+        n_cells = knobs["n_cells"]
     # ALL nprobe values (including 1) assign through the map-side
     # multi-probe path: ivf_assign's broadcast-join shape materializes
     # n·n_cells candidate rows each carrying the full vector, which at

@@ -22,22 +22,68 @@ def test_reference_scale_resolves_to_defaults():
     # at (or below) the bench corpus size the derived knobs ARE the
     # library defaults — existing oracle hashes at the bench SFs cannot
     # move
-    assert auto_knobs(ANN_REF_ROWS) == {"n_cells": 32, "n_bits": 8}
-    assert auto_knobs(500) == {"n_cells": 32, "n_bits": 8}      # sf0.01
+    assert auto_knobs(ANN_REF_ROWS) == {"n_cells": 32, "n_bits": 8,
+                                        "assign": "flat"}
+    assert auto_knobs(500) == {"n_cells": 32, "n_bits": 8,
+                               "assign": "flat"}                # sf0.01
     assert auto_knobs(1) == {"n_cells": DEFAULT_IVF_CELLS,
-                             "n_bits": DEFAULT_BITS}
+                             "n_bits": DEFAULT_BITS,
+                             "assign": "flat"}
 
 
 def test_second_decade_matches_measured_ab():
     # the 10× corpus (20k vectors): the PLANS.md A/B measured 320 cells
-    # and 11 bits as the knobs that restore linear scaling
-    assert auto_knobs(10 * ANN_REF_ROWS) == {"n_cells": 320, "n_bits": 11}
+    # and 11 bits as the knobs that restore linear scaling; still below
+    # the assignment crossover (flat won 3.1 s vs 4.6 s at 322 cells)
+    assert auto_knobs(10 * ANN_REF_ROWS) == {"n_cells": 320, "n_bits": 11,
+                                             "assign": "flat"}
 
 
 def test_third_decade_extrapolates_the_rules():
-    # 100×: cells keep growing linearly, bits logarithmically
+    # 100×: cells keep growing linearly, bits logarithmically; well past
+    # the crossover (tree won 20.9 s vs 156.8 s at 3200 cells)
     assert auto_knobs(100 * ANN_REF_ROWS) == {"n_cells": 3200,
-                                              "n_bits": 15}
+                                              "n_bits": 15,
+                                              "assign": "tree"}
+
+
+def test_assignment_crossover_pinned_to_measured_bracket():
+    """The flat→tree routing flips inside the measured bracket
+    (tools/ivf2_crossover.py: flat wins at 322 cells, tree from 558):
+    a regression that routes a fourth-decade corpus to the flat argmax
+    is a test failure, not a 7-hour build."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        IVF2_CROSSOVER_CELLS,
+    )
+
+    assert 322 < IVF2_CROSSOVER_CELLS <= 558
+    assert auto_knobs(20_000)["assign"] == "flat"      # 320 cells
+    assert auto_knobs(35_000)["assign"] == "tree"      # 560 cells
+    assert auto_knobs(200_000)["assign"] == "tree"     # 3200 cells
+    assert auto_knobs(2_000_000)["assign"] == "tree"   # fourth decade
+
+
+def test_auto_path_routes_to_tree_past_crossover(spark, monkeypatch):
+    """ivf_top_neighbor's auto path must DELEGATE to the two-level tree
+    when the derived budget crosses IVF2_CROSSOVER_CELLS — verified by
+    forcing the corpus-size stat and comparing against the explicitly
+    pinned tree at the same derived knobs."""
+    from left_join_on_timeout_spark.operators import similarity as sim
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.cos(F.col("id") * (i + 1)))
+        .alias("embedding"))
+    monkeypatch.setattr(sim, "corpus_rows", lambda df: 200_000)
+    budget = auto_knobs(200_000)["n_cells"]
+    tk = sim.two_level_knobs(budget)
+    routed = {(r.vec_id, r.neighbor_id, r.cos_sim)
+              for r in sim.ivf_top_neighbor(emb).collect()}
+    pinned = {(r.vec_id, r.neighbor_id, r.cos_sim)
+              for r in sim.ivf2_top_neighbor(
+                  emb, n_super=tk["n_super"], k2=tk["k2"]).collect()}
+    assert routed == pinned
 
 
 def test_cells_linear_bits_logarithmic():
