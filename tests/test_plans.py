@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "ann_top1_ivf_probe2",
     "ann_top1_ivf2",    # broadcast super/sub anchor arrays (two-level)
     "ann_top1_ivf2_probe2",
+    "ann_top1_ivf2_saved",    # broadcast LOADED anchor arrays (lifecycle)
+    "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
@@ -99,7 +101,8 @@ def test_no_cartesian_or_stray_nlj(spark, name):
 
 @pytest.mark.parametrize("name", sorted(
     n for n in ("ann_top1_ivf", "ann_top1_ivf_probe2", "ann_top1_ivf2",
-                "ann_top1_ivf2_probe2",
+                "ann_top1_ivf2_probe2", "ann_top1_ivf2_saved",
+                "ann_top1_ivf2_sampled",
                 "ann_top1_ivfpq", "ann_recall_ivf", "ann_recall_ivfpq",
                 "ivf_kmeans_cells", "knn_brute_cosine", "ann_top1_srp")
     if n in q.QUERIES))
@@ -322,3 +325,32 @@ def test_cluster_split_lineage_truncated(spark):
     plan = plan_of(spark, "cluster_aware_split")
     assert "Scan ExistingRDD" in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_saved_index_search_plan_has_no_training(spark):
+    """The lifecycle contract (VERDICT r6 item 1): a search over a
+    SAVED index must plan ONLY loaded-relation scans + the probe —
+    none of the training lineage (Lloyd's decimal-mean aggregates) may
+    survive into the search plan, and the postings must come from the
+    saved parquet, not be recomputed."""
+    import tempfile
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+    from left_join_on_timeout_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = tempfile.mkdtemp(prefix="ljot_idx_plan_")
+    ivf2_index_build(emb, path, n_super=4, k2=4)
+    index = ivf2_index_load(spark, path)
+    plan = (ivf2_index_search(emb, index)
+            ._jdf.queryExecution().executedPlan().toString())
+    # training's signature expression: the DECIMAL(25,6) centroid means
+    assert "25,6" not in plan, "Lloyd training leaked into the search plan"
+    # the postings are read from the saved files, partitioned by sid
+    assert plan.count("FileScan parquet") >= 2, (
+        "search must scan the saved index relations")
+    assert "CartesianProduct" not in plan
