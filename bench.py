@@ -107,15 +107,20 @@ HEADLINE = [
     "novelty_score_docs",
     "neyman_allocation_sample",
     "ann_top1_ivf2",
+    # round-7 additions: the index lifecycle (build+save+load+search),
+    # the sample-trained Lloyd, and the super-level multi-probe twin
+    "ann_top1_ivf2_saved",
+    "ann_top1_ivf2_sampled",
+    "ann_top1_ivf2_probe2",
 ]
 
-# The previous round's headline set (BENCH_r05.json / BENCH_FULL.json).
+# The previous round's headline set (BENCH_r06.json / BENCH_FULL.json).
 # The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query sets,
 # not the headline total, which grows whenever new queries join the set
 # (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:67]
+PREV_HEADLINE = HEADLINE[:74]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
