@@ -1017,6 +1017,20 @@ DEFAULT_PQ_BLOCKS = 4
 DEFAULT_PQ_CODEWORDS = 16
 
 
+def _pq_cand_fn(s: F.Column, b: int, sub: int):
+    """Per-block codeword candidate: struct(d2, code) with d2 expanded
+    as (s·s − 2·s·c) + c·c in that exact operation order — the single
+    construction site for the PQ argmin expression shared by
+    :func:`pq_codes`, :func:`pq_sdc_top_neighbor`, and the saved-index
+    encoder (``operators.ann_index``), so the engines and the lifecycle
+    can never drift on encoding arithmetic."""
+    def _cand(c: F.Column) -> F.Column:
+        cs = F.slice(c["cv"], b * sub + 1, sub)
+        d2 = dot(s, s) - F.lit(2.0) * dot(s, cs) + dot(cs, cs)
+        return F.struct(d2.alias("d2"), c["code"].alias("code"))
+    return _cand
+
+
 def pq_codes(emb: DataFrame,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
@@ -1057,17 +1071,10 @@ def pq_codes(emb: DataFrame,
 
     out_cols = [F.col(id_col)]
     d2_cols = []
-    def _cand_fn(s: F.Column, b: int):
-        def _cand(c: F.Column) -> F.Column:
-            cs = F.slice(c["cv"], b * sub + 1, sub)
-            d2 = dot(s, s) - F.lit(2.0) * dot(s, cs) + dot(cs, cs)
-            return F.struct(d2.alias("d2"), c["code"].alias("code"))
-        return _cand
-
     for b in range(m):
         s = F.slice(F.col("v"), b * sub + 1, sub)
         best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"), _cand_fn(s, b))), 1)
+            F.array_sort(F.transform(F.col("cb"), _pq_cand_fn(s, b, sub))), 1)
         out_cols.append(best["code"].alias(f"code{b}"))
         d2_cols.append(best["d2"])
     recon = d2_cols[0]
@@ -1134,18 +1141,11 @@ def pq_sdc_top_neighbor(emb: DataFrame,
                   .alias("cv")))
     cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
 
-    def _cand_fn(s: F.Column, b: int):
-        def _cand(c: F.Column) -> F.Column:
-            cs = F.slice(c["cv"], b * sub + 1, sub)
-            d2 = dot(s, s) - F.lit(2.0) * dot(s, cs) + dot(cs, cs)
-            return F.struct(d2.alias("d2"), c["code"].alias("code"))
-        return _cand
-
     enc_cols = [F.col(id_col), F.col("cell")]
     for b in range(m):
         s = F.slice(F.col("vu"), b * sub + 1, sub)
         best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"), _cand_fn(s, b))), 1)
+            F.array_sort(F.transform(F.col("cb"), _pq_cand_fn(s, b, sub))), 1)
         enc_cols.append(best["code"].alias(f"code{b}"))
     index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
     w = Window.partitionBy("cell")

@@ -382,10 +382,11 @@ EXTRA_ORACLE: dict[str, str] = {
 # reached 180/180 in round 6 (zero evidence debt), so from round 7 on the
 # window rotates by EVIDENCE STALENESS (VERDICT r6 item 4): positions 1-3
 # are the round's NEW queries (new names always adjudicate inside the
-# window -- here the ANN index lifecycle, the sample-trained Lloyd, and
-# the streaming ANN ingest probe), followed by the 47 names whose latest
-# driver-green row is OLDEST (the full r2 vintage, then the r3 vintage
-# alphabetically), so external evidence ages uniformly as code churns.
+# window -- here the ANN index lifecycle (two-level + IVF-PQ), the
+# sample-trained Lloyd, and the streaming ANN ingest probe), followed
+# by the 46 names whose latest driver-green row is OLDEST (the full r2
+# vintage, then the r3 vintage alphabetically), so external evidence
+# ages uniformly as code churns.
 # The selection is mechanical -- regenerate with tools/evidence_age.py
 # after each round's CORRECTNESS_r{N}.json lands.  A green r7 window
 # drops the registry's maximum evidence age to 4 rounds.  Everything
@@ -393,9 +394,10 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r7: ANN index lifecycle + sampled Lloyd + stream probe - 3
+    # -- NEW in r7: ANN index lifecycle + sampled Lloyd + stream probe - 4
     "ann_top1_ivf2_saved",
     "ann_top1_ivf2_sampled",
+    "ann_top1_ivfpq_saved",
     "stream_ann_probe",
     # -- stalest evidence: the full r2 vintage ------------------------ 30
     "approx_sketches",
@@ -428,7 +430,7 @@ _PRIORITY: list[str] = [
     "union_all_keys",
     "window_running_revenue",
     "window_top3_per_customer",
-    # -- next-stalest: first 17 of the r3 vintage (alphabetical) ------ 17
+    # -- next-stalest: first 16 of the r3 vintage (alphabetical) ------ 16
     "analytic_order_moves",
     "crossdoc_dup_ngrams",
     "embedding_near_dup",
@@ -445,7 +447,6 @@ _PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_nation_volume",
-    "q9_product_profit",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -823,7 +823,7 @@ def q_pq_codes_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, dim=_DIM, m=_PQ_M, k=_PQ_K)
 
 
-@query("ann_top1_ivfpq", f"""
+_IVFPQ_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
                                         embedding::DOUBLE[])) AS nrm
@@ -890,7 +890,10 @@ SELECT vec_id, nbr AS neighbor_id, sdc FROM (
                             ORDER BY sdc, nbr) AS rn
   FROM bidir) t
 WHERE rn = 1
-""")
+"""
+
+
+@query("ann_top1_ivfpq", _IVFPQ_ORACLE)
 def q_ann_top1_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbor: IVF coarse cell candidates
     scored from PQ codes alone via the symmetric-distance table (m O(1)
@@ -902,6 +905,30 @@ def q_ann_top1_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_sdc_top_neighbor(emb, dim=_DIM, m=_PQ_M, k=_PQ_K)
+
+
+@query("ann_top1_ivfpq_saved", _IVFPQ_ORACLE)
+def q_ann_top1_ivfpq_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ through the saved-index LIFECYCLE: build persists coarse
+    anchors, the normalized codebook, the precomputed m·k² SDC lookup
+    table, and CODE-ONLY postings (a few bytes per row — raw vectors
+    never enter the index, the memory contract of PQ at billion-vector
+    scale); search encodes and assigns queries through the LOADED
+    relations with zero training passes and scores cell candidates from
+    codes alone. Hash-matches the fused ``ann_top1_ivfpq`` oracle
+    row-for-row — the lifecycle is a refactoring of the plan, not a new
+    approximation."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_self_search_saved,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
+    path = os.path.join(
+        root, "ivfpq_" + os.path.basename(os.path.normpath(sf_dir)))
+    return pq_self_search_saved(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
 
 
 @query("ann_recall_ivfpq", f"""

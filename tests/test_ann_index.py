@@ -88,3 +88,31 @@ def test_sample_trained_fallback_keeps_every_vector(spark):
                                     train_frac=frac)
         assert assigned.count() == 30
         assert assigned.select("vec_id").distinct().count() == 30
+
+
+def test_pq_saved_equals_fused_and_postings_are_codes_only(spark, tmp_path):
+    """The IVF-PQ lifecycle: self-search over the saved index equals
+    the fused pq_sdc_top_neighbor (rerank=0) exactly, and the persisted
+    postings carry CODES ONLY — no vector column may reach the index
+    (the PQ memory contract)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_load,
+        pq_self_search_saved,
+    )
+    from left_join_on_timeout_spark.operators.similarity import (
+        pq_sdc_top_neighbor,
+    )
+
+    emb = _corpus(spark, n=40, dim=8)
+    fused = {(r.vec_id, r.neighbor_id, r.sdc)
+             for r in pq_sdc_top_neighbor(
+                 emb, dim=8, m=2, k=4, n_cells=4).collect()}
+    path = str(tmp_path / "pqidx")
+    saved = {(r.vec_id, r.neighbor_id, r.sdc)
+             for r in pq_self_search_saved(
+                 emb, path, dim=8, m=2, k=4, n_cells=4).collect()}
+    assert saved == fused
+    index = pq_index_load(spark, path)
+    cols = set(index["postings"].columns)
+    assert cols == {"id", "cell", "code0", "code1"}
+    assert index["meta"].m == 2 and index["meta"].k == 4

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "ann_top1_ivf2_probe2",
     "ann_top1_ivf2_saved",    # broadcast LOADED anchor arrays (lifecycle)
     "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
+    "ann_top1_ivfpq_saved",   # broadcast loaded codebook/LUT one-row arrays
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
@@ -102,7 +103,7 @@ def test_no_cartesian_or_stray_nlj(spark, name):
 @pytest.mark.parametrize("name", sorted(
     n for n in ("ann_top1_ivf", "ann_top1_ivf_probe2", "ann_top1_ivf2",
                 "ann_top1_ivf2_probe2", "ann_top1_ivf2_saved",
-                "ann_top1_ivf2_sampled",
+                "ann_top1_ivf2_sampled", "ann_top1_ivfpq_saved",
                 "ann_top1_ivfpq", "ann_recall_ivf", "ann_recall_ivfpq",
                 "ivf_kmeans_cells", "knn_brute_cosine", "ann_top1_srp")
     if n in q.QUERIES))
