@@ -142,6 +142,37 @@ def ivf2_index_load(spark: SparkSession, path: str) -> dict:
     }
 
 
+def ivf2_index_append(new_vectors: DataFrame, spark: SparkSession,
+                      path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """APPEND new vectors to a saved index without retraining — the
+    write half of the daily-ingest loop (`stream_ann_probe` is the read
+    half): assign the batch through the LOADED anchors (the trained
+    quantizer is immutable between rebuilds, the standard IVF
+    discipline) and append the rows to the postings, partition-aligned
+    on ``sid`` so each super-cell's new files land in its own
+    directory.
+
+    The build-time cell cap is NOT re-evaluated here: the cap exists to
+    drop degenerate *training-time* concentrations, and re-checking it
+    per batch would need a full postings scan per append. A cell that
+    grows past the cap through ingest is re-capped at the next rebuild
+    — the bounded-staleness contract every compacting index has.
+    Dedup/idempotency is the caller's concern (replaying a batch
+    appends twice), as with any append-only log."""
+    index = ivf2_index_load(spark, path)
+    vq = fan_out(new_vectors).select(F.col(id_col),
+                                     as_double(vec_col).alias("v"))
+    vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
+    sup = (_assign_to_anchors(vq, index["sup_anchors"], id_col)
+           .withColumnRenamed("cell", "sid"))
+    assigned = _assign_to_subs(sup, index["sub_anchors"], id_col)
+    (assigned.select(F.col(id_col).alias("id"), "sid", "sub", "v", "nrm")
+     .write.mode("append").partitionBy("sid")
+     .parquet(os.path.join(path, "postings")))
+
+
 def ivf2_index_search(queries: DataFrame, index: dict,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",

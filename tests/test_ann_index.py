@@ -116,3 +116,39 @@ def test_pq_saved_equals_fused_and_postings_are_codes_only(spark, tmp_path):
     cols = set(index["postings"].columns)
     assert cols == {"id", "cell", "code0", "code1"}
     assert index["meta"].m == 2 and index["meta"].k == 4
+
+
+def test_append_then_search_finds_new_vectors(spark, tmp_path):
+    """The ingest write path: vectors appended to a saved index (no
+    retrain) are immediately searchable, and queries near an appended
+    vector can now match it."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+
+    emb = _corpus(spark, n=30)
+    corpus = emb.where(F.col("vec_id") < 20)
+    batch = emb.where(F.col("vec_id") >= 20)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(corpus, path, n_super=2, k2=2)
+    before = ivf2_index_load(spark, path)
+    n_before = before["postings"].count()
+    # before the append, no search result can name a batch id
+    probes = emb.where(F.col("vec_id") < 20)
+    hits0 = ivf2_index_search(probes, before).collect()
+    assert all(r.neighbor_id < 20 for r in hits0)
+    ivf2_index_append(batch, spark, path)
+    after = ivf2_index_load(spark, path)
+    assert after["postings"].count() == n_before + batch.count()
+    appended = {r.id for r in after["postings"]
+                .where(F.col("id") >= 20).select("id").collect()}
+    assert appended == {r.vec_id for r in batch.select("vec_id").collect()}
+    # searching the batch against the grown index finds OTHER vectors,
+    # and batch members are now reachable as neighbors
+    hits1 = ivf2_index_search(batch, after).collect()
+    assert hits1
+    all_nbrs = {r.neighbor_id
+                for r in ivf2_index_search(emb, after).collect()}
+    assert any(n >= 20 for n in all_nbrs)
