@@ -339,11 +339,19 @@ def pq_index_build(emb: DataFrame, path: str,
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
     anchors.write.mode("overwrite").parquet(os.path.join(path, "anchors"))
+    # Codes are DENSIFIED (rank among seed rows, not the raw id): the
+    # LUT position arithmetic — element_at((b·k + ca)·k + cb + 1) —
+    # requires a contiguous 0..k_eff-1 code universe, and a corpus with
+    # id gaps below ``k`` would otherwise leave holes that index past
+    # the sorted array. On dense-id corpora (every registered query)
+    # rank-1 == id, so this is bit-identical to the fused operator.
+    wcb = Window.orderBy(id_col)
     cb = (v.where(F.col(id_col) < k)
-          .select(F.col(id_col).cast("int").alias("code"),
+          .select((F.row_number().over(wcb) - 1).cast("int").alias("code"),
                   F.transform(F.col("v"), lambda x: x / F.col("nrm"))
                   .alias("cv")))
     cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    k_eff = cb.count()
     cba = cb.select(F.col("code").alias("ca"), F.col("cv").alias("cva"))
     cbb = cb.select(F.col("code").alias("cbc"), F.col("cv").alias("cvb"))
     lut_structs = []
@@ -376,8 +384,12 @@ def pq_index_build(emb: DataFrame, path: str,
     capped = (index.withColumn("csz", F.count("*").over(w))
               .where(F.col("csz") <= cell_cap).drop("csz"))
     capped.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    # meta.k is the EFFECTIVE codeword count (rows actually in the
+    # codebook), which is what the LUT position arithmetic needs — it
+    # can be < the requested ``k`` on a corpus with fewer than k seeds
     meta = emb.sparkSession.createDataFrame(
-        [(INDEX_FORMAT_VERSION, dim, m, k, n_cells, cell_cap, id_col)],
+        [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
+          id_col)],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
         "id_col STRING")
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
@@ -484,3 +496,83 @@ def pq_self_search_saved(emb: DataFrame, path: str,
         "vec_id",
         F.col("best.nbr").alias("neighbor_id"),
         F.col("best.sdc").alias("sdc"))
+
+
+def pq_index_search(queries: DataFrame, index: dict,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    rerank: int = 0,
+                    corpus: DataFrame | None = None) -> DataFrame:
+    """Search NEW query vectors against a saved IVF-PQ index —
+    compressed-domain end to end: queries are encoded and assigned
+    through the LOADED codebook/anchors, candidates come from the coded
+    postings of the query's cell, and distances are m O(1) lookups in
+    the LOADED SDC table. Returns (vec_id, neighbor_id, sdc) — the best
+    indexed neighbor per query by symmetric code distance.
+
+    ``rerank=R`` adds the deployment refine stage: shortlist each
+    query's top-R candidates by SDC, then exact-cosine ONLY those rows
+    — which is the single place raw vectors are needed, so ``corpus``
+    (the table the index was built from, holding ``id_col``/
+    ``vec_col``) must be supplied; the shortlist is fetched from it by
+    one id-equi-join, exactly the "fetch full vectors for the
+    shortlist from the store" step of a production PQ serving tier.
+    Returns (vec_id, neighbor_id, cos_sim) in rerank mode."""
+    from pyspark.sql import Window
+
+    meta = index["meta"]
+    kk, mm = meta.k, meta.m
+    lut_arr = index["lut"].agg(F.array_sort(
+        F.collect_list(F.struct("b", "ca", "cbc", "d2"))).alias("lut"))
+    q = _pq_encode_and_assign(queries, index, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("cell"),
+        *[F.col(f"code{b}").alias(f"ca{b}") for b in range(mm)])
+    p = index["postings"].select(
+        F.col("id").alias("nbr"), F.col("cell"),
+        *[F.col(f"code{b}").alias(f"cb{b}") for b in range(mm)])
+    pairs = (q.join(p, "cell")
+             .where(F.col("qid") != F.col("nbr"))
+             .join(F.broadcast(lut_arr)))
+
+    def _lookup(b: int) -> F.Column:
+        idx = (F.lit(b * kk) + F.col(f"ca{b}")) * kk + F.col(f"cb{b}") + 1
+        return F.element_at(F.col("lut"), idx.cast("int"))["d2"]
+
+    sdc = _lookup(0)
+    for b in range(1, mm):
+        sdc = sdc + _lookup(b)
+    scored = pairs.select(F.col("qid").alias("vec_id"), "nbr",
+                          F.round(sdc, 6).alias("sdc"))
+    if rerank <= 0:
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("sdc"), F.col("nbr"))).alias("best"))
+        return best.select(
+            "vec_id",
+            F.col("best.nbr").alias("neighbor_id"),
+            F.col("best.sdc").alias("sdc"))
+    if corpus is None:
+        raise ValueError("rerank > 0 needs the corpus table to fetch "
+                         "shortlist vectors from")
+    ws = Window.partitionBy("vec_id").orderBy(F.asc("sdc"), F.asc("nbr"))
+    short = (scored.withColumn("rn", F.row_number().over(ws))
+             .where(F.col("rn") <= rerank).select("vec_id", "nbr"))
+    from left_join_on_timeout_spark.functions.vectors import dot
+
+    vq = fan_out(queries).select(F.col(id_col).alias("vec_id"),
+                                 as_double(vec_col).alias("va"))
+    vq = vq.select("vec_id", "va", l2_norm(F.col("va")).alias("na"))
+    vc = fan_out(corpus).select(F.col(id_col).alias("nbr"),
+                                as_double(vec_col).alias("vb"))
+    vc = vc.select("nbr", "vb", l2_norm(F.col("vb")).alias("nb"))
+    exact = (short.join(vq, "vec_id").join(vc, "nbr")
+             .select("vec_id", "nbr",
+                     F.round(dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")), 6)
+                     .alias("cos_sim")))
+    best = exact.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("nbr")).alias("neg_id")))
+        .alias("best"))
+    return best.select(
+        "vec_id",
+        (-F.col("best.neg_id")).alias("neighbor_id"),
+        F.col("best.cos_sim").alias("cos_sim"))

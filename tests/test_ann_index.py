@@ -152,3 +152,38 @@ def test_append_then_search_finds_new_vectors(spark, tmp_path):
     all_nbrs = {r.neighbor_id
                 for r in ivf2_index_search(emb, after).collect()}
     assert any(n >= 20 for n in all_nbrs)
+
+
+def test_pq_index_search_new_batch_and_rerank(spark, tmp_path):
+    """New vectors probe a standing PQ index compressed-domain; the
+    rerank stage fetches shortlist vectors from the corpus table and
+    can only improve the answer quality (exact cosine on the top-R)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=40, dim=8)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "pqidx")
+    pq_index_build(corpus, path, dim=8, m=2, k=4, n_cells=4)
+    index = pq_index_load(spark, path)
+    indexed = {r.vec_id for r in corpus.select("vec_id").collect()}
+    queries = {r.vec_id for r in batch.select("vec_id").collect()}
+    sdc_hits = pq_index_search(batch, index).collect()
+    assert sdc_hits
+    for r in sdc_hits:
+        assert r.vec_id in queries and r.neighbor_id in indexed
+        assert r.sdc >= 0.0
+    rr = pq_index_search(batch, index, rerank=5, corpus=corpus).collect()
+    assert rr
+    for r in rr:
+        assert r.vec_id in queries and r.neighbor_id in indexed
+        assert -1.0 <= r.cos_sim <= 1.0
+    # rerank answers come from the same probed candidate pool
+    assert {r.vec_id for r in rr} == {r.vec_id for r in sdc_hits}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="corpus"):
+        pq_index_search(batch, index, rerank=5)
