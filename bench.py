@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_top1_ivf2_sampled",
     "ann_top1_ivf2_probe2",
     "ann_top1_ivfpq_saved",
+    "ann_topk_ivf",
 ]
 
 # The previous round's headline set (BENCH_r06.json / BENCH_FULL.json).

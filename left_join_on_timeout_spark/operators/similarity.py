@@ -159,6 +159,33 @@ def _bidir_top1(scored: DataFrame) -> DataFrame:
         F.col("best.cos_sim").alias("cos_sim"))
 
 
+def _bidir_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): each vector's top-``k``
+    candidates by cosine — the k>1 generalization of
+    :func:`_bidir_top1`. Same both-directions explode from one scoring
+    evaluation; the per-vector head is a rank window (desc cos_sim,
+    ties to the smaller neighbor id), k rows out per vector instead of
+    the argmax's one. Retrieval surfaces (k-NN graphs, rerank
+    shortlists, dedup review queues) need the head, not just the
+    winner."""
+    both = scored.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("vec_id"),
+                 F.col("id_b").alias("nbr"), F.col("cos_sim")),
+        F.struct(F.col("id_b").alias("vec_id"),
+                 F.col("id_a").alias("nbr"), F.col("cos_sim")),
+    )).alias("e")).select("e.*")
+    # multi-probe can score the same pair once per shared cell; the
+    # argmax path dedups for free, a rank head must dedup explicitly
+    # (cos_sim is a pure function of the pair, so this is exact)
+    both = both.dropDuplicates(["vec_id", "nbr"])
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
+                                             F.asc("nbr"))
+    return (both.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("vec_id", F.col("nbr").alias("neighbor_id"),
+                    "cos_sim", "rank"))
+
+
 def _pair_within_cells(capped: DataFrame, keys: list[str],
                        id_col: str) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ALL ``keys`` cell columns,
@@ -995,6 +1022,40 @@ def ivf_top_neighbor(emb: DataFrame,
         .persist(StorageLevel.MEMORY_AND_DISK)
     pairs = _pair_within_cells(capped, ["cell"], id_col)
     return _bidir_top1(_score(pairs))
+
+
+def ivf_top_neighbors(emb: DataFrame, k: int = 3,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      n_cells: int | None = None,
+                      cell_cap: int = DEFAULT_CELL_CAP,
+                      nprobe: int = 1) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): each vector's top-``k``
+    approximate neighbors — the retrieval-head generalization of
+    :func:`ivf_top_neighbor` (k-NN graph construction, rerank
+    shortlists, near-dup review queues all consume the head, not just
+    the argmax). Identical candidate generation (capped IVF cells,
+    exact cosine on cell-mates, both directions from one scoring
+    evaluation); the final stage is a per-vector rank window instead
+    of a groupBy argmax. Vectors with fewer than ``k`` cell-mates
+    return fewer rows (honest recall semantics, as everywhere in this
+    module)."""
+    from pyspark import StorageLevel
+
+    if n_cells is None:
+        n_cells = auto_knobs(corpus_rows(emb))["n_cells"]
+    assigned = ivf_assign_multi(emb, id_col, vec_col, n_cells, nprobe)
+    w = Window.partitionBy("cell")
+    csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
+    srk = F.row_number().over(
+        Window.partitionBy("cell", "pri").orderBy(id_col))
+    capped = (assigned.withColumn("csz", csz).withColumn("srk", srk)
+              .where((F.col("csz") <= cell_cap)
+                     & (F.col("pri") | (F.col("srk") <= cell_cap)))
+              .drop("csz", "srk", "pri")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = _pair_within_cells(capped, ["cell"], id_col)
+    return _bidir_topk(_score(pairs), k)
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,

@@ -394,11 +394,13 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r7: ANN index lifecycle + sampled Lloyd + stream probe - 4
+    # -- NEW in r7: index lifecycle + sampled Lloyd + stream probe +
+    # -- the top-K retrieval head ------------------------------------- 5
     "ann_top1_ivf2_saved",
     "ann_top1_ivf2_sampled",
     "ann_top1_ivfpq_saved",
     "stream_ann_probe",
+    "ann_topk_ivf",
     # -- stalest evidence: the full r2 vintage ------------------------ 30
     "approx_sketches",
     "cube_order_status",
@@ -430,7 +432,7 @@ _PRIORITY: list[str] = [
     "union_all_keys",
     "window_running_revenue",
     "window_top3_per_customer",
-    # -- next-stalest: first 16 of the r3 vintage (alphabetical) ------ 16
+    # -- next-stalest: first 15 of the r3 vintage (alphabetical) ------ 15
     "analytic_order_moves",
     "crossdoc_dup_ngrams",
     "embedding_near_dup",
@@ -446,7 +448,6 @@ _PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q7_nation_volume",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -162,7 +162,7 @@ def q_ann_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(n_cells: int, cell_cap: int = DEFAULT_CELL_CAP,
-                nprobe: int = 1) -> str:
+                nprobe: int = 1, topk: int = 1) -> str:
     """DuckDB twin of :func:`ivf_top_neighbor` — parametric in the
     knobs so binding-cap tests can exercise the exact cap semantics the
     registered queries run at corpus scale. The cap is two-sided,
@@ -207,15 +207,16 @@ scored AS (
   JOIN v va ON va.vec_id = a.vec_id
   JOIN v vb ON vb.vec_id = b.vec_id),
 bidir AS (
-  SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
-  UNION ALL
-  SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored)
-SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT DISTINCT vec_id, nbr, cos_sim FROM (
+    SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+    UNION ALL
+    SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored) u)
+SELECT vec_id, nbr AS neighbor_id, cos_sim{", rn AS rank" if topk > 1 else ""} FROM (
   SELECT vec_id, nbr, cos_sim,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos_sim DESC, nbr) AS rn
   FROM bidir) t
-WHERE rn = 1
+WHERE rn <= {topk}
 """
 
 
@@ -241,6 +242,24 @@ def q_ann_top1_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_cells`` pinned to the static oracle's constant (ADVICE r5)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_top_neighbor(emb, nprobe=2, n_cells=DEFAULT_IVF_CELLS)
+
+
+@query("ann_topk_ivf", _ivf_oracle(DEFAULT_IVF_CELLS, topk=3))
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K retrieval head (k=3) over the IVF searcher: each vector's
+    three nearest cell-mates with their ranks — the k-NN-graph /
+    rerank-shortlist shape every retrieval pipeline consumes, where the
+    top-1 queries answer only the dedup argmax. Same capped candidate
+    generation; the final stage is a per-vector rank window (desc
+    cosine, ties to the smaller id) with an explicit pair dedup so
+    multi-probe can never rank the same neighbor twice. Knobs pinned
+    to the static oracle's constants (ADVICE r5 rule)."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf_top_neighbors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_top_neighbors(emb, k=3, n_cells=DEFAULT_IVF_CELLS)
 
 
 @query("embedding_near_dup", f"""

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "ann_recall_ivfpq",
     "ann_top1_ivf",
     "ann_top1_ivf_probe2",
+    "ann_topk_ivf",    # broadcast anchor-array cross, as its top-1 sibling
     "ann_top1_ivf2",    # broadcast super/sub anchor arrays (two-level)
     "ann_top1_ivf2_probe2",
     "ann_top1_ivf2_saved",    # broadcast LOADED anchor arrays (lifecycle)
@@ -104,6 +105,7 @@ def test_no_cartesian_or_stray_nlj(spark, name):
     n for n in ("ann_top1_ivf", "ann_top1_ivf_probe2", "ann_top1_ivf2",
                 "ann_top1_ivf2_probe2", "ann_top1_ivf2_saved",
                 "ann_top1_ivf2_sampled", "ann_top1_ivfpq_saved",
+                "ann_topk_ivf",
                 "ann_top1_ivfpq", "ann_recall_ivf", "ann_recall_ivfpq",
                 "ivf_kmeans_cells", "knn_brute_cosine", "ann_top1_srp")
     if n in q.QUERIES))
