@@ -313,3 +313,27 @@ def test_ivf2_binding_cap_matches_oracle(spark):
             _ivf2_oracle(2, 2, dim=4, cell_cap=cap, nprobe=2)).fetchdf()
         problems = compare(f"ivf2_binding_cap_{cap}", spark_pdf, duck_pdf)
         assert not problems, problems
+
+
+def test_topk_head_contains_top1(spark):
+    """The rank-1 row of the top-K head must equal the argmax searcher's
+    answer for every vector (same candidates, same tie-break), and each
+    vector returns at most k distinct neighbors."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf_top_neighbors,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    one = {(r.vec_id, r.neighbor_id, r.cos_sim)
+           for r in ivf_top_neighbor(emb, n_cells=4).collect()}
+    topk = ivf_top_neighbors(emb, k=3, n_cells=4).collect()
+    rank1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+             for r in topk if r.rank == 1}
+    assert rank1 == one
+    from collections import Counter
+    per_vec = Counter(r.vec_id for r in topk)
+    assert all(c <= 3 for c in per_vec.values())
+    nbrs = Counter((r.vec_id, r.neighbor_id) for r in topk)
+    assert all(c == 1 for c in nbrs.values())
