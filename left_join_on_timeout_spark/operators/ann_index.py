@@ -67,6 +67,53 @@ from left_join_on_timeout_spark.partitioning import fan_out
 INDEX_FORMAT_VERSION = 1
 
 
+def default_index_root() -> str:
+    """Root directory the registered queries save their indexes under.
+    ``SPARK_GRAFT_INDEX_DIR`` pins a shared location (the deployment
+    case: one serving path, builds swap atomically); the DEFAULT is
+    keyed by PID so two concurrent runs at the same SF (bench + tests,
+    or two sessions) can never overwrite parquet files a sibling's lazy
+    search plan is still reading (ADVICE r7)."""
+    root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    return root if root else f"/tmp/spark_graft_index_{os.getpid()}"
+
+
+def _check_id_col(meta, id_col: str, action: str) -> None:
+    """Cross-check a search/append ``id_col`` against the build-time
+    ``meta.id_col`` (ADVICE r7): an APPEND with a different id column
+    writes rows from a different id namespace into the postings —
+    refuse; a SEARCH may legitimately name its query frame's column
+    differently, so only warn."""
+    built = getattr(meta, "id_col", None)
+    if built is None or id_col == built:
+        return
+    if action == "append":
+        raise ValueError(
+            f"append id_col={id_col!r} differs from the index's build "
+            f"id_col={built!r} — appended ids would come from a "
+            f"different namespace; rebuild the index instead")
+    import warnings
+
+    warnings.warn(
+        f"{action} id_col={id_col!r} differs from the index's build "
+        f"id_col={built!r} — make sure the query ids share the "
+        f"postings' id namespace", stacklevel=3)
+
+
+def _read_postings(spark: SparkSession, path: str):
+    """Read an index's postings with a clear error on the degenerate
+    builds (ADVICE r7): if every cell exceeded ``cell_cap`` or the
+    corpus was empty, the postings directory has no parquet footers and
+    schema inference fails with an opaque 'Unable to infer schema' —
+    surface it as a corrupt/empty-index error instead."""
+    try:
+        return spark.read.parquet(os.path.join(path, "postings"))
+    except Exception as e:
+        raise ValueError(
+            f"empty or corrupt index postings at {path} (every cell "
+            f"over cell_cap, or an empty corpus at build?): {e}") from e
+
+
 def ivf2_index_build(emb: DataFrame, path: str,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
@@ -75,7 +122,8 @@ def ivf2_index_build(emb: DataFrame, path: str,
                      iters: int = 1,
                      cell_cap: int = DEFAULT_CELL_CAP,
                      train_frac: float | None = None,
-                     train_seed: str = "42") -> None:
+                     train_seed: str = "42",
+                     attr_cols: list[str] | None = None) -> None:
     """TRAIN the two-level quantizer and persist the index under
     ``path`` (overwrite semantics — a rebuild atomically replaces each
     relation). Training is the exact :func:`_train_two_level` recipe
@@ -84,35 +132,59 @@ def ivf2_index_build(emb: DataFrame, path: str,
     the degenerate-cell cap already applied, so every future search
     inherits the build's bounded-cell contract without re-deriving it.
 
+    ``attr_cols`` carries ATTRIBUTE columns from ``emb`` into the
+    postings (joined back by id after assignment — the parsed-vector
+    relations stay lean) so a serving search can push an attribute
+    predicate (date / source / lang / label) straight into the postings
+    parquet scan instead of post-filtering results — filtered ANN, the
+    second thing a retrieval consumer asks a served index for.
+
     Everything written is a DataFrame write — no driver-side
     materialization; the postings write is the only corpus-sized pass
-    and it is one scan → assign → window-cap → write."""
+    and it is one scan → assign → window-cap → write. Every relation
+    the trainer persists is unpersisted before returning (ADVICE r7 —
+    repeated builds in one session must not accumulate cache)."""
     from pyspark import StorageLevel
 
-    v, sup_anchors, sup, sub_anchors = _train_two_level(
-        emb, id_col, vec_col, n_super, k2, iters, train_frac, train_seed)
-    sup_anchors.write.mode("overwrite").parquet(
-        os.path.join(path, "sup_anchors"))
-    sub_anchors.write.mode("overwrite").parquet(
-        os.path.join(path, "sub_anchors"))
-    assigned = _assign_to_subs(sup, sub_anchors, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    w = Window.partitionBy("sid", "sub")
-    capped = (assigned.withColumn("csz", F.count("*").over(w))
-              .where(F.col("csz") <= cell_cap).drop("csz"))
-    # partitioned by super-cell: a probe's scan prunes to its own sid
-    # directory — the file-layout analog of inverted-list sharding
-    (capped.select(F.col(id_col).alias("id"), "sid", "sub", "v", "nrm")
-     .write.mode("overwrite").partitionBy("sid")
-     .parquet(os.path.join(path, "postings")))
-    meta = assigned.sparkSession.createDataFrame(
-        [(INDEX_FORMAT_VERSION, n_super, k2, iters, cell_cap,
-          float(train_frac) if train_frac is not None else 1.0,
-          train_seed, id_col)],
-        "version INT, n_super INT, k2 INT, iters INT, cell_cap INT, "
-        "train_frac DOUBLE, train_seed STRING, id_col STRING")
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    assigned.unpersist()
+    persisted: list = []
+    try:
+        v, sup_anchors, sup, sub_anchors = _train_two_level(
+            emb, id_col, vec_col, n_super, k2, iters, train_frac,
+            train_seed, persisted)
+        sup_anchors.write.mode("overwrite").parquet(
+            os.path.join(path, "sup_anchors"))
+        sub_anchors.write.mode("overwrite").parquet(
+            os.path.join(path, "sub_anchors"))
+        assigned = _assign_to_subs(sup, sub_anchors, id_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(assigned)
+        w = Window.partitionBy("sid", "sub")
+        capped = (assigned.withColumn("csz", F.count("*").over(w))
+                  .where(F.col("csz") <= cell_cap).drop("csz"))
+        posting_cols = [F.col(id_col).alias("id"), "sid", "sub",
+                        "v", "nrm"]
+        if attr_cols:
+            attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
+            capped = (capped.select(*posting_cols)
+                      .join(attrs, "id"))
+        else:
+            capped = capped.select(*posting_cols)
+        # partitioned by super-cell: a probe's scan prunes to its own
+        # sid directory — the file-layout analog of inverted-list
+        # sharding (the pruned-search path proves the filter fires)
+        (capped.write.mode("overwrite").partitionBy("sid")
+         .parquet(os.path.join(path, "postings")))
+        meta = assigned.sparkSession.createDataFrame(
+            [(INDEX_FORMAT_VERSION, n_super, k2, iters, cell_cap,
+              float(train_frac) if train_frac is not None else 1.0,
+              train_seed, id_col, 1)],
+            "version INT, n_super INT, k2 INT, iters INT, cell_cap INT, "
+            "train_frac DOUBLE, train_seed STRING, id_col STRING, "
+            "seq INT")
+        meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def ivf2_index_load(spark: SparkSession, path: str) -> dict:
@@ -137,7 +209,7 @@ def ivf2_index_load(spark: SparkSession, path: str) -> dict:
             os.path.join(path, "sub_anchors")),
         # sid comes back from directory-partition inference (int for
         # small values) — restore the long the assignment relations use
-        "postings": spark.read.parquet(os.path.join(path, "postings"))
+        "postings": _read_postings(spark, path)
         .withColumn("sid", F.col("sid").cast("long")),
     }
 
@@ -162,37 +234,71 @@ def ivf2_index_append(new_vectors: DataFrame, spark: SparkSession,
     Dedup/idempotency is the caller's concern (replaying a batch
     appends twice), as with any append-only log."""
     index = ivf2_index_load(spark, path)
+    _check_id_col(index["meta"], id_col, "append")
     vq = fan_out(new_vectors).select(F.col(id_col),
                                      as_double(vec_col).alias("v"))
     vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     sup = (_assign_to_anchors(vq, index["sup_anchors"], id_col)
            .withColumnRenamed("cell", "sid"))
     assigned = _assign_to_subs(sup, index["sub_anchors"], id_col)
-    (assigned.select(F.col(id_col).alias("id"), "sid", "sub", "v", "nrm")
-     .write.mode("append").partitionBy("sid")
+    out = assigned.select(F.col(id_col).alias("id"), "sid", "sub",
+                          "v", "nrm")
+    # an index built with attr_cols must stay schema-consistent: carry
+    # the same attribute columns on appended rows (select throws with a
+    # clear missing-column error if the batch lacks one)
+    extra = [c for c in index["postings"].columns
+             if c not in ("id", "sid", "sub", "v", "nrm")]
+    if extra:
+        attrs = new_vectors.select(F.col(id_col).alias("id"), *extra)
+        out = out.join(attrs, "id")
+    (out.write.mode("append").partitionBy("sid")
      .parquet(os.path.join(path, "postings")))
 
 
 def ivf2_index_search(queries: DataFrame, index: dict,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      nprobe: int = 1) -> DataFrame:
-    """(vec_id, neighbor_id, cos_sim): nearest indexed neighbor per
-    query vector — assignment through the LOADED anchors (zero training
-    passes), then one equi-join of probed (sid, sub) cells against the
-    postings and an exact-cosine argmax. A query whose probed cells
+                      nprobe: int = 1,
+                      k: int = 1,
+                      where: F.Column | None = None,
+                      prune: bool = False) -> DataFrame:
+    """Serve-time search over a saved index. ``k=1`` (default) returns
+    (vec_id, neighbor_id, cos_sim) — the nearest indexed neighbor per
+    query vector; ``k>1`` returns the top-``k`` head with a ``rank``
+    column (desc cosine, ties to the smaller id) — the k-NN /
+    rerank-shortlist shape a retrieval consumer asks a served index
+    for first (VERDICT r7 item 1). Assignment runs through the LOADED
+    anchors (zero training passes), then one equi-join of probed
+    (sid, sub) cells against the postings. A query whose probed cells
     hold no postings is absent (honest ANN recall semantics, as in the
     in-session searchers). Self-matches (query id == posting id) are
     excluded so searching the corpus against its own index answers
     "nearest OTHER vector".
 
+    ``where`` is the attribute-filtered-search knob: a Column predicate
+    over posting columns (the ``attr_cols`` the build carried), applied
+    to the POSTINGS SCAN before the pairing join — Catalyst pushes it
+    into the parquet reader (PushedFilters), so a date/source/lang
+    constraint cuts candidate I/O instead of post-filtering results.
+
+    ``prune=True`` is the small-batch serving discipline: collect the
+    batch's probed super-cells (one tiny action, ≤ nprobe·|batch|
+    values, deduped) into a static ``sid IN (...)`` filter on the
+    postings scan, which becomes a PartitionFilter — the scan reads
+    ONLY the probed sid directories, the explicit shard-map routing a
+    serving system does (plan-gated in tests/test_plans.py). Leave it
+    False for corpus-sized query sets that probe every cell anyway.
+
     ``nprobe`` is the search-time recall knob: the index stores
     primary-assignment postings only (the standard IVF discipline —
     multi-probe happens on the QUERY side at serve time, the lists are
     built once)."""
+    _check_id_col(index["meta"], id_col, "search")
     sup_anchors = index["sup_anchors"]
     sub_anchors = index["sub_anchors"]
     postings = index["postings"]
+    if where is not None:
+        postings = postings.where(where)
     vq = fan_out(queries).select(F.col(id_col),
                                  as_double(vec_col).alias("v"))
     vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
@@ -203,6 +309,12 @@ def ivf2_index_search(queries: DataFrame, index: dict,
         sup = (_assign_to_anchors(vq, sup_anchors, id_col)
                .withColumnRenamed("cell", "sid"))
         probed = _assign_to_subs(sup, sub_anchors, id_col)
+    if prune:
+        from pyspark import StorageLevel
+
+        probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+        sids = [r.sid for r in probed.select("sid").distinct().collect()]
+        postings = postings.where(F.col("sid").isin(sids))
     q = probed.select(F.col(id_col).alias("id_a"), "sid", "sub",
                       F.col("v").alias("va"), F.col("nrm").alias("na"))
     p = postings.select(F.col("id").alias("id_b"), "sid", "sub",
@@ -211,6 +323,19 @@ def ivf2_index_search(queries: DataFrame, index: dict,
              .where(F.col("id_a") != F.col("id_b"))
              .select("id_a", "id_b", "va", "na", "vb", "nb"))
     scored = _score(pairs)
+    if k > 1:
+        # a posting lives in exactly ONE (sid, sub) cell, but nprobe>1
+        # can pair a query with the same posting through two probed
+        # supers only if the posting id repeats (appends replaying a
+        # batch) — dedup like the fused head does, it's exact
+        scored = scored.dropDuplicates(["id_a", "id_b"])
+        w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"),
+                                               F.asc("id_b"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select(F.col("id_a").alias("vec_id"),
+                        F.col("id_b").alias("neighbor_id"),
+                        "cos_sim", "rank"))
     best = scored.groupBy(F.col("id_a").alias("vec_id")).agg(
         F.max(F.struct(F.col("cos_sim"),
                        (-F.col("id_b")).alias("neg_id"))).alias("best"))
@@ -266,14 +391,19 @@ def ivf2_self_search_saved(emb: DataFrame, path: str,
                            iters: int = 1,
                            cell_cap: int = DEFAULT_CELL_CAP,
                            train_frac: float | None = None,
-                           train_seed: str = "42") -> DataFrame:
+                           train_seed: str = "42",
+                           k: int = 1) -> DataFrame:
     """The full lifecycle in one call — build → save → load → search
     the corpus against its own saved index — returning EXACTLY what the
     fused :func:`operators.similarity.ivf2_top_neighbor` returns (the
     oracle-paired query pins the hash): within a surviving cell every
     member is both a query and a posting, each unordered pair is scored
     once via ``id_a < id_b``, and the bidirectional top-1 is taken over
-    both directions.
+    both directions. ``k>1`` keeps the identical candidate pairs and
+    takes the bidirectional top-``k`` head instead (with ``rank``) —
+    the saved-lifecycle twin of
+    :func:`operators.similarity.ivf2_top_neighbors`, pinned rank-1 ==
+    top-1 by the consistency tests.
 
     Search reads ONLY the saved relations plus the re-parsed query
     vectors; nothing from the training session's lineage survives into
@@ -298,6 +428,12 @@ def ivf2_self_search_saved(emb: DataFrame, path: str,
     pairs = (q.join(p, ["sid", "sub"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "va", "na", "vb", "nb"))
+    if k > 1:
+        from left_join_on_timeout_spark.operators.similarity import (
+            _bidir_topk,
+        )
+
+        return _bidir_topk(_score(pairs), k)
     return _bidir_top1(_score(pairs))
 
 
@@ -389,9 +525,9 @@ def pq_index_build(emb: DataFrame, path: str,
     # can be < the requested ``k`` on a corpus with fewer than k seeds
     meta = emb.sparkSession.createDataFrame(
         [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
-          id_col)],
+          id_col, 1)],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
-        "id_col STRING")
+        "id_col STRING, seq INT")
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
@@ -413,7 +549,7 @@ def pq_index_load(spark: SparkSession, path: str) -> dict:
         "anchors": spark.read.parquet(os.path.join(path, "anchors")),
         "codebook": spark.read.parquet(os.path.join(path, "codebook")),
         "lut": spark.read.parquet(os.path.join(path, "lut")),
-        "postings": spark.read.parquet(os.path.join(path, "postings")),
+        "postings": _read_postings(spark, path),
     }
 
 
@@ -520,6 +656,7 @@ def pq_index_search(queries: DataFrame, index: dict,
     Returns (vec_id, neighbor_id, cos_sim) in rerank mode."""
     from pyspark.sql import Window
 
+    _check_id_col(index["meta"], id_col, "search")
     meta = index["meta"]
     kk, mm = meta.k, meta.m
     lut_arr = index["lut"].agg(F.array_sort(
@@ -576,3 +713,109 @@ def pq_index_search(queries: DataFrame, index: dict,
         "vec_id",
         (-F.col("best.neg_id")).alias("neighbor_id"),
         F.col("best.cos_sim").alias("cos_sim"))
+
+
+def pq_index_append(new_vectors: DataFrame, spark: SparkSession,
+                    path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """APPEND new vectors to a saved IVF-PQ index without retraining —
+    the compressed-tier twin of :func:`ivf2_index_append` (VERDICT r7
+    item 4): encode the batch through the LOADED codebook and assign it
+    through the LOADED anchors (both immutable between rebuilds, the
+    standard IVF-PQ discipline), then append the CODE-ONLY rows to the
+    postings — a few bytes per appended vector, never the raw vectors.
+
+    As with the IVF2 append, the build-time cell cap is not
+    re-evaluated per batch; a cell pushed over the cap by ingest is
+    re-capped at the next :func:`pq_index_rebuild` (bounded
+    staleness), and idempotency is the caller's concern."""
+    index = pq_index_load(spark, path)
+    _check_id_col(index["meta"], id_col, "append")
+    codes = _pq_encode_and_assign(new_vectors, index, id_col, vec_col)
+    (codes.withColumnRenamed(id_col, "id")
+     .write.mode("append").parquet(os.path.join(path, "postings")))
+
+
+def _swap_postings(spark: SparkSession, path: str,
+                   recapped: DataFrame, partition_by: str | None,
+                   meta_df) -> None:
+    """Materialize ``recapped`` into a sibling directory, then swap it
+    in as the live ``postings`` with directory renames — a reader that
+    loaded the index before the swap keeps resolving the old files
+    until the cleanup, and a load started after sees only the new
+    version (the atomic-publish step of every compacting index). The
+    new meta (with the bumped ``seq``) is published only after the
+    postings swap, so a crash mid-rebuild leaves the old version
+    fully intact."""
+    import shutil
+
+    live = os.path.join(path, "postings")
+    fresh = os.path.join(path, "postings.rebuild")
+    old = os.path.join(path, "postings.old")
+    # full materialization BEFORE touching the live directory: the
+    # recapped plan READS the live postings, so writing over them
+    # lazily would corrupt the index mid-scan
+    w = recapped.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(fresh)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(fresh, live)
+    meta_df.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    shutil.rmtree(old)
+
+
+def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
+    """REBUILD/COMPACT a saved two-level index in place (VERDICT r7
+    item 4 — the maintenance contract :func:`ivf2_index_append`
+    documents): re-apply the build-time cell cap over the CURRENT
+    postings (base + appended), so a cell that ingest pushed past
+    ``cell_cap`` is re-capped exactly as a fresh build would cap it
+    (the whole degenerate cell drops — the build's semantics, not a
+    truncation), bump the version ``seq`` in meta, and swap the new
+    postings in atomically (write-aside → rename). Anchors are REUSED
+    — the trained quantizer is immutable here; a drifted corpus wants
+    a full :func:`ivf2_index_build` (whose per-relation overwrite is
+    the retrain path).
+
+    A no-op rebuild (no appends since build) rewrites the same rows:
+    search results are hash-identical before and after (pinned in
+    tests/test_ann_index.py)."""
+    index = ivf2_index_load(spark, path)
+    meta = index["meta"]
+    cap = meta.cell_cap
+    w = Window.partitionBy("sid", "sub")
+    recapped = (index["postings"]
+                .withColumn("csz", F.count("*").over(w))
+                .where(F.col("csz") <= cap).drop("csz"))
+    meta_df = spark.createDataFrame(
+        [(meta.version, meta.n_super, meta.k2, meta.iters, meta.cell_cap,
+          meta.train_frac, meta.train_seed, meta.id_col,
+          int(getattr(meta, "seq", 1) or 1) + 1)],
+        "version INT, n_super INT, k2 INT, iters INT, cell_cap INT, "
+        "train_frac DOUBLE, train_seed STRING, id_col STRING, seq INT")
+    _swap_postings(spark, path, recapped, "sid", meta_df)
+
+
+def pq_index_rebuild(spark: SparkSession, path: str) -> None:
+    """Compaction for the IVF-PQ tier: re-apply the build-time cell cap
+    over the current coded postings (base + appended), bump ``seq``,
+    atomic swap — same contract as :func:`ivf2_index_rebuild`; the
+    anchors, codebook, and LUT are reused (immutable between full
+    builds)."""
+    index = pq_index_load(spark, path)
+    meta = index["meta"]
+    w = Window.partitionBy("cell")
+    recapped = (index["postings"]
+                .withColumn("csz", F.count("*").over(w))
+                .where(F.col("csz") <= meta.cell_cap).drop("csz"))
+    meta_df = spark.createDataFrame(
+        [(meta.version, meta.dim, meta.m, meta.k, meta.n_cells,
+          meta.cell_cap, meta.id_col,
+          int(getattr(meta, "seq", 1) or 1) + 1)],
+        "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
+        "id_col STRING, seq INT")
+    _swap_postings(spark, path, recapped, None, meta_df)

@@ -489,14 +489,18 @@ def ivf_assign_multi(emb: DataFrame,
 
 
 def _lloyd(v: DataFrame, anchors: DataFrame, id_col: str,
-           iters: int) -> DataFrame:
+           iters: int, persisted: list | None = None) -> DataFrame:
     """``iters`` Lloyd iterations over persisted parsed vectors ``v``
     (id, v, nrm): argmax assignment to the broadcast anchors, then a
     DECIMAL(25,6) per-dimension mean rebuilt into the next centroid
     table — bit-identical regardless of partition order, so the loop
     replays exactly in an unrolled-CTE DuckDB oracle. Each centroid
     table (n_cells rows) is persisted to truncate lineage (the MLlib
-    k-means pattern); callers own persisting ``v``."""
+    k-means pattern); callers own persisting ``v``. ``persisted``
+    (when given) collects every relation this pass persists so a
+    materializing caller can unpersist them after its actions run
+    (ADVICE r7 — repeated builds must not accumulate cached
+    relations)."""
     from pyspark import StorageLevel
 
     for _ in range(iters):
@@ -513,6 +517,8 @@ def _lloyd(v: DataFrame, anchors: DataFrame, id_col: str,
         anchors = cent.select("cell", "av",
                               l2_norm(F.col("av")).alias("anrm")) \
             .persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(anchors)
     return anchors
 
 
@@ -641,10 +647,12 @@ def _assign_to_subs(sup: DataFrame, sub_anchors: DataFrame,
 
 
 def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,
-                   iters: int) -> DataFrame:
+                   iters: int, persisted: list | None = None) -> DataFrame:
     """Grouped Lloyd: like :func:`_lloyd` but each vector only competes
     for the sub-anchors of its own super-cell, and means aggregate per
-    (sid, sub). DECIMAL(25,6) means keep both engines bit-identical."""
+    (sid, sub). DECIMAL(25,6) means keep both engines bit-identical.
+    ``persisted`` collects the per-iteration anchor persists for a
+    materializing caller to release (ADVICE r7)."""
     from pyspark import StorageLevel
 
     for _ in range(iters):
@@ -662,13 +670,15 @@ def _lloyd_grouped(sup: DataFrame, sub_anchors: DataFrame, id_col: str,
         sub_anchors = cent.select("sid", "sub", "av",
                                   l2_norm(F.col("av")).alias("anrm")) \
             .persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(sub_anchors)
     return sub_anchors
 
 
 def _train_two_level(
         emb: DataFrame, id_col: str, vec_col: str, n_super: int, k2: int,
         iters: int, train_frac: float | None = None,
-        train_seed: str = "42",
+        train_seed: str = "42", persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared trainer for the two-level quantizer variants: returns
     (v, sup_anchors, sup, sub_anchors) with ``v`` (parsed vectors) and
@@ -688,18 +698,31 @@ def _train_two_level(
     ``k2`` SAMPLED members), centroid means aggregate over sampled
     members only, and the final super/sub assignments run over
     everything. This is the standard large-scale k-means recipe (train
-    on a slice, assign the universe)."""
+    on a slice, assign the universe).
+
+    ``persisted`` (when given) collects EVERY relation this trainer
+    persists — the parsed corpus, the training sample, the
+    super-assignment, and each Lloyd pass's centroid tables — so a
+    caller that materializes its result (the index builders do) can
+    unpersist them all once its actions have run; repeated builds in
+    one session must not accumulate cached relations (ADVICE r7).
+    Fused-searcher callers leave it None: their results are lazy and
+    the persists ARE the standing index cost."""
     from pyspark import StorageLevel
 
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(v)
     if train_frac is not None and train_frac < 1.0:
         from left_join_on_timeout_spark.operators.sampling import (
             sample_gate,
         )
         gate = sample_gate(id_col, train_frac, train_seed)
         vt = v.where(gate).persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted is not None:
+            persisted.append(vt)
     else:
         gate = None
         vt = v
@@ -707,17 +730,19 @@ def _train_two_level(
                    .select(F.col(id_col).alias("cell"),
                            F.col("v").alias("av"),
                            F.col("nrm").alias("anrm")))
-    sup_anchors = _lloyd(vt, sup_anchors, id_col, iters)
+    sup_anchors = _lloyd(vt, sup_anchors, id_col, iters, persisted)
     sup = (_assign_to_anchors(v, sup_anchors, id_col)
            .withColumnRenamed("cell", "sid")
            .persist(StorageLevel.MEMORY_AND_DISK))
+    if persisted is not None:
+        persisted.append(sup)
     supt = sup.where(gate) if gate is not None else sup
     w = Window.partitionBy("sid").orderBy(id_col)
     sub0 = (supt.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k2)
             .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
                     F.col("v").alias("av"), F.col("nrm").alias("anrm")))
-    sub_anchors = _lloyd_grouped(supt, sub0, id_col, iters)
+    sub_anchors = _lloyd_grouped(supt, sub0, id_col, iters, persisted)
     if gate is not None:
         # A super-cell whose members are ALL unsampled has no level-2
         # seeds and would silently drop its vectors from the index (the
@@ -894,6 +919,43 @@ def ivf2_top_neighbor(emb: DataFrame,
     corpus-sized flat cell budget from :func:`auto_knobs` (an eager
     memoized ``count()``, see :func:`corpus_rows`); pass explicit values
     to pin a static plan (the oracle-paired query does)."""
+    capped = _ivf2_capped(emb, id_col, vec_col, n_super, k2, iters,
+                          cell_cap, nprobe, train_frac, train_seed)
+    pairs = _pair_within_cells(capped, ["sid", "sub"], id_col)
+    return _bidir_top1(_score(pairs))
+
+
+def ivf2_top_neighbors(emb: DataFrame, k: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_super: int | None = None,
+                       k2: int | None = None,
+                       iters: int = 1,
+                       cell_cap: int = DEFAULT_CELL_CAP,
+                       nprobe: int = 1,
+                       train_frac: float | None = None,
+                       train_seed: str = "42") -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank): top-``k`` retrieval head
+    over the TRAINED two-level quantizer — the tree-assignment sibling
+    of :func:`ivf_top_neighbors` (ADVICE r7: the top-K head must have a
+    path that survives the fourth decade, where the flat argmax is
+    42.8× slower than the tree). Identical capped candidate generation
+    to :func:`ivf2_top_neighbor`; the tail is the per-vector rank
+    window (desc cosine, ties to the smaller id, explicit pair dedup)
+    instead of the argmax."""
+    capped = _ivf2_capped(emb, id_col, vec_col, n_super, k2, iters,
+                          cell_cap, nprobe, train_frac, train_seed)
+    pairs = _pair_within_cells(capped, ["sid", "sub"], id_col)
+    return _bidir_topk(_score(pairs), k)
+
+
+def _ivf2_capped(emb: DataFrame, id_col: str, vec_col: str,
+                 n_super: int | None, k2: int | None, iters: int,
+                 cell_cap: int, nprobe: int,
+                 train_frac: float | None, train_seed: str) -> DataFrame:
+    """The shared front half of the two-level searchers: knob
+    derivation, trained (multi-probe-aware) assignment, and the
+    two-sided cell cap, persisted as the standing index relation."""
     from pyspark import StorageLevel
 
     if n_super is None or k2 is None:
@@ -931,13 +993,11 @@ def ivf2_top_neighbor(emb: DataFrame,
     csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)
     srk = F.row_number().over(
         Window.partitionBy("sid", "sub", "pri").orderBy(id_col))
-    capped = (assigned.withColumn("csz", csz).withColumn("srk", srk)
-              .where((F.col("csz") <= cell_cap)
-                     & (F.col("pri") | (F.col("srk") <= cell_cap)))
-              .drop("csz", "srk", "pri")) \
+    return (assigned.withColumn("csz", csz).withColumn("srk", srk)
+            .where((F.col("csz") <= cell_cap)
+                   & (F.col("pri") | (F.col("srk") <= cell_cap)))
+            .drop("csz", "srk", "pri")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = _pair_within_cells(capped, ["sid", "sub"], id_col)
-    return _bidir_top1(_score(pairs))
 
 
 def ivf_top_neighbor(emb: DataFrame,
@@ -1039,11 +1099,26 @@ def ivf_top_neighbors(emb: DataFrame, k: int = 3,
     evaluation); the final stage is a per-vector rank window instead
     of a groupBy argmax. Vectors with fewer than ``k`` cell-mates
     return fewer rows (honest recall semantics, as everywhere in this
-    module)."""
+    module).
+
+    The auto path (``n_cells=None``) mirrors :func:`ivf_top_neighbor`'s
+    flat→tree routing (ADVICE r7): past the measured crossover
+    (``IVF2_CROSSOVER_CELLS``) it delegates to
+    :func:`ivf2_top_neighbors` at the same cell budget, so a scale user
+    of the top-K head cannot silently land on the flat argmax the
+    crossover measurements show is up to 42.8× slower at the fourth
+    decade. Explicit ``n_cells`` pins the flat arm (the oracle-paired
+    query does)."""
     from pyspark import StorageLevel
 
     if n_cells is None:
-        n_cells = auto_knobs(corpus_rows(emb))["n_cells"]
+        knobs = auto_knobs(corpus_rows(emb))
+        if knobs["assign"] == "tree":
+            tk = two_level_knobs(knobs["n_cells"])
+            return ivf2_top_neighbors(emb, k, id_col, vec_col,
+                                      n_super=tk["n_super"], k2=tk["k2"],
+                                      cell_cap=cell_cap, nprobe=nprobe)
+        n_cells = knobs["n_cells"]
     assigned = ivf_assign_multi(emb, id_col, vec_col, n_cells, nprobe)
     w = Window.partitionBy("cell")
     csz = F.sum(F.when(F.col("pri"), 1).otherwise(0)).over(w)

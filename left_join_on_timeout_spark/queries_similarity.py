@@ -539,11 +539,12 @@ def q_ann_top1_ivf2_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
         ivf2_self_search_saved,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
+    root = default_index_root()
     path = os.path.join(
         root, "ivf2_" + os.path.basename(os.path.normpath(sf_dir)))
     return ivf2_self_search_saved(emb, path, n_super=_IVF2_SUPER,
@@ -940,11 +941,12 @@ def q_ann_top1_ivfpq_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
         pq_self_search_saved,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR", "/tmp/spark_graft_index")
+    root = default_index_root()
     path = os.path.join(
         root, "ivfpq_" + os.path.basename(os.path.normpath(sf_dir)))
     return pq_self_search_saved(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)

@@ -634,6 +634,7 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
         ivf2_index_build,
         ivf2_index_load,
         ivf2_index_probe_hits,
@@ -643,8 +644,7 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 10 != 0)
     batch = (emb.where(F.col("vec_id") % 10 == 0)
              .select("vec_id", "embedding"))
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR",
-                          "/tmp/spark_graft_index")
+    root = default_index_root()
     path = os.path.join(
         root, "ivf2probe_" + os.path.basename(os.path.normpath(sf_dir)))
     ivf2_index_build(corpus, path, n_super=_ANN_PROBE_SUPER,
