@@ -330,32 +330,18 @@ def _kmeans_oracle(n_cells: int, iters: int, dim: int = 64) -> str:
             f"GROUP BY g.cell, a.anrm")
 
 
-def _ivf2_oracle(n_super: int, k2: int, dim: int = 64,
-                 cell_cap: int = DEFAULT_CELL_CAP,
-                 nprobe: int = 1,
-                 train_frac: float | None = None,
-                 train_seed: str = "42") -> str:
-    """Unrolled-CTE DuckDB twin of the TRAINED two-level coarse
-    quantizer ANN (one Lloyd pass per level): level-1 refine + assign,
-    level-2 per-super-cell seed/refine/assign, then the standard
-    within-cell pairing / exact cosine / bidirectional top-1. Decimal
-    means and (sim DESC, cell) tie-breaks mirror the Spark operator
-    bit-for-bit (same arithmetic as the proven ``_kmeans_oracle``).
-    ``nprobe`` > 1 probes the top-``nprobe`` super-cells per vector at
-    SEARCH time (training stays on the primary assignment, as in the
-    Spark operator): the final assignment ranks within (vec_id, sid)
-    over the probed supers instead of taking one global row. The cell
-    cap is two-sided like the operator's (ADVICE r6): primaries
-    (prank = 1) gate the whole cell, secondaries are rank-capped per
-    cell by vec_id.
-
-    ``train_frac`` replays the SAMPLE-TRAINED build (VERDICT r6
-    item 2): every Lloyd CTE aggregates over the md5-gated sample only
-    (the exact ``operators.sampling`` gate — engine-portable), seeds
-    for level 2 come from each cell's first SAMPLED members, a
-    fully-unsampled super-cell falls back to one sub-anchor (its first
-    full-corpus member), and both final assignments still cover the
-    whole corpus."""
+def _ivf2_train_prefix(n_super: int, k2: int, dim: int = 64,
+                       cell_cap: int = DEFAULT_CELL_CAP,
+                       nprobe: int = 1,
+                       train_frac: float | None = None,
+                       train_seed: str = "42") -> str:
+    """The shared TRAINING half of every two-level oracle: the
+    ``WITH``-chain from parsed vectors through Lloyd passes, final
+    assignment, and the two-sided cell cap, ending at the ``capped``
+    CTE (no trailing comma) — the serving-shaped oracles
+    (:func:`_ivf2_oracle`, :func:`_ivf2_served_oracle`) append their
+    own search tails. See :func:`_ivf2_oracle` for the semantics the
+    CTEs replay."""
     if train_frac is not None and train_frac < 1.0:
         from left_join_on_timeout_spark.operators.sampling import (
             HASH_WIDTH,
@@ -458,7 +444,68 @@ capped AS (SELECT vec_id, sid, sub FROM (
                                        ORDER BY vec_id) AS srk
              FROM fin) t
            WHERE csz <= {cell_cap}
-             AND (prank = 1 OR srk <= {cell_cap})),
+             AND (prank = 1 OR srk <= {cell_cap}))"""
+
+
+def _ivf2_oracle(n_super: int, k2: int, dim: int = 64,
+                 cell_cap: int = DEFAULT_CELL_CAP,
+                 nprobe: int = 1,
+                 train_frac: float | None = None,
+                 train_seed: str = "42",
+                 topk: int = 1) -> str:
+    """Unrolled-CTE DuckDB twin of the TRAINED two-level coarse
+    quantizer ANN (one Lloyd pass per level): level-1 refine + assign,
+    level-2 per-super-cell seed/refine/assign, then the standard
+    within-cell pairing / exact cosine / bidirectional top-1. Decimal
+    means and (sim DESC, cell) tie-breaks mirror the Spark operator
+    bit-for-bit (same arithmetic as the proven ``_kmeans_oracle``).
+    ``nprobe`` > 1 probes the top-``nprobe`` super-cells per vector at
+    SEARCH time (training stays on the primary assignment, as in the
+    Spark operator): the final assignment ranks within (vec_id, sid)
+    over the probed supers instead of taking one global row. The cell
+    cap is two-sided like the operator's (ADVICE r6): primaries
+    (prank = 1) gate the whole cell, secondaries are rank-capped per
+    cell by vec_id.
+
+    ``train_frac`` replays the SAMPLE-TRAINED build (VERDICT r6
+    item 2): every Lloyd CTE aggregates over the md5-gated sample only
+    (the exact ``operators.sampling`` gate — engine-portable), seeds
+    for level 2 come from each cell's first SAMPLED members, a
+    fully-unsampled super-cell falls back to one sub-anchor (its first
+    full-corpus member), and both final assignments still cover the
+    whole corpus.
+
+    ``topk`` > 1 emits the bidirectional top-``k`` head with a
+    ``rank`` column instead of the argmax — with an explicit DISTINCT
+    pair dedup, mirroring ``_bidir_topk``'s (exact: cos_sim is a pure
+    function of the pair)."""
+    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap, nprobe,
+                                train_frac, train_seed)
+    if topk > 1:
+        tail = f""",
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM capped a
+  JOIN capped b ON a.sid = b.sid AND a.sub = b.sub
+                AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id),
+bidir AS (
+  SELECT DISTINCT vec_id, nbr, cos_sim FROM (
+    SELECT id_a AS vec_id, id_b AS nbr, cos_sim FROM scored
+    UNION ALL
+    SELECT id_b AS vec_id, id_a AS nbr, cos_sim FROM scored) u)
+SELECT vec_id, nbr AS neighbor_id, cos_sim, rn AS rank FROM (
+  SELECT vec_id, nbr, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM bidir) t
+WHERE rn <= {topk}
+"""
+        return prefix + tail
+    tail = f""",
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
@@ -479,6 +526,45 @@ SELECT vec_id, nbr AS neighbor_id, cos_sim FROM (
   FROM bidir) t
 WHERE rn = 1
 """
+    return prefix + tail
+
+
+def _ivf2_served_oracle(n_super: int, k2: int, dim: int = 64,
+                        cell_cap: int = DEFAULT_CELL_CAP,
+                        query_pred: str | None = None,
+                        nbr_pred: str | None = None) -> str:
+    """One-directional SERVING twin of :func:`_ivf2_oracle` — the
+    semantics of ``ann_index.ivf2_index_search`` (nprobe=1): every
+    query vector (optionally restricted by ``query_pred`` over
+    ``a.vec_id`` — the small-batch serve shape) takes the argmax over
+    the CAPPED postings of its assigned cell, self-matches excluded;
+    ``nbr_pred`` (over the ``embeddings`` row aliased ``lb``) replays
+    an attribute-filtered search — the predicate the Spark side pushes
+    into the postings scan. The query side reads the PRE-cap
+    assignment (``fin``): a query in a dropped cell simply finds no
+    postings, exactly the operator's honest-recall outcome."""
+    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap)
+    qf = f"\n  WHERE {query_pred}" if query_pred else ""
+    nj = (f"\n  JOIN embeddings lb ON lb.vec_id = b.vec_id "
+          f"AND ({nbr_pred})" if nbr_pred else "")
+    tail = f""",
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM fin a
+  JOIN capped b ON a.sid = b.sid AND a.sub = b.sub
+                AND a.vec_id != b.vec_id{nj}
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id{qf})
+SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT qid, nbr, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+    return prefix + tail
 
 
 _IVF2_SUPER = 8
@@ -549,6 +635,99 @@ def q_ann_top1_ivf2_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
         root, "ivf2_" + os.path.basename(os.path.normpath(sf_dir)))
     return ivf2_self_search_saved(emb, path, n_super=_IVF2_SUPER,
                                   k2=_IVF2_K2)
+
+
+@query("ann_topk_ivf2_saved", _ivf2_oracle(_IVF2_SUPER, _IVF2_K2, topk=3))
+def q_ann_topk_ivf2_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K retrieval head (k=3) over the SAVED index (VERDICT r7
+    item 1 — the first thing a serving consumer asks a served index
+    for): the full build → save → load → search lifecycle of
+    ``ann_top1_ivf2_saved`` with the bidirectional rank-window head
+    instead of the argmax — identical candidate pairs from the saved
+    capped postings, three ranked neighbors per vector out. Rank-1 ==
+    the top-1 query's answer (consistency pinned in
+    tests/test_ann_index.py). Knobs pinned to the static oracle's
+    constants (ADVICE r5 rule)."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_self_search_saved,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2topk_" + os.path.basename(os.path.normpath(sf_dir)))
+    return ivf2_self_search_saved(emb, path, n_super=_IVF2_SUPER,
+                                  k2=_IVF2_K2, k=3)
+
+
+@query("ann_filtered_ivf2_saved",
+       _ivf2_served_oracle(_IVF2_SUPER, _IVF2_K2,
+                           nbr_pred="lb.label < 3"))
+def q_ann_filtered_ivf2_saved(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-FILTERED search over the saved index (VERDICT r7
+    item 1): the build carries ``label`` into the postings
+    (``attr_cols``), and the search applies ``label < 3`` to the
+    POSTINGS SCAN — Catalyst pushes it into the parquet reader
+    (PushedFilters, plan-gated in tests/test_plans.py), so the
+    constraint cuts candidate I/O instead of post-filtering results.
+    Serving semantics: every corpus vector queries, neighbors come
+    only from the filtered postings, per-query exact-cosine argmax
+    (one-directional — the ``ivf2_index_search`` shape)."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2filt_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2,
+                     attr_cols=["label"])
+    index = ivf2_index_load(spark, path)
+    return ivf2_index_search(emb, index, where=F.col("label") < 3)
+
+
+@query("ann_pruned_ivf2_saved",
+       _ivf2_served_oracle(_IVF2_SUPER, _IVF2_K2,
+                           query_pred="a.vec_id % 10 = 0"))
+def q_ann_pruned_ivf2_saved(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Small-batch PRUNED serve over the saved index (VERDICT r7
+    item 2 — prove the partition pruning the postings layout
+    promises): a 10% query batch probes the index with
+    ``prune=True``, which collects the batch's probed super-cells
+    into a static ``sid IN (...)`` filter on the postings scan — a
+    PartitionFilter, so the scan reads ONLY the probed sid
+    directories (plan-gated in tests/test_plans.py; the files-read
+    measurement is in PLANS.md). Pruning is pure routing — results
+    are identical to the unpruned search (the oracle knows nothing
+    about it)."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2prune_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+    index = ivf2_index_load(spark, path)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    return ivf2_index_search(batch, index, prune=True)
 
 
 _IVF2_TRAIN_FRAC = 0.5

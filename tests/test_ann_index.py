@@ -187,3 +187,191 @@ def test_pq_index_search_new_batch_and_rerank(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="corpus"):
         pq_index_search(batch, index, rerank=5)
+
+
+def test_topk_saved_rank1_equals_top1(spark, tmp_path):
+    """VERDICT r7 item 1 consistency pin: the k=3 lifecycle head's
+    rank-1 rows ARE the top-1 lifecycle query's answer."""
+    emb = _corpus(spark)
+    top1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+            for r in ivf2_self_search_saved(
+                emb, str(tmp_path / "i1"), n_super=2, k2=2).collect()}
+    topk = ivf2_self_search_saved(
+        emb, str(tmp_path / "i3"), n_super=2, k2=2, k=3).collect()
+    rank1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+             for r in topk if r.rank == 1}
+    assert rank1 == top1
+    for r in topk:
+        assert 1 <= r.rank <= 3
+
+
+def test_index_search_topk_head(spark, tmp_path):
+    """k>1 over a standing index: per-query ranked head, rank-1 ==
+    the argmax search, ranks ordered by descending cosine."""
+    emb = _corpus(spark)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(corpus, path, n_super=2, k2=2)
+    index = ivf2_index_load(spark, path)
+    top1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+            for r in ivf2_index_search(batch, index).collect()}
+    head = ivf2_index_search(batch, index, k=3).collect()
+    rank1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+             for r in head if r.rank == 1}
+    assert rank1 == top1
+    by_q = {}
+    for r in head:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_pruned_search_equals_unpruned(spark, tmp_path):
+    """prune=True is pure routing: identical results, fewer files."""
+    emb = _corpus(spark)
+    batch = emb.where(F.col("vec_id") % 6 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=3, k2=2)
+    index = ivf2_index_load(spark, path)
+    plain = {tuple(r) for r in ivf2_index_search(batch, index).collect()}
+    pruned = {tuple(r)
+              for r in ivf2_index_search(batch, index,
+                                         prune=True).collect()}
+    assert pruned == plain
+
+
+def test_filtered_search_respects_predicate(spark, tmp_path):
+    """where= restricts NEIGHBORS to postings passing the predicate;
+    queries are unrestricted."""
+    emb = _corpus(spark).withColumn("tag", (F.col("vec_id") % 2)
+                                    .cast("int"))
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2, attr_cols=["tag"])
+    index = ivf2_index_load(spark, path)
+    hits = ivf2_index_search(emb, index,
+                             where=F.col("tag") == 0).collect()
+    assert hits
+    for r in hits:
+        assert r.neighbor_id % 2 == 0, "neighbor violates the filter"
+    # unfiltered search must dominate: same query's best cosine >= any
+    # filtered best
+    full = {r.vec_id: r.cos_sim
+            for r in ivf2_index_search(emb, index).collect()}
+    for r in hits:
+        assert full[r.vec_id] >= r.cos_sim
+
+
+def test_append_then_rebuild_recaps_overfull_cell(spark, tmp_path):
+    """The maintenance contract (VERDICT r7 item 4): appends are not
+    re-capped per batch, but a rebuild re-applies the build cap — a
+    cell pushed over cell_cap by ingest drops (the build's
+    degenerate-cell semantics), and meta.seq bumps."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2, cell_cap=30)
+    before = ivf2_index_load(spark, path)
+    assert before["meta"].seq == 1
+    base = before["postings"].count()
+    # push every cell over the cap with two replayed full-corpus appends
+    ivf2_index_append(emb.select("vec_id", "embedding"), spark, path)
+    ivf2_index_append(emb.select("vec_id", "embedding"), spark, path)
+    mid = ivf2_index_load(spark, path)
+    assert mid["postings"].count() == 3 * base, "appends must land"
+    ivf2_index_rebuild(spark, path)
+    after = ivf2_index_load(spark, path)
+    assert after["meta"].seq == 2
+    counts = (after["postings"].groupBy("sid", "sub").count().collect())
+    for row in counts:
+        assert row["count"] <= 30, "rebuild failed to re-cap a cell"
+
+
+def test_noop_rebuild_keeps_search_identical(spark, tmp_path):
+    """A rebuild with no appends is a pure rewrite: same rows, same
+    search answers, seq+1."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    index = ivf2_index_load(spark, path)
+    before = {tuple(r) for r in ivf2_index_search(batch, index).collect()}
+    ivf2_index_rebuild(spark, path)
+    index2 = ivf2_index_load(spark, path)
+    assert index2["meta"].seq == 2
+    after = {tuple(r) for r in ivf2_index_search(batch, index2).collect()}
+    assert after == before
+
+
+def test_append_id_col_mismatch_raises(spark, tmp_path):
+    emb = _corpus(spark)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
+    )
+
+    other = emb.withColumnRenamed("vec_id", "doc_id")
+    with pytest.raises(ValueError, match="id_col"):
+        ivf2_index_append(other, spark, path, id_col="doc_id")
+
+
+def test_degenerate_build_fails_loud_at_load(spark, tmp_path):
+    """ADVICE r7: every cell over cell_cap → empty postings dir; load
+    must raise a clear empty/corrupt-index error, not DuckDB-opaque
+    'Unable to infer schema'."""
+    emb = _corpus(spark, n=24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2, cell_cap=0)
+    with pytest.raises(ValueError, match="empty or corrupt"):
+        ivf2_index_load(spark, path)
+
+
+def test_pq_append_and_rebuild(spark, tmp_path):
+    """PQ tier lifecycle closure (VERDICT r7 item 4): appended
+    vectors are encoded through the LOADED codebook (code-only rows),
+    become searchable, and a rebuild re-caps cells pushed over the
+    build cap."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_append,
+        pq_index_rebuild,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq")
+    pq_index_build(corpus, path, dim=8, m=2, k=4, n_cells=3,
+                   cell_cap=30)
+    index = pq_index_load(spark, path)
+    base = index["postings"].count()
+    pq_index_append(batch, spark, path)
+    index2 = pq_index_load(spark, path)
+    assert index2["postings"].count() == base + batch.count()
+    cols = set(index2["postings"].columns)
+    assert cols == {"id", "cell", "code0", "code1"}, (
+        "appended rows must be CODES, not vectors")
+    # the appended ids are now searchable candidates
+    hits = pq_index_search(batch, index2).collect()
+    assert hits
+    # push over cap, rebuild re-caps
+    pq_index_append(corpus.select("vec_id", "embedding"), spark, path)
+    pq_index_append(corpus.select("vec_id", "embedding"), spark, path)
+    pq_index_rebuild(spark, path)
+    index3 = pq_index_load(spark, path)
+    assert index3["meta"].seq == 2
+    for row in index3["postings"].groupBy("cell").count().collect():
+        assert row["count"] <= 30

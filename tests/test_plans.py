@@ -29,6 +29,9 @@ BNLJ_ALLOWED = {
     "ann_top1_ivf2",    # broadcast super/sub anchor arrays (two-level)
     "ann_top1_ivf2_probe2",
     "ann_top1_ivf2_saved",    # broadcast LOADED anchor arrays (lifecycle)
+    "ann_topk_ivf2_saved",    # same saved-lifecycle anchor broadcasts
+    "ann_filtered_ivf2_saved",
+    "ann_pruned_ivf2_saved",
     "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
     "ann_top1_ivfpq_saved",   # broadcast loaded codebook/LUT one-row arrays
     "ivf_kmeans_cells",
@@ -356,4 +359,46 @@ def test_saved_index_search_plan_has_no_training(spark):
     # the postings are read from the saved files, partitioned by sid
     assert plan.count("FileScan parquet") >= 2, (
         "search must scan the saved index relations")
+    assert "CartesianProduct" not in plan
+
+
+def test_pruned_saved_search_reads_only_probed_sid_partitions(spark):
+    """VERDICT r7 item 2: the postings layout (partitionBy sid)
+    promises a probe prunes to its own super-cell's directories —
+    prove the filter actually fires. The pruned serve collects the
+    batch's probed sids into a static IN filter, which must appear as
+    a PartitionFilter on the postings scan (directory pruning, the
+    explicit shard-map routing of a serving system)."""
+    plan = plan_of(spark, "ann_pruned_ivf2_saved")
+    lines = [ln for ln in plan.splitlines()
+             if "postings" in ln and "FileScan" in ln]
+    assert lines, "pruned search must scan the saved postings"
+    assert any("PartitionFilters: [sid" in ln and " IN (" in ln
+               for ln in lines), (
+        "probed-sid IN filter did not reach the postings scan as a "
+        "PartitionFilter")
+
+
+def test_filtered_saved_search_pushes_attribute_predicate(spark):
+    """Attribute-filtered serving (VERDICT r7 item 1): the ``where``
+    predicate over an attr_cols column must reach the postings parquet
+    scan as a pushed filter — candidate I/O is cut at the reader, not
+    post-filtered after the pairing join."""
+    plan = plan_of(spark, "ann_filtered_ivf2_saved")
+    lines = [ln for ln in plan.splitlines()
+             if "postings" in ln and "FileScan" in ln]
+    assert lines, "filtered search must scan the saved postings"
+    assert any("LessThan(label,3)" in ln for ln in lines), (
+        "label predicate did not reach the postings scan's "
+        "PushedFilters")
+
+
+def test_topk_saved_search_plan_has_no_training(spark):
+    """The top-K lifecycle query inherits the saved-search contract:
+    zero training lineage (no DECIMAL(25,6) centroid means) in the
+    search plan; postings from the saved parquet."""
+    plan = plan_of(spark, "ann_topk_ivf2_saved")
+    assert "25,6" not in plan, "Lloyd training leaked into the plan"
+    assert any("postings" in ln and "FileScan" in ln
+               for ln in plan.splitlines())
     assert "CartesianProduct" not in plan
