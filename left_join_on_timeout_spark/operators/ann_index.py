@@ -444,7 +444,10 @@ def pq_index_build(emb: DataFrame, path: str,
                    m: int = DEFAULT_PQ_BLOCKS,
                    k: int = DEFAULT_PQ_CODEWORDS,
                    n_cells: int = DEFAULT_IVF_CELLS,
-                   cell_cap: int = DEFAULT_CELL_CAP) -> None:
+                   cell_cap: int = DEFAULT_CELL_CAP,
+                   train_iters: int = 0,
+                   train_frac: float | None = None,
+                   train_seed: str = "42") -> None:
     """Persist an IVF-PQ index under ``path`` — the compressed-domain
     sibling of :func:`ivf2_index_build`, completing the lifecycle for
     every trained relation the ANN surface builds (VERDICT r6 item 1
@@ -486,6 +489,16 @@ def pq_index_build(emb: DataFrame, path: str,
           .select((F.row_number().over(wcb) - 1).cast("int").alias("code"),
                   F.transform(F.col("v"), lambda x: x / F.col("nrm"))
                   .alias("cv")))
+    if train_iters > 0:
+        # per-block Lloyd over the (densified) seeds — the production
+        # codebook (VERDICT r7 item 3); code ids keep their seed ranks,
+        # so the LUT position arithmetic is unchanged
+        from left_join_on_timeout_spark.operators.similarity import (
+            _train_pq_codebook,
+        )
+
+        cb = _train_pq_codebook(v, id_col, dim, m, k, train_iters,
+                                train_frac, train_seed, seeds=cb)
     cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
     k_eff = cb.count()
     cba = cb.select(F.col("code").alias("ca"), F.col("cv").alias("cva"))
@@ -819,3 +832,46 @@ def pq_index_rebuild(spark: SparkSession, path: str) -> None:
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
         "id_col STRING, seq INT")
     _swap_postings(spark, path, recapped, None, meta_df)
+
+
+def pq_index_probe_hits(queries: DataFrame, index: dict,
+                        threshold: float,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(new_id, old_id, sdc): every coded cell-mate of each query
+    vector with symmetric-code-distance ≤ ``threshold`` — the PQ tier's
+    STATELESS streaming-ingest probe (VERDICT r7 item 6), the
+    compressed-domain twin of :func:`ivf2_index_probe_hits`: new
+    vectors are encoded through the LOADED codebook and assigned
+    through the LOADED anchors per micro-batch (zero training, zero
+    streaming state), candidates come from the standing coded
+    postings of the query's cell, and distances are m O(1) lookups in
+    the broadcast SDC table — the stream never touches raw posting
+    vectors, so per-batch network cost is (cell, m small ints) per
+    candidate. Threshold semantics are "emit the hits, reduce
+    downstream in batch" (a per-query argmin is a stateful agg under
+    streaming), as in the LSH and IVF2 ingest screens."""
+    meta = index["meta"]
+    kk, mm = meta.k, meta.m
+    lut_arr = index["lut"].agg(F.array_sort(
+        F.collect_list(F.struct("b", "ca", "cbc", "d2"))).alias("lut"))
+    q = _pq_encode_and_assign(queries, index, id_col, vec_col).select(
+        F.col(id_col).alias("new_id"), F.col("cell"),
+        *[F.col(f"code{b}").alias(f"ca{b}") for b in range(mm)])
+    p = index["postings"].select(
+        F.col("id").alias("old_id"), F.col("cell"),
+        *[F.col(f"code{b}").alias(f"cb{b}") for b in range(mm)])
+    pairs = (q.join(p, "cell")
+             .where(F.col("new_id") != F.col("old_id"))
+             .join(F.broadcast(lut_arr), F.size(F.col("lut")) > 0))
+
+    def _lookup(b: int) -> F.Column:
+        idx = (F.lit(b * kk) + F.col(f"ca{b}")) * kk + F.col(f"cb{b}") + 1
+        return F.element_at(F.col("lut"), idx.cast("int"))["d2"]
+
+    sdc = _lookup(0)
+    for b in range(1, mm):
+        sdc = sdc + _lookup(b)
+    return (pairs.select("new_id", "old_id",
+                         F.round(sdc, 6).alias("sdc"))
+            .where(F.col("sdc") <= threshold))

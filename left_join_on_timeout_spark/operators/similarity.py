@@ -1167,6 +1167,89 @@ def _pq_cand_fn(s: F.Column, b: int, sub: int):
     return _cand
 
 
+def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
+                       k: int, iters: int = 1,
+                       train_frac: float | None = None,
+                       train_seed: str = "42",
+                       seeds: DataFrame | None = None) -> DataFrame:
+    """Per-block k-means TRAINING of the PQ codebook (VERDICT r7
+    item 3) — the production recipe the first-k seed path stands in
+    for: each of the ``m`` blocks runs ``iters`` Lloyd passes over the
+    (optionally md5-gate-sampled) corpus subvectors, seeded by the
+    first-``k`` unit rows (or the caller's ``seeds`` — the saved-index
+    builder passes its densified codebook). Returns (code, cv) with
+    ``cv`` the concatenation of the per-block trained centroids, the
+    exact layout every encoder/LUT consumer slices.
+
+    Parity contract: assignment uses the single shared
+    :func:`_pq_cand_fn` arithmetic ((s·s − 2·s·c) + c·c, ties to the
+    lowest code), means are DECIMAL(25,6) per dimension (bit-identical
+    across engines and partitionings, the :func:`_lloyd` rule), and a
+    codeword that attracts NO members keeps its previous value — k
+    stays fixed and code ids contiguous, which the SDC LUT's position
+    arithmetic requires."""
+    from pyspark import StorageLevel
+
+    sub = dim // m
+    vu = v.select(F.col(id_col),
+                  F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+                  .alias("vu"))
+    if train_frac is not None and train_frac < 1.0:
+        from left_join_on_timeout_spark.operators.sampling import (
+            sample_gate,
+        )
+        vt = vu.where(sample_gate(id_col, train_frac, train_seed))
+    else:
+        vt = vu
+    if seeds is not None:
+        cb = seeds
+    else:
+        cb = vu.where(F.col(id_col) < k).select(
+            F.col(id_col).cast("int").alias("code"),
+            F.col("vu").alias("cv"))
+    for _ in range(iters):
+        cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
+        enc = vt.join(F.broadcast(cb_arr))
+        entries = []
+        for b in range(m):
+            s = F.slice(F.col("vu"), b * sub + 1, sub)
+            best = F.element_at(
+                F.array_sort(F.transform(F.col("cb"),
+                                         _pq_cand_fn(s, b, sub))), 1)
+            entries.append(F.struct(F.lit(b).alias("b"),
+                                    best["code"].alias("code"),
+                                    s.alias("s")))
+        rows = (enc.select(F.explode(F.array(*entries)).alias("e"))
+                .select("e.*"))
+        dims = (rows.select("b", "code", F.posexplode("s").alias("pos", "x"))
+                .groupBy("b", "code", "pos")
+                .agg((F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                      / F.count("*")).alias("mn")))
+        cent = (dims.groupBy("b", "code")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("pos", "mn"))).alias("a"))
+                .select("b", "code",
+                        F.transform(F.col("a"), lambda e: e["mn"])
+                        .alias("cs")))
+        seed_entries = [F.struct(F.lit(b).alias("b"), F.col("code"),
+                                 F.slice(F.col("cv"), b * sub + 1, sub)
+                                 .alias("cs0")) for b in range(m)]
+        prior = (cb.select(F.explode(F.array(*seed_entries)).alias("e"))
+                 .select("e.*"))
+        merged = (prior.join(cent, ["b", "code"], "left")
+                  .select("code", "b",
+                          F.coalesce(F.col("cs"), F.col("cs0"))
+                          .alias("cs")))
+        cb = (merged.groupBy("code")
+              .agg(F.array_sort(F.collect_list(F.struct("b", "cs")))
+                   .alias("a"))
+              .select("code",
+                      F.flatten(F.transform(F.col("a"), lambda e: e["cs"]))
+                      .alias("cv"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    return cb
+
+
 def pq_codes(emb: DataFrame,
              id_col: str = "vec_id",
              vec_col: str = "embedding",
@@ -1228,7 +1311,10 @@ def pq_sdc_top_neighbor(emb: DataFrame,
                         k: int = DEFAULT_PQ_CODEWORDS,
                         n_cells: int = DEFAULT_IVF_CELLS,
                         cell_cap: int = DEFAULT_CELL_CAP,
-                        rerank: int = 0) -> DataFrame:
+                        rerank: int = 0,
+                        train_iters: int = 0,
+                        train_frac: float | None = None,
+                        train_seed: str = "42") -> DataFrame:
     """IVF-PQ search: approximate nearest neighbor per vector where the
     candidate set comes from the IVF coarse cell and the distance comes
     from **PQ codes only** — the symmetric-distance (SDC) table lookup
@@ -1252,7 +1338,12 @@ def pq_sdc_top_neighbor(emb: DataFrame,
     and return (vec_id, neighbor_id, cos_sim). Measured at sf0.01,
     R=20 recovers the full exact-within-cell ceiling (recall@1 0.198
     vs 0.036 for raw SDC with this untrained 4×16 codebook) while
-    exact-scoring ~R rows per vector instead of the whole cell."""
+    exact-scoring ~R rows per vector instead of the whole cell.
+
+    ``train_iters`` > 0 swaps the first-``k`` seed codebook for the
+    per-block-Lloyd TRAINED one (:func:`_train_pq_codebook`, optionally
+    gate-sampled via ``train_frac``) — the production codebook; the
+    measured recall lift is in PLANS.md (VERDICT r7 item 3)."""
     from pyspark import StorageLevel
 
     sub = dim // m
@@ -1271,10 +1362,14 @@ def pq_sdc_top_neighbor(emb: DataFrame,
     assigned = assigned.withColumn(
         "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
 
-    cb = (v.where(F.col(id_col) < k)
-          .select(F.col(id_col).cast("int").alias("code"),
-                  F.transform(F.col("v"), lambda x: x / F.col("nrm"))
-                  .alias("cv")))
+    if train_iters > 0:
+        cb = _train_pq_codebook(v, id_col, dim, m, k, train_iters,
+                                train_frac, train_seed)
+    else:
+        cb = (v.where(F.col(id_col) < k)
+              .select(F.col(id_col).cast("int").alias("code"),
+                      F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+                      .alias("cv")))
     cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
 
     enc_cols = [F.col(id_col), F.col("cell")]

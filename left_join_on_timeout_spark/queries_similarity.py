@@ -1092,6 +1092,59 @@ WHERE rn = 1
 """
 
 
+def _ivfpq_trained_oracle(train_frac: float | None = None,
+                          train_seed: str = "42") -> str:
+    """DuckDB twin of the per-block-Lloyd TRAINED IVF-PQ search
+    (VERDICT r7 item 3): one Lloyd pass per block over the (optionally
+    md5-gate-sampled) unit subvectors, seeded by the first-k rows —
+    assignment via the exact ``_pq_cand_fn`` arithmetic ((s·s − 2·s·c)
+    + c·c, ties to the lowest code), DECIMAL(25,6) per-dimension means,
+    and empty codewords keeping their seed value (k stays fixed, the
+    LUT position arithmetic's contiguity contract). Downstream
+    (encode, cap, LUT, SDC argmin) is byte-identical to
+    ``_IVFPQ_ORACLE``."""
+    if train_frac is not None and train_frac < 1.0:
+        from left_join_on_timeout_spark.operators.sampling import (
+            HASH_WIDTH,
+            _threshold,
+        )
+        thr = _threshold(train_frac)
+        gate = (f"WHERE substr(md5('{train_seed}#' || "
+                f"CAST(vec_id AS VARCHAR)), 1, {HASH_WIDTH}) < '{thr}'")
+    else:
+        gate = ""
+    train_ctes = f"""
+cblk0 AS MATERIALIZED (SELECT code, t.b,
+                cv[t.b*{_PQ_SUB}+1 : t.b*{_PQ_SUB}+{_PQ_SUB}] AS cs
+         FROM cb, UNNEST(range(0, {_PQ_M})) AS t(b)),
+tblocks AS (SELECT * FROM blocks {gate}),
+td AS MATERIALIZED (SELECT bl.vec_id, bl.b, c.code, bl.s,
+             (list_dot_product(bl.s, bl.s)
+              - 2.0 * list_dot_product(bl.s, c.cs)
+              + list_dot_product(c.cs, c.cs)) AS d2
+      FROM tblocks bl JOIN cblk0 c ON bl.b = c.b),
+tasg AS (SELECT vec_id, b, code, s FROM (
+           SELECT vec_id, b, code, s,
+                  row_number() OVER (PARTITION BY vec_id, b
+                                     ORDER BY d2, code) AS rn
+           FROM td) t WHERE rn = 1),
+tmn AS (SELECT b, code, i,
+               CAST(sum(CAST(s[i] AS DECIMAL(25,6))) AS DOUBLE)
+                 / count(*) AS mn
+        FROM tasg, range(1, {_PQ_SUB + 1}) t(i) GROUP BY b, code, i),
+tc AS (SELECT b, code, list(mn ORDER BY i) AS cs FROM tmn
+       GROUP BY b, code),
+cblk AS MATERIALIZED (SELECT s.code, s.b, coalesce(c.cs, s.cs) AS cs
+         FROM cblk0 s LEFT JOIN tc c ON s.b = c.b AND s.code = c.code),"""
+    base = _IVFPQ_ORACLE
+    old = """cblk AS MATERIALIZED (SELECT code, t.b,
+                cv[t.b*{sub}+1 : t.b*{sub}+{sub}] AS cs
+         FROM cb, UNNEST(range(0, {m})) AS t(b)),""".format(
+        sub=_PQ_SUB, m=_PQ_M)
+    assert old in base, "IVFPQ oracle template drifted"
+    return base.replace(old, train_ctes.lstrip("\n"))
+
+
 @query("ann_top1_ivfpq", _IVFPQ_ORACLE)
 def q_ann_top1_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate nearest neighbor: IVF coarse cell candidates
@@ -1129,6 +1182,29 @@ def q_ann_top1_ivfpq_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         root, "ivfpq_" + os.path.basename(os.path.normpath(sf_dir)))
     return pq_self_search_saved(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
+
+
+_PQ_TRAIN_FRAC = 0.5
+
+
+@query("ann_top1_ivfpq_trained", _ivfpq_trained_oracle(_PQ_TRAIN_FRAC))
+def q_ann_top1_ivfpq_trained(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IVF-PQ with a TRAINED codebook (VERDICT r7 item 3): one
+    per-block Lloyd pass over the md5-gate-sampled unit subvectors
+    replaces the first-k seed codewords — the production PQ recipe
+    (sample-train the codebook, encode the universe). Same
+    compressed-domain search as ``ann_top1_ivfpq``; the oracle replays
+    the gated per-block Lloyd bit-for-bit (DECIMAL means, lowest-code
+    ties, empty codewords keep their seed). The measured recall lift
+    over the seed codebook is in PLANS.md; the bench-scale frac is 0.5
+    like the IVF2 sampled twin."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        pq_sdc_top_neighbor,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_sdc_top_neighbor(emb, dim=_DIM, m=_PQ_M, k=_PQ_K,
+                               train_iters=1, train_frac=_PQ_TRAIN_FRAC)
 
 
 @query("ann_recall_ivfpq", f"""

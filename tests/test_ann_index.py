@@ -375,3 +375,37 @@ def test_pq_append_and_rebuild(spark, tmp_path):
     assert index3["meta"].seq == 2
     for row in index3["postings"].groupBy("cell").count().collect():
         assert row["count"] <= 30
+
+
+def test_pq_trained_codebook_build(spark, tmp_path):
+    """train_iters=1 swaps the seed codebook for the per-block-Lloyd
+    trained one: codes stay contiguous 0..k_eff-1 (the LUT position
+    contract), the codebook actually moves off the seeds, and the
+    saved trained index serves searches."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    seed_path = str(tmp_path / "seed")
+    trained_path = str(tmp_path / "trained")
+    pq_index_build(emb, seed_path, dim=8, m=2, k=4, n_cells=3)
+    pq_index_build(emb, trained_path, dim=8, m=2, k=4, n_cells=3,
+                   train_iters=1)
+    seed = pq_index_load(spark, seed_path)
+    trained = pq_index_load(spark, trained_path)
+    assert trained["meta"].k == seed["meta"].k == 4
+    s_codes = sorted(r.code for r in seed["codebook"].collect())
+    t_codes = sorted(r.code for r in trained["codebook"].collect())
+    assert s_codes == t_codes == [0, 1, 2, 3]
+    s_cv = {r.code: r.cv for r in seed["codebook"].collect()}
+    t_cv = {r.code: r.cv for r in trained["codebook"].collect()}
+    assert any(s_cv[c] != t_cv[c] for c in s_codes), (
+        "training left every codeword at its seed")
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    hits = pq_index_search(batch, trained).collect()
+    assert hits
+    for r in hits:
+        assert r.vec_id % 4 == 0
