@@ -114,15 +114,21 @@ HEADLINE = [
     "ann_top1_ivf2_probe2",
     "ann_top1_ivfpq_saved",
     "ann_topk_ivf",
+    # round-8 additions: the serving tier over the saved index (top-K /
+    # attribute-filtered / sid-pruned search) and the trained PQ codebook
+    "ann_topk_ivf2_saved",
+    "ann_filtered_ivf2_saved",
+    "ann_pruned_ivf2_saved",
+    "ann_top1_ivfpq_trained",
 ]
 
-# The previous round's headline set (BENCH_r06.json / BENCH_FULL.json).
+# The previous round's headline set (BENCH_r07.json / BENCH_FULL.json).
 # The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query sets,
 # not the headline total, which grows whenever new queries join the set
 # (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:74]
+PREV_HEADLINE = HEADLINE[:79]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

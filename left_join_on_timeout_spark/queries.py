@@ -379,75 +379,82 @@ EXTRA_ORACLE: dict[str, str] = {
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
 # entries of this registry (dict insertion order).  Union driver coverage
-# reached 180/180 in round 6 (zero evidence debt), so from round 7 on the
-# window rotates by EVIDENCE STALENESS (VERDICT r6 item 4): positions 1-3
-# are the round's NEW queries (new names always adjudicate inside the
-# window -- here the ANN index lifecycle (two-level + IVF-PQ), the
-# sample-trained Lloyd, and the streaming ANN ingest probe), followed
-# by the 46 names whose latest driver-green row is OLDEST (the full r2
-# vintage, then the r3 vintage alphabetically), so external evidence
-# ages uniformly as code churns.
-# The selection is mechanical -- regenerate with tools/evidence_age.py
-# after each round's CORRECTNESS_r{N}.json lands.  A green r7 window
-# drops the registry's maximum evidence age to 4 rounds.  Everything
-# after position 50 remains covered by the local type-strict gate
+# is total (190/190 across r1..r7), so the window rotates by EVIDENCE
+# STALENESS (VERDICT r6 item 4) with one refinement from ADVICE r7:
+# ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
+# section -- every already-green name whose operator or oracle was
+# touched this round re-adjudicates now, so a semantics change never
+# ships with only local test coverage.  Round 8 order:
+#   1-5    NEW queries (saved-index top-K / filtered / pruned serving,
+#          trained PQ codebook, streaming PQ probe);
+#   6-15   sentinels: the four ivf/ivf2 cap-semantics names ADVICE r7
+#          flagged as changed-in-r7-but-unadjudicated, plus every query
+#          whose path round 8 touched (ann_index serving extensions,
+#          _train_two_level persist plumbing, pq_sdc_top_neighbor's
+#          trained-codebook branch, ivf_top_neighbors tree routing);
+#   16-50  the staleness rotation: the full r3 vintage (12), then the
+#          r4 vintage alphabetically (23 of 39).
+# The selection is mechanical -- regenerate with
+#   python tools/evidence_age.py 50 --sentinel <changed names>
+# after each round's CORRECTNESS_r{N}.json lands.  Everything after
+# position 50 remains covered by the local type-strict gate
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r7: index lifecycle + sampled Lloyd + stream probe +
-    # -- the top-K retrieval head ------------------------------------- 5
+    # -- NEW in r8 ----------------------------------------------------- 5
+    "ann_topk_ivf2_saved",
+    "ann_filtered_ivf2_saved",
+    "ann_pruned_ivf2_saved",
+    "ann_top1_ivfpq_trained",
+    "stream_pq_probe",
+    # -- changed-code-path sentinels (ADVICE r7) ---------------------- 10
+    "ann_top1_ivf",
+    "ann_top1_ivf_probe2",
+    "ann_top1_ivf2",
+    "ann_top1_ivf2_probe2",
+    "ann_top1_ivfpq",
     "ann_top1_ivf2_saved",
     "ann_top1_ivf2_sampled",
     "ann_top1_ivfpq_saved",
-    "stream_ann_probe",
     "ann_topk_ivf",
-    # -- stalest evidence: the full r2 vintage ------------------------ 30
-    "approx_sketches",
-    "cube_order_status",
-    "dedup_cc_clusters",
-    "dedup_edit_distance",
-    "dedup_lsh_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_hamming2",
-    "distinct_counts",
-    "exists_semi_join",
-    "global_price_rank",
-    "kafka_sink_encode",
-    "multimodal_frame_sample",
-    "nested_array_types",
-    "pivot_event_types",
-    "props_map_explode",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "rollup_revenue",
-    "scalar_functions",
-    "session_window_stats",
-    "sessionization",
-    "set_ops_customers",
-    "sliding_window_events",
-    "top_k_orders",
-    "tumbling_window_events",
-    "union_all_keys",
-    "window_running_revenue",
-    "window_top3_per_customer",
-    # -- next-stalest: first 15 of the r3 vintage (alphabetical) ------ 15
-    "analytic_order_moves",
-    "crossdoc_dup_ngrams",
-    "embedding_near_dup",
-    "events_daily_resample",
-    "exact_median_prices",
-    "incremental_agg_refresh",
-    "key_partition_hist",
-    "multi_format_roundtrip",
-    "multi_match_cardinality",
-    "profile_documents",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
+    "stream_ann_probe",
+    # -- stalest evidence: the full r3 vintage ------------------------ 12
+    "q7_nation_volume",
+    "q9_product_profit",
+    "salted_join_revenue",
+    "sample_stratified_docs",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_timeout_only",
+    "text_fingerprint_stats",
+    "text_lang_dist",
+    "tfidf_top_terms",
+    "window_rolling_7d",
+    "zscore_anomalies",
+    # -- next-stalest: first 23 of the r4 vintage (alphabetical) ------ 23
+    "ann_recall_srp",
+    "cdc_latest_per_key",
+    "chunk_documents_windows",
+    "cohort_retention_weekly",
+    "contamination_ngram_overlap",
+    "dedup_keep_canonical",
+    "funnel_conversion_daily",
+    "grouping_sets_revenue",
+    "json_extract_props",
+    "knn_brute_cosine",
+    "label_centroids",
+    "merge_upsert_orders",
+    "multimodal_features",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_lines_by_flag",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_heavy_gear_suppliers",
+    "q22_idle_rich_customers",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from left_join_on_timeout_spark.functions.vectors import as_double, l2_norm
 from left_join_on_timeout_spark.operators.sampling import sample_key
 from left_join_on_timeout_spark.operators.similarity import (
+    auto_knobs,
     pq_sdc_top_neighbor,
 )
 from left_join_on_timeout_spark.partitioning import fan_out
@@ -53,8 +54,12 @@ def main() -> None:
 
     emb = load_table(spark, src, "embeddings")
     n = emb.count()
+    # corpus-sized coarse cells (the auto_knobs rule) — the 32-cell
+    # default is bench-scale only; at 200k rows every default cell
+    # blows past cell_cap and the index would be empty
+    cells = auto_knobs(n)["n_cells"]
     out = {"sf_dir": src, "n_rows": n, "m": 4, "k": 16,
-           "train_frac": frac}
+           "n_cells": cells, "train_frac": frac}
 
     v = fan_out(emb).select("vec_id", as_double("embedding").alias("v"))
     v = (v.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
@@ -85,12 +90,13 @@ def main() -> None:
         ann.unpersist()
         print(json.dumps(out), flush=True)
 
-    recall("seed_r0", lambda: pq_sdc_top_neighbor(emb))
-    recall("seed_r20", lambda: pq_sdc_top_neighbor(emb, rerank=20))
+    recall("seed_r0", lambda: pq_sdc_top_neighbor(emb, n_cells=cells))
+    recall("seed_r20", lambda: pq_sdc_top_neighbor(
+        emb, n_cells=cells, rerank=20))
     recall("trained_r0", lambda: pq_sdc_top_neighbor(
-        emb, train_iters=1, train_frac=frac))
+        emb, n_cells=cells, train_iters=1, train_frac=frac))
     recall("trained_r20", lambda: pq_sdc_top_neighbor(
-        emb, rerank=20, train_iters=1, train_frac=frac))
+        emb, n_cells=cells, rerank=20, train_iters=1, train_frac=frac))
 
 
 if __name__ == "__main__":
