@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     # PQ: one-row broadcast codebook / LUT array crosses
     "pq_codes_recon",
     "ann_top1_ivfpq",
+    "ann_top1_ivfpq_trained",  # + the trainer's broadcast seed-codebook cross
     "bigram_pmi_top",  # one-row corpus-totals cross
     "dedup_graph_triangles",   # one-row vertex/edge/triangle count crosses
     "length_equidepth_bins",   # one-row corpus-size N cross
