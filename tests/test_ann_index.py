@@ -409,3 +409,20 @@ def test_pq_trained_codebook_build(spark, tmp_path):
     assert hits
     for r in hits:
         assert r.vec_id % 4 == 0
+
+
+def test_repeated_builds_do_not_accumulate_cache(spark, tmp_path):
+    """ADVICE r7: the trainer's persists (parsed corpus, gated sample,
+    super-assignment, Lloyd centroid tables) must all be released by
+    the time ivf2_index_build returns — repeated builds in one session
+    must not grow the persisted-RDD set."""
+    emb = _corpus(spark)
+    ivf2_index_build(emb, str(tmp_path / "warm"), n_super=2, k2=2,
+                     train_frac=0.5)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for i in range(3):
+        ivf2_index_build(emb, str(tmp_path / f"i{i}"), n_super=2, k2=2,
+                         train_frac=0.5)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"index builds leaked cached relations: {before} -> {after}")

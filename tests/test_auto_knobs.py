@@ -337,3 +337,27 @@ def test_topk_head_contains_top1(spark):
     assert all(c <= 3 for c in per_vec.values())
     nbrs = Counter((r.vec_id, r.neighbor_id) for r in topk)
     assert all(c == 1 for c in nbrs.values())
+
+
+def test_topk_auto_path_routes_to_tree_past_crossover(spark, monkeypatch):
+    """ADVICE r7: the top-K head's auto path must take the same
+    flat→tree routing as the top-1 searcher — a scale user of
+    ivf_top_neighbors must not silently land on the flat argmax the
+    crossover measurements rejected."""
+    from left_join_on_timeout_spark.operators import similarity as sim
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.cos(F.col("id") * (i + 1)))
+        .alias("embedding"))
+    monkeypatch.setattr(sim, "corpus_rows", lambda df: 200_000)
+    budget = auto_knobs(200_000)["n_cells"]
+    tk = sim.two_level_knobs(budget)
+    routed = {(r.vec_id, r.neighbor_id, r.cos_sim, r.rank)
+              for r in sim.ivf_top_neighbors(emb, k=3).collect()}
+    pinned = {(r.vec_id, r.neighbor_id, r.cos_sim, r.rank)
+              for r in sim.ivf2_top_neighbors(
+                  emb, k=3, n_super=tk["n_super"],
+                  k2=tk["k2"]).collect()}
+    assert routed == pinned
