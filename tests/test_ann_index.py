@@ -426,3 +426,41 @@ def test_repeated_builds_do_not_accumulate_cache(spark, tmp_path):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, (
         f"index builds leaked cached relations: {before} -> {after}")
+
+
+def test_pq_index_search_topk_heads(spark, tmp_path):
+    """k>1 serving head for the compressed tier: rank-1 == the argmin
+    search (compressed mode) / the rerank argmax (refine mode); ranks
+    ordered by the mode's metric."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq")
+    pq_index_build(corpus, path, dim=8, m=2, k=4, n_cells=2,
+                   cell_cap=100)
+    index = pq_index_load(spark, path)
+    top1 = {(r.vec_id, r.neighbor_id, r.sdc)
+            for r in pq_index_search(batch, index).collect()}
+    head = pq_index_search(batch, index, k=3).collect()
+    assert {(r.vec_id, r.neighbor_id, r.sdc)
+            for r in head if r.rank == 1} == top1
+    by_q = {}
+    for r in head:
+        by_q.setdefault(r.vec_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        sdcs = [r.sdc for r in rows]
+        assert sdcs == sorted(sdcs), "compressed head must rank by sdc asc"
+    r_top1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+              for r in pq_index_search(batch, index, rerank=5,
+                                       corpus=corpus).collect()}
+    r_head = pq_index_search(batch, index, rerank=5, corpus=corpus,
+                             k=3).collect()
+    assert {(r.vec_id, r.neighbor_id, r.cos_sim)
+            for r in r_head if r.rank == 1} == r_top1
