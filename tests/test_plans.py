@@ -80,6 +80,11 @@ SCAN_EXPR_ALLOWED = {
     "ann_recall_ivfpq",
     "sample_uniform_events",
     "sample_stratified_docs",
+    # the md5 TRAINING-SAMPLE gate pushed into the codebook trainer's
+    # scan — the deterministic O(1)/row sampling gate (same class as
+    # the sample_* pushes above), not the shingle/vector pipeline this
+    # guard exists for; pushing it to the reader is the point
+    "ann_top1_ivfpq_trained",
 }
 
 # timer_/tws_ queries run the full streaming drain harness just to
