@@ -7,13 +7,19 @@ index over 2 M and 20 M vectors once, then time the incremental probe
 codebook/anchors/LUT), rerank=0 and rerank=20.
 
 Knobs: the coarse quantizer of the PQ tier is the FLAT argmax (the
-two-level tree is the IVF2 family's), so the cell budget is pinned to
-the third-decade 3200 — at 20 M that is ~6 250 rows/cell, covered by a
-raised cell_cap; the compressed-domain candidate cost per probe row is
-cell-size × m O(1) lookups either way, which is the quantity under
-test. Codes postings are a few bytes/row — the 20 M index is ~100×
-smaller on disk than the vector-carrying IVF2 postings, the PQ memory
-contract.
+two-level tree is the IVF2 family's), and the flat assign's
+O(n·n_cells) interpreted dot products are the measured build
+bottleneck — a first attempt at the third-decade 3200-cell budget put
+the 2 M build alone past 40 minutes (6.4e9 64-dim folds), confirming
+at PQ scale exactly what the IVF2 crossover study measured: past a
+few hundred cells the flat argmax is not the surviving assignment
+plan. Both decades therefore pin cells to 320 (under the measured
+512-cell crossover) with cell_cap raised to hold the resulting
+62.5 k-row cells at 20 M; the quantity under test — compressed-domain
+probe cost per indexed row, cell-size × m O(1) lookups — is knob-
+consistent across the decade step. Codes postings are a few bytes/row
+— the 20 M index is ~100× smaller on disk than the vector-carrying
+IVF2 postings, the PQ memory contract.
 
 Usage: python tools/pq_fifth_warm.py [vec2m_dir] [vec20m_dir]
 """
@@ -38,8 +44,8 @@ from left_join_on_timeout_spark.operators.sampling import sample_key
 from left_join_on_timeout_spark.session import get_spark
 from left_join_on_timeout_spark.sources.tables import load_table
 
-N_CELLS = 3200
-CELL_CAP = 20_000
+N_CELLS = 320
+CELL_CAP = 100_000
 BATCH_GATE = "0020"  # ~0.05% of 2^16
 
 
