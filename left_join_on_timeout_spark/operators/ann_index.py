@@ -476,7 +476,10 @@ def pq_index_build(emb: DataFrame, path: str,
                    cell_cap: int = DEFAULT_CELL_CAP,
                    train_iters: int = 0,
                    train_frac: float | None = None,
-                   train_seed: str = "42") -> None:
+                   train_seed: str = "42",
+                   coarse: str = "flat",
+                   n_super: int = DEFAULT_SUPER_CELLS,
+                   k2: int = DEFAULT_SUB_CELLS) -> None:
     """Persist an IVF-PQ index under ``path`` — the compressed-domain
     sibling of :func:`ivf2_index_build`, completing the lifecycle for
     every trained relation the ANN surface builds (VERDICT r6 item 1
@@ -496,17 +499,41 @@ def pq_index_build(emb: DataFrame, path: str,
     Arithmetic is bit-identical to :func:`pq_sdc_top_neighbor` (shared
     ``_pq_cand_fn`` encoder; unit vectors so argmin-L2 over codes is
     argmax-cosine), so a self-search over the saved index reproduces
-    the fused query's oracle hash."""
+    the fused query's oracle hash.
+
+    ``coarse="tree"`` replaces the flat anchor argmax with the TRAINED
+    two-level quantizer (``n_super`` × ``k2``, sample-trainable via
+    ``train_frac``) — the structural remedy for the measured flat-
+    assign bottleneck (PLANS.md §fifth-decade PQ: the 3200-cell flat
+    build alone blew 40 minutes at 2 M; the tree covers the same cell
+    budget with O(n_super + k2) dot products per row). The composite
+    cell id ``sid·k2 + sub`` flattens the tree cell into the single
+    ``cell`` column every downstream stage (cap, pairing, LUT probe,
+    append, rebuild) already speaks — the index layout is identical,
+    only the assignment path changes. Queries assign through the SAVED
+    sup/sub anchors at serve time (persisted alongside the flat
+    anchors' slot)."""
     from pyspark.sql import Window
 
     sub = dim // m
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
-    anchors = (v.where(F.col(id_col) < n_cells)
-               .select(F.col(id_col).alias("cell"),
-                       F.col("v").alias("av"),
-                       F.col("nrm").alias("anrm")))
-    anchors.write.mode("overwrite").parquet(os.path.join(path, "anchors"))
+    tree_persisted: list = []
+    if coarse == "tree":
+        _v, sup_anchors, sup_assigned, sub_anchors = _train_two_level(
+            emb, id_col, vec_col, n_super, k2, 1, train_frac,
+            train_seed, tree_persisted)
+        sup_anchors.write.mode("overwrite").parquet(
+            os.path.join(path, "sup_anchors"))
+        sub_anchors.write.mode("overwrite").parquet(
+            os.path.join(path, "sub_anchors"))
+    else:
+        anchors = (v.where(F.col(id_col) < n_cells)
+                   .select(F.col(id_col).alias("cell"),
+                           F.col("v").alias("av"),
+                           F.col("nrm").alias("anrm")))
+        anchors.write.mode("overwrite").parquet(
+            os.path.join(path, "anchors"))
     # Codes are DENSIFIED (rank among seed rows, not the raw id): the
     # LUT position arithmetic — element_at((b·k + ca)·k + cb + 1) —
     # requires a contiguous 0..k_eff-1 code universe, and a corpus with
@@ -546,7 +573,13 @@ def pq_index_build(emb: DataFrame, path: str,
      .select("e.*")
      .write.mode("overwrite").parquet(os.path.join(path, "lut")))
 
-    assigned = _assign_to_anchors(v, anchors, id_col)
+    if coarse == "tree":
+        assigned = (_assign_to_subs(sup_assigned, sub_anchors, id_col)
+                    .withColumn("cell",
+                                F.col("sid") * k2 + F.col("sub"))
+                    .drop("sid", "sub"))
+    else:
+        assigned = _assign_to_anchors(v, anchors, id_col)
     assigned = assigned.withColumn(
         "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
@@ -562,21 +595,24 @@ def pq_index_build(emb: DataFrame, path: str,
     capped = (index.withColumn("csz", F.count("*").over(w))
               .where(F.col("csz") <= cell_cap).drop("csz"))
     capped.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    for df in tree_persisted:
+        df.unpersist()
     # meta.k is the EFFECTIVE codeword count (rows actually in the
     # codebook), which is what the LUT position arithmetic needs — it
     # can be < the requested ``k`` on a corpus with fewer than k seeds
     meta = emb.sparkSession.createDataFrame(
         [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
-          id_col, 1)],
+          id_col, 1, coarse, n_super, k2)],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
-        "id_col STRING, seq INT")
+        "id_col STRING, seq INT, coarse STRING, n_super INT, k2 INT")
     meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def pq_index_load(spark: SparkSession, path: str) -> dict:
     """Load a saved IVF-PQ index (validated format version). Anchor,
     codebook, and LUT relations are broadcast-bound at search; the
-    coded postings stay a lazy scan."""
+    coded postings stay a lazy scan. A ``coarse="tree"`` build loads
+    the saved sup/sub anchors instead of the flat anchor table."""
     meta_rows = spark.read.parquet(os.path.join(path, "meta")).collect()
     if len(meta_rows) != 1:
         raise ValueError(f"corrupt index meta at {path}: "
@@ -586,26 +622,44 @@ def pq_index_load(spark: SparkSession, path: str) -> dict:
         raise ValueError(
             f"index format version {meta.version} at {path}; "
             f"this build reads version {INDEX_FORMAT_VERSION}")
-    return {
+    out = {
         "meta": meta,
-        "anchors": spark.read.parquet(os.path.join(path, "anchors")),
         "codebook": spark.read.parquet(os.path.join(path, "codebook")),
         "lut": spark.read.parquet(os.path.join(path, "lut")),
         "postings": _read_postings(spark, path),
     }
+    if getattr(meta, "coarse", "flat") == "tree":
+        out["sup_anchors"] = spark.read.parquet(
+            os.path.join(path, "sup_anchors"))
+        out["sub_anchors"] = spark.read.parquet(
+            os.path.join(path, "sub_anchors"))
+    else:
+        out["anchors"] = spark.read.parquet(
+            os.path.join(path, "anchors"))
+    return out
 
 
 def _pq_encode_and_assign(queries: DataFrame, index: dict,
                           id_col: str, vec_col: str) -> DataFrame:
     """(id, cell, code0..m-1): queries encoded through the LOADED
     codebook and assigned through the LOADED anchors — zero training,
-    the same arithmetic as the build side."""
+    the same arithmetic as the build side (tree-coarse indexes route
+    through the saved sup/sub anchors and the same ``sid·k2 + sub``
+    composite cell)."""
     meta = index["meta"]
     sub = meta.dim // meta.m
     vq = fan_out(queries).select(F.col(id_col),
                                  as_double(vec_col).alias("v"))
     vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
-    assigned = _assign_to_anchors(vq, index["anchors"], id_col)
+    if getattr(meta, "coarse", "flat") == "tree":
+        sup = (_assign_to_anchors(vq, index["sup_anchors"], id_col)
+               .withColumnRenamed("cell", "sid"))
+        assigned = (_assign_to_subs(sup, index["sub_anchors"], id_col)
+                    .withColumn("cell",
+                                F.col("sid") * meta.k2 + F.col("sub"))
+                    .drop("sid", "sub"))
+    else:
+        assigned = _assign_to_anchors(vq, index["anchors"], id_col)
     assigned = assigned.withColumn(
         "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cb_arr = index["codebook"].agg(
@@ -881,9 +935,12 @@ def pq_index_rebuild(spark: SparkSession, path: str) -> None:
     meta_df = spark.createDataFrame(
         [(meta.version, meta.dim, meta.m, meta.k, meta.n_cells,
           meta.cell_cap, meta.id_col,
-          int(getattr(meta, "seq", 1) or 1) + 1)],
+          int(getattr(meta, "seq", 1) or 1) + 1,
+          getattr(meta, "coarse", "flat"),
+          int(getattr(meta, "n_super", -1) or -1),
+          int(getattr(meta, "k2", -1) or -1))],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
-        "id_col STRING, seq INT")
+        "id_col STRING, seq INT, coarse STRING, n_super INT, k2 INT")
     _swap_postings(spark, path, recapped, None, meta_df)
 
 

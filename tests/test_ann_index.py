@@ -481,3 +481,51 @@ def test_load_rejects_postings_schema_drift(spark, tmp_path):
     shutil.move(path + "/postings2", path + "/postings")
     with pytest.raises(ValueError, match="schema drift"):
         ivf2_index_load(spark, path)
+
+
+def test_pq_tree_coarse_lifecycle(spark, tmp_path):
+    """coarse="tree" PQ index (the structural remedy for the measured
+    flat-assign bottleneck, PLANS.md §fifth-decade PQ): build routes
+    the coarse assignment through the trained two-level quantizer
+    (composite cell = sid*k2 + sub), queries assign through the SAVED
+    sup/sub anchors, and the whole downstream lifecycle — search,
+    top-K head, append, rebuild — speaks the same flat cell column."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_load,
+        pq_index_rebuild,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pqt")
+    pq_index_build(corpus, path, dim=8, m=2, k=4, cell_cap=30,
+                   coarse="tree", n_super=2, k2=2)
+    index = pq_index_load(spark, path)
+    assert index["meta"].coarse == "tree"
+    assert "sup_anchors" in index and "sub_anchors" in index
+    # composite cells are within [0, n_super*k2)
+    cells = {r.cell for r in index["postings"]
+             .select("cell").distinct().collect()}
+    assert cells and all(0 <= c < 4 for c in cells)
+    indexed = {r.vec_id for r in corpus.select("vec_id").collect()}
+    hits = pq_index_search(batch, index).collect()
+    assert hits
+    for r in hits:
+        assert r.neighbor_id in indexed
+    head = pq_index_search(batch, index, k=2).collect()
+    assert {(r.vec_id, r.neighbor_id, r.sdc)
+            for r in head if r.rank == 1} \
+        == {(r.vec_id, r.neighbor_id, r.sdc) for r in hits}
+    # append encodes through the saved tree + codebook; rebuild re-caps
+    base = index["postings"].count()
+    pq_index_append(batch, spark, path)
+    index2 = pq_index_load(spark, path)
+    assert index2["postings"].count() == base + batch.count()
+    pq_index_rebuild(spark, path)
+    index3 = pq_index_load(spark, path)
+    assert index3["meta"].seq == 2
+    assert index3["meta"].coarse == "tree"
