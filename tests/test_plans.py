@@ -85,6 +85,15 @@ SCAN_EXPR_ALLOWED = {
     # the sample_* pushes above), not the shingle/vector pipeline this
     # guard exists for; pushing it to the reader is the point
     "ann_top1_ivfpq_trained",
+    # same gate class, with a session-order wrinkle: the sampled
+    # trainer persists the parsed corpus, and CacheManager dedups
+    # entries by logical plan — when an index BUILD earlier in the
+    # session unpersists its trainer relations (the ADVICE r7 leak
+    # fix), the shared entry drops and this query's vt gate lands on
+    # the raw scan instead of the cached relation. Both shapes are
+    # fine (the gate is O(1)/row); without the allowlist the gate is
+    # order-dependent.
+    "ann_top1_ivf2_sampled",
 }
 
 # timer_/tws_ queries run the full streaming drain harness just to
