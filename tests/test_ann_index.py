@@ -529,3 +529,61 @@ def test_pq_tree_coarse_lifecycle(spark, tmp_path):
     index3 = pq_index_load(spark, path)
     assert index3["meta"].seq == 2
     assert index3["meta"].coarse == "tree"
+
+
+def test_serving_knobs_compose(spark, tmp_path):
+    """The serving knobs are orthogonal by construction — pin it:
+    k=2 + where + prune + nprobe=2 in ONE search returns exactly the
+    unpruned variant's rows (prune is routing), every neighbor passes
+    the filter, and rank-1 equals the same-knobs top-1."""
+    emb = _corpus(spark).withColumn("tag", (F.col("vec_id") % 2)
+                                    .cast("int"))
+    batch = emb.where(F.col("vec_id") % 6 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=3, k2=2, attr_cols=["tag"])
+    index = ivf2_index_load(spark, path)
+    kw = dict(nprobe=2, k=2, where=F.col("tag") == 0)
+    full = {tuple(r)
+            for r in ivf2_index_search(batch, index, **kw).collect()}
+    pruned = {tuple(r)
+              for r in ivf2_index_search(batch, index, prune=True,
+                                         **kw).collect()}
+    assert pruned == full and full
+    for (_vid, nbr, _cs, rank) in full:
+        assert nbr % 2 == 0
+        assert rank in (1, 2)
+    top1 = {(r.vec_id, r.neighbor_id, r.cos_sim)
+            for r in ivf2_index_search(
+                batch, index, nprobe=2,
+                where=F.col("tag") == 0).collect()}
+    assert {(v, n, c) for (v, n, c, r) in full if r == 1} == top1
+
+
+def test_rebuild_preserves_attr_columns(spark, tmp_path):
+    """A rebuild rewrites whatever columns the postings carry — an
+    attr_cols index keeps its attributes (and filtered search keeps
+    working) across append + rebuild."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark).withColumn("tag", (F.col("vec_id") % 2)
+                                    .cast("int"))
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(corpus, path, n_super=2, k2=2, attr_cols=["tag"])
+    ivf2_index_append(batch.select("vec_id", "embedding", "tag"),
+                      spark, path)
+    ivf2_index_rebuild(spark, path)
+    index = ivf2_index_load(spark, path)
+    assert "tag" in index["postings"].columns
+    appended = {r.vec_id for r in batch.select("vec_id").collect()}
+    kept = {r.id for r in index["postings"].select("id").collect()}
+    assert appended <= kept, "rebuild dropped appended rows"
+    hits = ivf2_index_search(emb, index,
+                             where=F.col("tag") == 1).collect()
+    assert hits
+    for r in hits:
+        assert r.neighbor_id % 2 == 1
