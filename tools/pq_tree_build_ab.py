@@ -9,7 +9,10 @@ the same cell budget with O(n_super + k2) dot products per row
 Reports build wall + a warm probe of a held-out batch against each
 index so the serve side is compared at the same budget too.
 
-Usage: python tools/pq_tree_build_ab.py [vec2m_dir] [budget]
+Usage: python tools/pq_tree_build_ab.py [vec_dir] [budget]
+At the fifth decade (20 M, budget 32000) run with
+SPARK_GRAFT_DRIVER_MEM=64g — the 8 g default OOMs the grouped Lloyd
+pass, the same note as every fourth/fifth-decade tool.
 """
 
 from __future__ import annotations
