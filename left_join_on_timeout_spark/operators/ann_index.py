@@ -22,7 +22,8 @@ pushable; the format the rest of the engine already speaks):
   serving system would do with an explicit shard map).
 * ``meta``          one row of knobs — load-time validation, the
   contract that search uses the SAME cap/probe semantics the build
-  baked into the postings, and a ``seq`` counter the rebuild bumps.
+  baked into the postings, and a ``seq`` counter that doubles as the
+  MANIFEST POINTER: the live postings live at ``postings_v{seq}``.
 
 ``attr_cols`` lets a build carry attribute columns (label / source /
 date) into the postings so a serving search can push an attribute
@@ -43,12 +44,19 @@ batch's probed super-cells into a static ``sid IN`` filter — a
 PartitionFilter, so the scan reads only the probed sid directories
 (the explicit shard-map routing, plan-gated and measured in PLANS.md).
 
-MAINTENANCE closes the loop (VERDICT r7 item 4): ``*_index_append``
-assigns/encodes new batches through the loaded (immutable) quantizer
-and appends postings; ``*_index_rebuild`` re-applies the build cap
-over base+appended postings, bumps ``meta.seq``, and swaps the new
-postings in atomically (write-aside → rename) — the bounded-staleness
-contract of every compacting index.
+MAINTENANCE closes the loop (VERDICT r7 item 4, r8 items 2-3):
+``*_index_append`` assigns/encodes new batches through the loaded
+(immutable) quantizer and appends postings; ``*_index_delete`` writes
+id TOMBSTONES that every search anti-joins out (broadcast — deletes
+are small between rebuilds) so a dropped document never surfaces from
+a standing index; ``*_index_rebuild`` re-applies the build cap over
+base+appended postings MINUS tombstones, and publishes the result as
+a new VERSIONED directory ``postings_v{seq+1}`` before flipping the
+``meta.seq`` manifest pointer — no renames anywhere (object-store
+safe), a reader that loaded the previous version keeps scanning its
+own files (old versions are garbage-collected only once they fall two
+seqs behind), and a crash mid-rebuild leaves the old version live
+because the pointer flips last.
 
 Reference parity note: the reference engine (kptfh/left-join-on-timeout)
 has no ANN surface — this module belongs to the LLM-data-pipeline
@@ -80,18 +88,107 @@ from left_join_on_timeout_spark.operators.similarity import (
 )
 from left_join_on_timeout_spark.partitioning import fan_out
 
-INDEX_FORMAT_VERSION = 1
+# v2: postings are VERSIONED directories (postings_v{seq}) resolved
+# through the meta.seq manifest pointer, with optional id tombstones —
+# a v1 (rename-in-place) layout fails loud at load; indexes are cheap
+# to rebuild and nothing in this sandbox persists them across runs.
+INDEX_FORMAT_VERSION = 2
+
+_cleanup_registered = False
 
 
 def default_index_root() -> str:
     """Root directory the registered queries save their indexes under.
     ``SPARK_GRAFT_INDEX_DIR`` pins a shared location (the deployment
-    case: one serving path, builds swap atomically); the DEFAULT is
-    keyed by PID so two concurrent runs at the same SF (bench + tests,
-    or two sessions) can never overwrite parquet files a sibling's lazy
-    search plan is still reading (ADVICE r7)."""
+    case: one serving path, versioned rebuilds GC themselves); the
+    DEFAULT is keyed by PID so two concurrent runs at the same SF
+    (bench + tests, or two sessions) can never overwrite parquet files
+    a sibling's lazy search plan is still reading (ADVICE r7). The
+    PID-keyed default is removed at interpreter exit (ADVICE r8 — a
+    bench/test process must not abandon a corpus-sized tree in /tmp)."""
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
-    return root if root else f"/tmp/spark_graft_index_{os.getpid()}"
+    if root:
+        return root
+    path = f"/tmp/spark_graft_index_{os.getpid()}"
+    global _cleanup_registered
+    if not _cleanup_registered:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _cleanup_registered = True
+    return path
+
+
+def _postings_dir(path: str, seq: int) -> str:
+    return os.path.join(path, f"postings_v{int(seq)}")
+
+
+def _gc_versions(path: str, live_seq: int) -> None:
+    """Remove postings versions ≥2 behind the live pointer — the grace
+    period that lets a reader who loaded the PREVIOUS version finish
+    its scans after a rebuild publishes a new one (the versioned-
+    manifest pattern; `_publish_postings` flips the pointer first)."""
+    import re
+    import shutil
+
+    for name in os.listdir(path):
+        m = re.fullmatch(r"postings_v(\d+)", name)
+        if m and int(m.group(1)) <= int(live_seq) - 2:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def _load_tombstones(spark: SparkSession, path: str):
+    """The index's deleted-id relation, or None. Kept tiny by contract:
+    deletes accumulate only between rebuilds (the rebuild drops the
+    rows physically and clears this), so search-side anti-joins
+    broadcast it."""
+    tdir = os.path.join(path, "tombstones")
+    if not os.path.isdir(tdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(tdir)):
+        return None
+    return spark.read.parquet(tdir)
+
+
+def _apply_tombstones(postings: DataFrame, tomb) -> DataFrame:
+    """Anti-join deleted ids out of the postings — applied at LOAD so
+    every consumer (search, probe, rerank shortlist, rebuild's recap)
+    inherits delete semantics from one place. Left-side predicates
+    (attribute pushdown, sid partition pruning) still reach the scan:
+    Catalyst pushes filters through the left side of a LeftAnti join
+    (plan-gated in tests/test_plans.py)."""
+    if tomb is None:
+        return postings
+    return postings.join(F.broadcast(tomb.select("id")), "id", "left_anti")
+
+
+def _index_delete(spark: SparkSession, path: str, ids) -> None:
+    """Append id TOMBSTONES to a saved index (either tier): ``ids`` is
+    a one-column DataFrame of posting ids or an iterable of ints.
+    Deleted ids stop appearing in every search/probe immediately (load
+    anti-joins them out) and are dropped PHYSICALLY at the next
+    rebuild, which also clears the tombstones — the delete-at-compact
+    contract of every LSM-shaped index. Deleting an id that was never
+    indexed is a no-op (anti-join semantics), so callers can feed the
+    dedup stage's removal list verbatim."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], "id LONG")
+    tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
+
+
+def ivf2_index_delete(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone-delete ids from a saved two-level index (VERDICT r8
+    item 2). See :func:`_index_delete` for the contract."""
+    _index_delete(spark, path, ids)
+
+
+def pq_index_delete(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone-delete ids from a saved IVF-PQ index (VERDICT r8
+    item 2). See :func:`_index_delete` for the contract."""
+    _index_delete(spark, path, ids)
 
 
 def _check_id_col(meta, id_col: str, action: str) -> None:
@@ -116,14 +213,15 @@ def _check_id_col(meta, id_col: str, action: str) -> None:
         f"postings' id namespace", stacklevel=3)
 
 
-def _read_postings(spark: SparkSession, path: str):
-    """Read an index's postings with a clear error on the degenerate
-    builds (ADVICE r7): if every cell exceeded ``cell_cap`` or the
-    corpus was empty, the postings directory has no parquet footers and
-    schema inference fails with an opaque 'Unable to infer schema' —
-    surface it as a corrupt/empty-index error instead."""
+def _read_postings(spark: SparkSession, path: str, seq: int):
+    """Read the LIVE postings version (``postings_v{seq}`` — the
+    directory ``meta.seq`` points at) with a clear error on the
+    degenerate builds (ADVICE r7): if every cell exceeded ``cell_cap``
+    or the corpus was empty, the postings directory has no parquet
+    footers and schema inference fails with an opaque 'Unable to infer
+    schema' — surface it as a corrupt/empty-index error instead."""
     try:
-        return spark.read.parquet(os.path.join(path, "postings"))
+        return spark.read.parquet(_postings_dir(path, seq))
     except Exception as e:
         raise ValueError(
             f"empty or corrupt index postings at {path} (every cell "
@@ -189,7 +287,7 @@ def ivf2_index_build(emb: DataFrame, path: str,
         # sid directory — the file-layout analog of inverted-list
         # sharding (the pruned-search path proves the filter fires)
         (capped.write.mode("overwrite").partitionBy("sid")
-         .parquet(os.path.join(path, "postings")))
+         .parquet(_postings_dir(path, 1)))
         meta = assigned.sparkSession.createDataFrame(
             [(INDEX_FORMAT_VERSION, n_super, k2, iters, cell_cap,
               float(train_frac) if train_frac is not None else 1.0,
@@ -198,32 +296,47 @@ def ivf2_index_build(emb: DataFrame, path: str,
             "train_frac DOUBLE, train_seed STRING, id_col STRING, "
             "seq INT")
         meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        _reset_maintenance_state(path)
     finally:
         for df in persisted:
             df.unpersist()
+
+
+def _reset_maintenance_state(path: str) -> None:
+    """A fresh BUILD resets the maintenance state a previous lifetime
+    of this path may have left: stale postings versions (the build
+    publishes v1) and tombstones (the build's postings are the new
+    truth). Runs after the v1 write + meta flip, so a concurrent
+    reader of the old index keeps its grace period only up to a full
+    rebuild-from-scratch — the documented overwrite semantics."""
+    import re
+    import shutil
+
+    for name in os.listdir(path):
+        m = re.fullmatch(r"postings_v(\d+)", name)
+        if m and int(m.group(1)) != 1:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    # legacy directory, if this path held a format-1 index
+    shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
 
 
 def ivf2_index_load(spark: SparkSession, path: str) -> dict:
     """Load a saved index: ``{"meta": Row, "sup_anchors": df,
     "sub_anchors": df, "postings": df}``. The anchor relations are tiny
     (broadcast-bound at search); the postings stay a lazy parquet scan
-    — a 100 TB index is never materialized by loading it."""
-    meta_rows = spark.read.parquet(os.path.join(path, "meta")).collect()
-    if len(meta_rows) != 1:
-        raise ValueError(f"corrupt index meta at {path}: "
-                         f"{len(meta_rows)} rows")
-    meta = meta_rows[0]
-    if meta.version != INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"index format version {meta.version} at {path}; "
-            f"this build reads version {INDEX_FORMAT_VERSION}")
+    — a 100 TB index is never materialized by loading it. The scan
+    resolves ``postings_v{meta.seq}`` (the manifest pointer) and
+    anti-joins any standing tombstones, so every consumer inherits
+    delete semantics and version isolation from the load."""
+    meta = _read_meta(spark, path)
     # sid comes back from directory-partition inference (int for small
     # values) — restore the long the assignment relations use, then
     # VALIDATE the full fixed-column contract so schema drift (or a
     # foreign directory) fails loud at load, not as a join-time
     # resolution error three operators later (VERDICT r7 note: the
     # cast is a contract, make it checked rather than remembered)
-    postings = _read_postings(spark, path) \
+    postings = _read_postings(spark, path, meta.seq) \
         .withColumn("sid", F.col("sid").cast("long"))
     expected = {"id": "bigint", "sid": "bigint", "sub": "bigint",
                 "v": "array<double>", "nrm": "double"}
@@ -235,12 +348,27 @@ def ivf2_index_load(spark: SparkSession, path: str) -> dict:
             f"postings schema drift at {path}: expected vs got {bad}")
     return {
         "meta": meta,
+        "path": path,
         "sup_anchors": spark.read.parquet(
             os.path.join(path, "sup_anchors")),
         "sub_anchors": spark.read.parquet(
             os.path.join(path, "sub_anchors")),
-        "postings": postings,
+        "postings": _apply_tombstones(
+            postings, _load_tombstones(spark, path)),
     }
+
+
+def _read_meta(spark: SparkSession, path: str):
+    meta_rows = spark.read.parquet(os.path.join(path, "meta")).collect()
+    if len(meta_rows) != 1:
+        raise ValueError(f"corrupt index meta at {path}: "
+                         f"{len(meta_rows)} rows")
+    meta = meta_rows[0]
+    if meta.version != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"index format version {meta.version} at {path}; "
+            f"this build reads version {INDEX_FORMAT_VERSION}")
+    return meta
 
 
 def ivf2_index_append(new_vectors: DataFrame, spark: SparkSession,
@@ -281,7 +409,7 @@ def ivf2_index_append(new_vectors: DataFrame, spark: SparkSession,
         attrs = new_vectors.select(F.col(id_col).alias("id"), *extra)
         out = out.join(attrs, "id")
     (out.write.mode("append").partitionBy("sid")
-     .parquet(os.path.join(path, "postings")))
+     .parquet(_postings_dir(path, index["meta"].seq)))
 
 
 def ivf2_index_search(queries: DataFrame, index: dict,
@@ -339,9 +467,12 @@ def ivf2_index_search(queries: DataFrame, index: dict,
                .withColumnRenamed("cell", "sid"))
         probed = _assign_to_subs(sup, sub_anchors, id_col)
     if prune:
-        from pyspark import StorageLevel
-
-        probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+        # one tiny action (≤ nprobe·|batch| deduped sids) off the
+        # UNPERSISTED assignment; the pairing join below recomputes the
+        # batch's broadcast-argmax assignment — a few dot products per
+        # query row — instead of holding a cached relation per serve
+        # call for the session lifetime (ADVICE r8: the pruned serve is
+        # the repeated-call path by design, it must not accumulate)
         sids = [r.sid for r in probed.select("sid").distinct().collect()]
         postings = postings.where(F.col("sid").isin(sids))
     q = probed.select(F.col(id_col).alias("id_a"), "sid", "sub",
@@ -479,7 +610,8 @@ def pq_index_build(emb: DataFrame, path: str,
                    train_seed: str = "42",
                    coarse: str = "flat",
                    n_super: int = DEFAULT_SUPER_CELLS,
-                   k2: int = DEFAULT_SUB_CELLS) -> None:
+                   k2: int = DEFAULT_SUB_CELLS,
+                   attr_cols: list[str] | None = None) -> None:
     """Persist an IVF-PQ index under ``path`` — the compressed-domain
     sibling of :func:`ivf2_index_build`, completing the lifecycle for
     every trained relation the ANN surface builds (VERDICT r6 item 1
@@ -512,121 +644,154 @@ def pq_index_build(emb: DataFrame, path: str,
     append, rebuild) already speaks — the index layout is identical,
     only the assignment path changes. Queries assign through the SAVED
     sup/sub anchors at serve time (persisted alongside the flat
-    anchors' slot)."""
+    anchors' slot).
+
+    SERVING parity with the IVF2 tier (VERDICT r8 item 1): the
+    postings are written ``partitionBy`` a coarse shard column ``sid``
+    (the super cell for tree builds — k2 cells per directory; the cell
+    itself for flat builds), so a pruned search reads only the probed
+    directories, and ``attr_cols`` carries attribute columns into the
+    coded postings so ``pq_index_search(where=...)`` pushes the
+    predicate into the scan (PushedFilters) — the tier whose index
+    actually fits a serving node gets the same serving knobs."""
     from pyspark.sql import Window
 
     sub = dim // m
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     tree_persisted: list = []
-    if coarse == "tree":
-        _v, sup_anchors, sup_assigned, sub_anchors = _train_two_level(
-            emb, id_col, vec_col, n_super, k2, 1, train_frac,
-            train_seed, tree_persisted)
-        sup_anchors.write.mode("overwrite").parquet(
-            os.path.join(path, "sup_anchors"))
-        sub_anchors.write.mode("overwrite").parquet(
-            os.path.join(path, "sub_anchors"))
-    else:
-        anchors = (v.where(F.col(id_col) < n_cells)
-                   .select(F.col(id_col).alias("cell"),
-                           F.col("v").alias("av"),
-                           F.col("nrm").alias("anrm")))
-        anchors.write.mode("overwrite").parquet(
-            os.path.join(path, "anchors"))
-    # Codes are DENSIFIED (rank among seed rows, not the raw id): the
-    # LUT position arithmetic — element_at((b·k + ca)·k + cb + 1) —
-    # requires a contiguous 0..k_eff-1 code universe, and a corpus with
-    # id gaps below ``k`` would otherwise leave holes that index past
-    # the sorted array. On dense-id corpora (every registered query)
-    # rank-1 == id, so this is bit-identical to the fused operator.
-    wcb = Window.orderBy(id_col)
-    cb = (v.where(F.col(id_col) < k)
-          .select((F.row_number().over(wcb) - 1).cast("int").alias("code"),
-                  F.transform(F.col("v"), lambda x: x / F.col("nrm"))
-                  .alias("cv")))
-    if train_iters > 0:
-        # per-block Lloyd over the (densified) seeds — the production
-        # codebook (VERDICT r7 item 3); code ids keep their seed ranks,
-        # so the LUT position arithmetic is unchanged
-        from left_join_on_timeout_spark.operators.similarity import (
-            _train_pq_codebook,
-        )
+    try:
+        if coarse == "tree":
+            _v, sup_anchors, sup_assigned, sub_anchors = _train_two_level(
+                emb, id_col, vec_col, n_super, k2, 1, train_frac,
+                train_seed, tree_persisted)
+            sup_anchors.write.mode("overwrite").parquet(
+                os.path.join(path, "sup_anchors"))
+            sub_anchors.write.mode("overwrite").parquet(
+                os.path.join(path, "sub_anchors"))
+        else:
+            anchors = (v.where(F.col(id_col) < n_cells)
+                       .select(F.col(id_col).alias("cell"),
+                               F.col("v").alias("av"),
+                               F.col("nrm").alias("anrm")))
+            anchors.write.mode("overwrite").parquet(
+                os.path.join(path, "anchors"))
+        # Codes are DENSIFIED (rank among seed rows, not the raw id):
+        # the LUT position arithmetic — element_at((b·k + ca)·k + cb +
+        # 1) — requires a contiguous 0..k_eff-1 code universe, and a
+        # corpus with id gaps below ``k`` would otherwise leave holes
+        # that index past the sorted array. On dense-id corpora (every
+        # registered query) rank-1 == id, so this is bit-identical to
+        # the fused operator.
+        wcb = Window.orderBy(id_col)
+        cb = (v.where(F.col(id_col) < k)
+              .select((F.row_number().over(wcb) - 1).cast("int")
+                      .alias("code"),
+                      F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+                      .alias("cv")))
+        if train_iters > 0:
+            # per-block Lloyd over the (densified) seeds — the
+            # production codebook (VERDICT r7 item 3); code ids keep
+            # their seed ranks, so the LUT arithmetic is unchanged
+            from left_join_on_timeout_spark.operators.similarity import (
+                _train_pq_codebook,
+            )
 
-        cb = _train_pq_codebook(v, id_col, dim, m, k, train_iters,
-                                train_frac, train_seed, seeds=cb)
-    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
-    k_eff = cb.count()
-    cba = cb.select(F.col("code").alias("ca"), F.col("cv").alias("cva"))
-    cbb = cb.select(F.col("code").alias("cbc"), F.col("cv").alias("cvb"))
-    lut_structs = []
-    for b in range(m):
-        sa = F.slice(F.col("cva"), b * sub + 1, sub)
-        sb = F.slice(F.col("cvb"), b * sub + 1, sub)
-        from left_join_on_timeout_spark.functions.vectors import dot
-        d2 = dot(sa, sa) - F.lit(2.0) * dot(sa, sb) + dot(sb, sb)
-        lut_structs.append(F.struct(
-            F.lit(b).alias("b"), F.col("ca"), F.col("cbc"),
-            d2.alias("d2")))
-    (cba.crossJoin(F.broadcast(cbb))
-     .select(F.explode(F.array(*lut_structs)).alias("e"))
-     .select("e.*")
-     .write.mode("overwrite").parquet(os.path.join(path, "lut")))
+            cb = _train_pq_codebook(v, id_col, dim, m, k, train_iters,
+                                    train_frac, train_seed, seeds=cb)
+        cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+        k_eff = cb.count()
+        cba = cb.select(F.col("code").alias("ca"), F.col("cv").alias("cva"))
+        cbb = cb.select(F.col("code").alias("cbc"), F.col("cv").alias("cvb"))
+        lut_structs = []
+        for b in range(m):
+            sa = F.slice(F.col("cva"), b * sub + 1, sub)
+            sb = F.slice(F.col("cvb"), b * sub + 1, sub)
+            from left_join_on_timeout_spark.functions.vectors import dot
+            d2 = dot(sa, sa) - F.lit(2.0) * dot(sa, sb) + dot(sb, sb)
+            lut_structs.append(F.struct(
+                F.lit(b).alias("b"), F.col("ca"), F.col("cbc"),
+                d2.alias("d2")))
+        (cba.crossJoin(F.broadcast(cbb))
+         .select(F.explode(F.array(*lut_structs)).alias("e"))
+         .select("e.*")
+         .write.mode("overwrite").parquet(os.path.join(path, "lut")))
 
-    if coarse == "tree":
-        assigned = (_assign_to_subs(sup_assigned, sub_anchors, id_col)
-                    .withColumn("cell",
-                                F.col("sid") * k2 + F.col("sub"))
-                    .drop("sid", "sub"))
-    else:
-        assigned = _assign_to_anchors(v, anchors, id_col)
-    assigned = assigned.withColumn(
-        "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
-    cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
-    enc_cols = [F.col(id_col).alias("id"), F.col("cell")]
-    for b in range(m):
-        s = F.slice(F.col("vu"), b * sub + 1, sub)
-        best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"),
-                                     _pq_cand_fn(s, b, sub))), 1)
-        enc_cols.append(best["code"].alias(f"code{b}"))
-    index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
-    w = Window.partitionBy("cell")
-    capped = (index.withColumn("csz", F.count("*").over(w))
-              .where(F.col("csz") <= cell_cap).drop("csz"))
-    capped.write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    for df in tree_persisted:
-        df.unpersist()
-    # meta.k is the EFFECTIVE codeword count (rows actually in the
-    # codebook), which is what the LUT position arithmetic needs — it
-    # can be < the requested ``k`` on a corpus with fewer than k seeds
-    meta = emb.sparkSession.createDataFrame(
-        [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
-          id_col, 1, coarse, n_super, k2)],
-        "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
-        "id_col STRING, seq INT, coarse STRING, n_super INT, k2 INT")
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        # ``sid`` is the coarse SHARD the postings are partitioned by
+        # (serving parity with the IVF2 tier): the super cell for tree
+        # builds — k2 cells per directory, the directory count a 32 000-
+        # cell corpus budget needs — and the cell itself for flat ones
+        if coarse == "tree":
+            assigned = (_assign_to_subs(sup_assigned, sub_anchors, id_col)
+                        .withColumn("cell",
+                                    F.col("sid") * k2 + F.col("sub"))
+                        .drop("sub"))
+        else:
+            assigned = (_assign_to_anchors(v, anchors, id_col)
+                        .withColumn("sid", F.col("cell")))
+        assigned = assigned.withColumn(
+            "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
+        cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
+        enc_cols = [F.col(id_col).alias("id"), F.col("cell"),
+                    F.col("sid")]
+        for b in range(m):
+            s = F.slice(F.col("vu"), b * sub + 1, sub)
+            best = F.element_at(
+                F.array_sort(F.transform(F.col("cb"),
+                                         _pq_cand_fn(s, b, sub))), 1)
+            enc_cols.append(best["code"].alias(f"code{b}"))
+        index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
+        w = Window.partitionBy("cell")
+        capped = (index.withColumn("csz", F.count("*").over(w))
+                  .where(F.col("csz") <= cell_cap).drop("csz"))
+        if attr_cols:
+            attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
+            capped = capped.join(attrs, "id")
+        (capped.write.mode("overwrite").partitionBy("sid")
+         .parquet(_postings_dir(path, 1)))
+        # meta.k is the EFFECTIVE codeword count (rows actually in the
+        # codebook), which is what the LUT position arithmetic needs —
+        # it can be < the requested ``k`` on a sub-k-seed corpus
+        meta = emb.sparkSession.createDataFrame(
+            [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
+              id_col, 1, coarse, n_super, k2)],
+            "version INT, dim INT, m INT, k INT, n_cells INT, "
+            "cell_cap INT, id_col STRING, seq INT, coarse STRING, "
+            "n_super INT, k2 INT")
+        meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+        _reset_maintenance_state(path)
+    finally:
+        # a failed write mid-build must not leave the Lloyd relations
+        # cached (ADVICE r8 — the ivf2 builder's existing discipline)
+        for df in tree_persisted:
+            df.unpersist()
 
 
 def pq_index_load(spark: SparkSession, path: str) -> dict:
-    """Load a saved IVF-PQ index (validated format version). Anchor,
-    codebook, and LUT relations are broadcast-bound at search; the
-    coded postings stay a lazy scan. A ``coarse="tree"`` build loads
-    the saved sup/sub anchors instead of the flat anchor table."""
-    meta_rows = spark.read.parquet(os.path.join(path, "meta")).collect()
-    if len(meta_rows) != 1:
-        raise ValueError(f"corrupt index meta at {path}: "
-                         f"{len(meta_rows)} rows")
-    meta = meta_rows[0]
-    if meta.version != INDEX_FORMAT_VERSION:
+    """Load a saved IVF-PQ index (validated format version and postings
+    schema). Anchor, codebook, and LUT relations are broadcast-bound at
+    search; the coded postings stay a lazy scan of the live
+    ``postings_v{meta.seq}`` version, tombstones anti-joined out. A
+    ``coarse="tree"`` build loads the saved sup/sub anchors instead of
+    the flat anchor table."""
+    meta = _read_meta(spark, path)
+    postings = _read_postings(spark, path, meta.seq) \
+        .withColumn("sid", F.col("sid").cast("long"))
+    expected = {"id": "bigint", "cell": "bigint", "sid": "bigint"}
+    expected.update({f"code{b}": "int" for b in range(meta.m)})
+    got = dict(postings.dtypes)
+    bad = {c: (t, got.get(c)) for c, t in expected.items()
+           if got.get(c) != t}
+    if bad:
         raise ValueError(
-            f"index format version {meta.version} at {path}; "
-            f"this build reads version {INDEX_FORMAT_VERSION}")
+            f"postings schema drift at {path}: expected vs got {bad}")
     out = {
         "meta": meta,
+        "path": path,
         "codebook": spark.read.parquet(os.path.join(path, "codebook")),
         "lut": spark.read.parquet(os.path.join(path, "lut")),
-        "postings": _read_postings(spark, path),
+        "postings": _apply_tombstones(
+            postings, _load_tombstones(spark, path)),
     }
     if getattr(meta, "coarse", "flat") == "tree":
         out["sup_anchors"] = spark.read.parquet(
@@ -641,11 +806,13 @@ def pq_index_load(spark: SparkSession, path: str) -> dict:
 
 def _pq_encode_and_assign(queries: DataFrame, index: dict,
                           id_col: str, vec_col: str) -> DataFrame:
-    """(id, cell, code0..m-1): queries encoded through the LOADED
+    """(id, cell, sid, code0..m-1): queries encoded through the LOADED
     codebook and assigned through the LOADED anchors — zero training,
     the same arithmetic as the build side (tree-coarse indexes route
     through the saved sup/sub anchors and the same ``sid·k2 + sub``
-    composite cell)."""
+    composite cell). ``sid`` is the coarse shard the postings are
+    partitioned by (super cell for tree, cell for flat) — the pruned
+    serve collects it into the scan's partition filter."""
     meta = index["meta"]
     sub = meta.dim // meta.m
     vq = fan_out(queries).select(F.col(id_col),
@@ -657,14 +824,15 @@ def _pq_encode_and_assign(queries: DataFrame, index: dict,
         assigned = (_assign_to_subs(sup, index["sub_anchors"], id_col)
                     .withColumn("cell",
                                 F.col("sid") * meta.k2 + F.col("sub"))
-                    .drop("sid", "sub"))
+                    .drop("sub"))
     else:
-        assigned = _assign_to_anchors(vq, index["anchors"], id_col)
+        assigned = (_assign_to_anchors(vq, index["anchors"], id_col)
+                    .withColumn("sid", F.col("cell")))
     assigned = assigned.withColumn(
         "vu", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cb_arr = index["codebook"].agg(
         F.collect_list(F.struct("code", "cv")).alias("cb"))
-    enc_cols = [F.col(id_col), F.col("cell")]
+    enc_cols = [F.col(id_col), F.col("cell"), F.col("sid")]
     for b in range(meta.m):
         s = F.slice(F.col("vu"), b * sub + 1, sub)
         best = F.element_at(
@@ -735,7 +903,9 @@ def pq_index_search(queries: DataFrame, index: dict,
                     vec_col: str = "embedding",
                     rerank: int = 0,
                     corpus: DataFrame | None = None,
-                    k: int = 1) -> DataFrame:
+                    k: int = 1,
+                    where: F.Column | None = None,
+                    prune: bool = False) -> DataFrame:
     """Search NEW query vectors against a saved IVF-PQ index —
     compressed-domain end to end: queries are encoded and assigned
     through the LOADED codebook/anchors, candidates come from the coded
@@ -758,18 +928,38 @@ def pq_index_search(queries: DataFrame, index: dict,
     descending exact cosine over the R-shortlist in rerank mode (so
     ``k ≤ rerank`` is the sensible call) — the same serving shape as
     ``ivf2_index_search(k=...)``, completing VERDICT r7 item 1 for
-    the compressed tier."""
+    the compressed tier.
+
+    ``where`` and ``prune`` are the IVF2 tier's serving knobs on the
+    compressed tier (VERDICT r8 item 1): ``where`` is a Column
+    predicate over posting columns (the ``attr_cols`` the build
+    carried) applied to the POSTINGS SCAN before the pairing join —
+    Catalyst pushes it into the parquet reader; ``prune=True``
+    collects the batch's probed coarse shards into a static ``sid IN
+    (...)`` filter, a PartitionFilter that reads only the probed
+    directories (both plan-gated in tests/test_plans.py)."""
     from pyspark.sql import Window
 
     _check_id_col(index["meta"], id_col, "search")
     meta = index["meta"]
     kk, mm = meta.k, meta.m
+    postings = index["postings"]
+    if where is not None:
+        postings = postings.where(where)
     lut_arr = index["lut"].agg(F.array_sort(
         F.collect_list(F.struct("b", "ca", "cbc", "d2"))).alias("lut"))
-    q = _pq_encode_and_assign(queries, index, id_col, vec_col).select(
+    enc = _pq_encode_and_assign(queries, index, id_col, vec_col)
+    if prune:
+        # one tiny action (≤ |batch| deduped shards) off the
+        # UNPERSISTED assignment; the pairing join recomputes the
+        # batch's encode instead of caching a relation per serve call
+        # (the ivf2 pruned-serve discipline, ADVICE r8)
+        sids = [r.sid for r in enc.select("sid").distinct().collect()]
+        postings = postings.where(F.col("sid").isin(sids))
+    q = enc.select(
         F.col(id_col).alias("qid"), F.col("cell"),
         *[F.col(f"code{b}").alias(f"ca{b}") for b in range(mm)])
-    p = index["postings"].select(
+    p = postings.select(
         F.col("id").alias("nbr"), F.col("cell"),
         *[F.col(f"code{b}").alias(f"cb{b}") for b in range(mm)])
     pairs = (q.join(p, "cell")
@@ -803,6 +993,11 @@ def pq_index_search(queries: DataFrame, index: dict,
     if corpus is None:
         raise ValueError("rerank > 0 needs the corpus table to fetch "
                          "shortlist vectors from")
+    # same dedup rationale as the compressed k>1 branch (ADVICE r8):
+    # a replayed append can put the same neighbor id in a cell twice,
+    # and without this it would occupy multiple shortlist slots and
+    # surface at two ranks of the rerank head
+    scored = scored.dropDuplicates(["vec_id", "nbr"])
     ws = Window.partitionBy("vec_id").orderBy(F.asc("sdc"), F.asc("nbr"))
     short = (scored.withColumn("rn", F.row_number().over(ws))
              .where(F.col("rn") <= rerank).select("vec_id", "nbr"))
@@ -852,40 +1047,53 @@ def pq_index_append(new_vectors: DataFrame, spark: SparkSession,
     staleness), and idempotency is the caller's concern."""
     index = pq_index_load(spark, path)
     _check_id_col(index["meta"], id_col, "append")
-    codes = _pq_encode_and_assign(new_vectors, index, id_col, vec_col)
-    (codes.withColumnRenamed(id_col, "id")
-     .write.mode("append").parquet(os.path.join(path, "postings")))
+    codes = (_pq_encode_and_assign(new_vectors, index, id_col, vec_col)
+             .withColumnRenamed(id_col, "id"))
+    # an index built with attr_cols stays schema-consistent on append
+    # (same contract as ivf2_index_append)
+    mm = index["meta"].m
+    fixed = {"id", "cell", "sid"} | {f"code{b}" for b in range(mm)}
+    extra = [c for c in index["postings"].columns if c not in fixed]
+    if extra:
+        attrs = new_vectors.select(F.col(id_col).alias("id"), *extra)
+        codes = codes.join(attrs, "id")
+    (codes.write.mode("append").partitionBy("sid")
+     .parquet(_postings_dir(path, index["meta"].seq)))
 
 
-def _swap_postings(spark: SparkSession, path: str,
-                   recapped: DataFrame, partition_by: str | None,
-                   meta_df) -> None:
-    """Materialize ``recapped`` into a sibling directory, then swap it
-    in as the live ``postings`` with directory renames — a reader that
-    loaded the index before the swap keeps resolving the old files
-    until the cleanup, and a load started after sees only the new
-    version (the atomic-publish step of every compacting index). The
-    new meta (with the bumped ``seq``) is published only after the
-    postings swap, so a crash mid-rebuild leaves the old version
-    fully intact."""
+def _publish_postings(spark: SparkSession, path: str,
+                      recapped: DataFrame, partition_by: str | None,
+                      meta_df, new_seq: int) -> None:
+    """Publish a rebuild as a NEW postings version (VERDICT r8 item 3
+    — the versioned-manifest pattern, replacing the r7 rename-in-place
+    swap that was neither object-store-portable nor safe for in-flight
+    readers):
+
+    1. materialize ``recapped`` into ``postings_v{new_seq}`` — the
+       live version is never touched, so the plan can read it;
+    2. flip the manifest pointer: overwrite ``meta`` with the bumped
+       ``seq`` — a load started after this sees only the new version,
+       and a crash before it leaves the old version fully live (the
+       stray ``postings_v{new_seq}`` is rewritten by the next rebuild,
+       ``mode("overwrite")``);
+    3. clear tombstones (``recapped`` came from the tombstone-filtered
+       load, so the deletes are now physical);
+    4. GC versions ≥2 behind — a reader that loaded the PREVIOUS
+       version keeps scanning its own files through one full rebuild
+       (the grace period), instead of racing an immediate rmtree.
+
+    No renames anywhere: every step is a directory write, a tiny
+    overwrite, or a delete of a no-longer-referenced directory — the
+    operations an object store does natively."""
     import shutil
 
-    live = os.path.join(path, "postings")
-    fresh = os.path.join(path, "postings.rebuild")
-    old = os.path.join(path, "postings.old")
-    # full materialization BEFORE touching the live directory: the
-    # recapped plan READS the live postings, so writing over them
-    # lazily would corrupt the index mid-scan
     w = recapped.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
-    w.parquet(fresh)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(live, old)
-    os.rename(fresh, live)
+    w.parquet(_postings_dir(path, new_seq))
     meta_df.write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    shutil.rmtree(old)
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    _gc_versions(path, new_seq)
 
 
 def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
@@ -895,8 +1103,10 @@ def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
     postings (base + appended), so a cell that ingest pushed past
     ``cell_cap`` is re-capped exactly as a fresh build would cap it
     (the whole degenerate cell drops — the build's semantics, not a
-    truncation), bump the version ``seq`` in meta, and swap the new
-    postings in atomically (write-aside → rename). Anchors are REUSED
+    truncation), drop tombstoned ids PHYSICALLY (the postings come
+    from the tombstone-filtered load; the tombstones clear after the
+    publish), and publish the result as ``postings_v{seq+1}`` before
+    flipping the ``meta.seq`` manifest pointer. Anchors are REUSED
     — the trained quantizer is immutable here; a drifted corpus wants
     a full :func:`ivf2_index_build` (whose per-relation overwrite is
     the retrain path).
@@ -911,37 +1121,38 @@ def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
     recapped = (index["postings"]
                 .withColumn("csz", F.count("*").over(w))
                 .where(F.col("csz") <= cap).drop("csz"))
+    new_seq = int(getattr(meta, "seq", 1) or 1) + 1
     meta_df = spark.createDataFrame(
         [(meta.version, meta.n_super, meta.k2, meta.iters, meta.cell_cap,
-          meta.train_frac, meta.train_seed, meta.id_col,
-          int(getattr(meta, "seq", 1) or 1) + 1)],
+          meta.train_frac, meta.train_seed, meta.id_col, new_seq)],
         "version INT, n_super INT, k2 INT, iters INT, cell_cap INT, "
         "train_frac DOUBLE, train_seed STRING, id_col STRING, seq INT")
-    _swap_postings(spark, path, recapped, "sid", meta_df)
+    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq)
 
 
 def pq_index_rebuild(spark: SparkSession, path: str) -> None:
     """Compaction for the IVF-PQ tier: re-apply the build-time cell cap
-    over the current coded postings (base + appended), bump ``seq``,
-    atomic swap — same contract as :func:`ivf2_index_rebuild`; the
-    anchors, codebook, and LUT are reused (immutable between full
-    builds)."""
+    over the current coded postings (base + appended), drop tombstoned
+    ids physically, and publish ``postings_v{seq+1}`` before flipping
+    the manifest pointer — same contract as
+    :func:`ivf2_index_rebuild`; the anchors, codebook, and LUT are
+    reused (immutable between full builds)."""
     index = pq_index_load(spark, path)
     meta = index["meta"]
     w = Window.partitionBy("cell")
     recapped = (index["postings"]
                 .withColumn("csz", F.count("*").over(w))
                 .where(F.col("csz") <= meta.cell_cap).drop("csz"))
+    new_seq = int(getattr(meta, "seq", 1) or 1) + 1
     meta_df = spark.createDataFrame(
         [(meta.version, meta.dim, meta.m, meta.k, meta.n_cells,
-          meta.cell_cap, meta.id_col,
-          int(getattr(meta, "seq", 1) or 1) + 1,
+          meta.cell_cap, meta.id_col, new_seq,
           getattr(meta, "coarse", "flat"),
           int(getattr(meta, "n_super", -1) or -1),
           int(getattr(meta, "k2", -1) or -1))],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
         "id_col STRING, seq INT, coarse STRING, n_super INT, k2 INT")
-    _swap_postings(spark, path, recapped, None, meta_df)
+    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq)
 
 
 def pq_index_probe_hits(queries: DataFrame, index: dict,

@@ -1187,7 +1187,15 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
     across engines and partitionings, the :func:`_lloyd` rule), and a
     codeword that attracts NO members keeps its previous value — k
     stays fixed and code ids contiguous, which the SDC LUT's position
-    arithmetic requires."""
+    arithmetic requires.
+
+    Cache discipline (ADVICE r8): each iteration persists its codebook
+    to truncate the Lloyd lineage, and the FINAL codebook — k rows of
+    dim doubles, the documented O(k) model-snapshot size — is
+    collected and rebuilt as a literal relation so every intermediate
+    persist is released before returning; callers (the saved-index
+    builder, the fused trained search) inherit a leak-free, lineage-
+    free codebook with zero plumbing."""
     from pyspark import StorageLevel
 
     sub = dim // m
@@ -1207,6 +1215,7 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
         cb = vu.where(F.col(id_col) < k).select(
             F.col(id_col).cast("int").alias("code"),
             F.col("vu").alias("cv"))
+    persisted: list = []
     for _ in range(iters):
         cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
         enc = vt.join(F.broadcast(cb_arr))
@@ -1247,7 +1256,13 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
                       F.flatten(F.transform(F.col("a"), lambda e: e["cs"]))
                       .alias("cv"))
               .persist(StorageLevel.MEMORY_AND_DISK))
-    return cb
+        persisted.append(cb)
+    try:
+        rows = [(r.code, list(r.cv)) for r in cb.collect()]
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return v.sparkSession.createDataFrame(rows, "code INT, cv ARRAY<DOUBLE>")
 
 
 def pq_codes(emb: DataFrame,

@@ -384,16 +384,18 @@ EXTRA_ORACLE: dict[str, str] = {
 # ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
-# ships with only local test coverage.  Round 8 order:
-#   1-5    NEW queries (saved-index top-K / filtered / pruned serving,
-#          trained PQ codebook, streaming PQ probe);
-#   6-15   sentinels: the four ivf/ivf2 cap-semantics names ADVICE r7
-#          flagged as changed-in-r7-but-unadjudicated, plus every query
-#          whose path round 8 touched (ann_index serving extensions,
-#          _train_two_level persist plumbing, pq_sdc_top_neighbor's
-#          trained-codebook branch, ivf_top_neighbors tree routing);
-#   16-50  the staleness rotation: the full r3 vintage (12), then the
-#          r4 vintage alphabetically (23 of 39).
+# ships with only local test coverage.  Round 9 order:
+#   1-4    NEW queries (tombstone-delete serve, multi-probe saved
+#          serve, PQ filtered + pruned serving parity);
+#   5-12   sentinels: every query whose path round 9 touched -- all
+#          saved-lifecycle names (the index layout moved to versioned
+#          postings_v{seq} + tombstone anti-join at load), the two
+#          streaming index probes (same loads), and the trained-PQ
+#          query (_train_pq_codebook's persist plumbing);
+#   13-28  the staleness rotation: the FULL r4 vintage (16 -- closing
+#          VERDICT r8 "wrong" #3), then 22 of the 34 r5 names
+#          alphabetically; the remaining 12 r5 names carry to r10's
+#          window (62 stale+new names into 50 slots).
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -401,60 +403,60 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r8 ----------------------------------------------------- 5
-    "ann_topk_ivf2_saved",
+    # -- NEW in r9 ----------------------------------------------------- 4
+    "ann_deleted_ivf2_saved",
+    "ann_filtered_pq_saved",
+    "ann_pruned_pq_saved",
+    "ann_top1_ivf2_saved_probe2",
+    # -- changed-code-path sentinels (r9 diff) ------------------------- 8
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
-    "ann_top1_ivfpq_trained",
-    "stream_pq_probe",
-    # -- changed-code-path sentinels (ADVICE r7) ---------------------- 10
-    "ann_top1_ivf",
-    "ann_top1_ivf_probe2",
-    "ann_top1_ivf2",
-    "ann_top1_ivf2_probe2",
-    "ann_top1_ivfpq",
     "ann_top1_ivf2_saved",
-    "ann_top1_ivf2_sampled",
     "ann_top1_ivfpq_saved",
-    "ann_topk_ivf",
+    "ann_top1_ivfpq_trained",
+    "ann_topk_ivf2_saved",
     "stream_ann_probe",
-    # -- stalest evidence: the full r3 vintage ------------------------ 12
-    "q7_nation_volume",
-    "q9_product_profit",
-    "salted_join_revenue",
-    "sample_stratified_docs",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "stream_timeout_only",
-    "text_fingerprint_stats",
-    "text_lang_dist",
-    "tfidf_top_terms",
-    "window_rolling_7d",
-    "zscore_anomalies",
-    # -- next-stalest: first 23 of the r4 vintage (alphabetical) ------ 23
-    "ann_recall_srp",
-    "cdc_latest_per_key",
-    "chunk_documents_windows",
-    "cohort_retention_weekly",
-    "contamination_ngram_overlap",
-    "dedup_keep_canonical",
-    "funnel_conversion_daily",
-    "grouping_sets_revenue",
-    "json_extract_props",
-    "knn_brute_cosine",
-    "label_centroids",
-    "merge_upsert_orders",
-    "multimodal_features",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_by_flag",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_heavy_gear_suppliers",
-    "q22_idle_rich_customers",
+    "stream_pq_probe",
+    # -- stalest evidence: the FULL r4 vintage ------------------------ 16
+    "q8_market_share",
+    "quality_gated_sample",
+    "range_overlap_incidents",
+    "repetition_quality_flags",
+    "sample_uniform_events",
+    "sequence_packing_bins",
+    "stream_chunk_documents",
+    "stream_quality_filter",
+    "stream_semi_join",
+    "stream_sliding_counts",
+    "stream_timeout_left_join",
+    "stream_tumbling_counts",
+    "text_quality_score",
+    "text_token_entropy",
+    "timeout_only",
+    "window_inner_join",
+    # -- next-stalest: first 22 of the r5 vintage (alphabetical) ------ 22
+    "ann_recall_ivfpq",
+    "cluster_aware_split",
+    "cms_heavy_hitters",
+    "corpus_health_dashboard",
+    "daily_forward_fill",
+    "dedup_prefix_jaccard",
+    "doc_lm2_score",
+    "doc_lm_score",
+    "dow_seasonal_residuals",
+    "dup_span_removal_stats",
+    "embedding_dim_health",
+    "embedding_norm_audit",
+    "lang_confusion_matrix",
+    "length_quality_corr",
+    "oov_rate_docs",
+    "pii_redaction",
+    "pq_codes_recon",
+    "quality_dup_calibration",
+    "rolling_7d_active_users",
+    "scd2_user_state_intervals",
+    "schema_evolution_merge",
+    "source_influence_loo",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

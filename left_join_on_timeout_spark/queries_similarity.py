@@ -532,28 +532,50 @@ WHERE rn = 1
 def _ivf2_served_oracle(n_super: int, k2: int, dim: int = 64,
                         cell_cap: int = DEFAULT_CELL_CAP,
                         query_pred: str | None = None,
-                        nbr_pred: str | None = None) -> str:
+                        nbr_pred: str | None = None,
+                        nprobe: int = 1) -> str:
     """One-directional SERVING twin of :func:`_ivf2_oracle` — the
-    semantics of ``ann_index.ivf2_index_search`` (nprobe=1): every
-    query vector (optionally restricted by ``query_pred`` over
-    ``a.vec_id`` — the small-batch serve shape) takes the argmax over
-    the CAPPED postings of its assigned cell, self-matches excluded;
-    ``nbr_pred`` (over the ``embeddings`` row aliased ``lb``) replays
-    an attribute-filtered search — the predicate the Spark side pushes
+    semantics of ``ann_index.ivf2_index_search``: every query vector
+    (optionally restricted by ``query_pred`` over ``a.vec_id`` — the
+    small-batch serve shape) takes the argmax over the CAPPED postings
+    of its probed cell(s), self-matches excluded; ``nbr_pred`` (over
+    the ``embeddings`` row aliased ``lb``) replays an
+    attribute-filtered search — the predicate the Spark side pushes
     into the postings scan. The query side reads the PRE-cap
     assignment (``fin``): a query in a dropped cell simply finds no
-    postings, exactly the operator's honest-recall outcome."""
-    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap)
+    postings, exactly the operator's honest-recall outcome.
+
+    ``nprobe`` > 1 is the SERVING recall knob (VERDICT r8 item 6): the
+    query side probes its top-``nprobe`` super-cells (best sub in
+    each), while the postings stay the PRIMARY assignment only — the
+    saved index stores primary postings, multi-probe happens on the
+    query side at serve time (unlike the fused ``_ivf2_oracle``, whose
+    nprobe also multi-indexes the postings). The ``post`` CTE rebuilds
+    exactly the nprobe=1 ``capped`` relation from the probed
+    assignment."""
+    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap, nprobe)
     qf = f"\n  WHERE {query_pred}" if query_pred else ""
     nj = (f"\n  JOIN embeddings lb ON lb.vec_id = b.vec_id "
           f"AND ({nbr_pred})" if nbr_pred else "")
-    tail = f""",
+    if nprobe > 1:
+        post_cte = f""",
+post AS (SELECT vec_id, sid, sub FROM (
+           SELECT vec_id, sid, sub, prank,
+                  count(CASE WHEN prank = 1 THEN 1 END)
+                    OVER (PARTITION BY sid, sub) AS csz
+           FROM fin) t
+         WHERE prank = 1 AND csz <= {cell_cap})"""
+        postings = "post"
+    else:
+        post_cte = ""
+        postings = "capped"
+    tail = f"""{post_cte},
 scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS nbr,
          round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
            AS cos_sim
   FROM fin a
-  JOIN capped b ON a.sid = b.sid AND a.sub = b.sub
+  JOIN {postings} b ON a.sid = b.sid AND a.sub = b.sub
                 AND a.vec_id != b.vec_id{nj}
   JOIN v va ON va.vec_id = a.vec_id
   JOIN v vb ON vb.vec_id = b.vec_id{qf})
@@ -728,6 +750,70 @@ def q_ann_pruned_ivf2_saved(spark: SparkSession,
     index = ivf2_index_load(spark, path)
     batch = emb.where(F.col("vec_id") % 10 == 0)
     return ivf2_index_search(batch, index, prune=True)
+
+
+@query("ann_top1_ivf2_saved_probe2",
+       _ivf2_served_oracle(_IVF2_SUPER, _IVF2_K2, nprobe=2))
+def q_ann_top1_ivf2_saved_probe2(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Multi-probe serving over the SAVED index (VERDICT r8 item 6 —
+    the serving recall knob, externally adjudicated through the saved
+    path): the index stores PRIMARY-assignment postings only (the
+    standard IVF discipline — lists are built once); at serve time
+    each query probes its best sub-cell in BOTH of its two nearest
+    super-cells and takes the argmax over the union of candidates.
+    The oracle's query side replays the two-probe assignment while its
+    postings stay the primary build — exactly the saved-index split."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2srv2_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+    index = ivf2_index_load(spark, path)
+    return ivf2_index_search(emb, index, nprobe=2)
+
+
+@query("ann_deleted_ivf2_saved",
+       _ivf2_served_oracle(_IVF2_SUPER, _IVF2_K2,
+                           nbr_pred="(lb.vec_id % 7) != 0"))
+def q_ann_deleted_ivf2_saved(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """DELETE path through the saved index (VERDICT r8 item 2): every
+    vec_id ≡ 0 (mod 7) is tombstoned after the build — the shape of
+    the engine's own dedup stage feeding removals to a standing index
+    — and the search must never surface a deleted vector: the load
+    anti-joins the (broadcast-small) tombstones out of the postings
+    scan. The oracle knows nothing about tombstones; it simply
+    excludes the deleted ids from the NEIGHBOR side — delete
+    semantics expressed as serving semantics."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_delete,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2del_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+    dead = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    ivf2_index_delete(spark, path, dead)
+    index = ivf2_index_load(spark, path)
+    return ivf2_index_search(emb, index)
 
 
 _IVF2_TRAIN_FRAC = 0.5
@@ -1205,6 +1291,103 @@ def q_ann_top1_ivfpq_trained(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_sdc_top_neighbor(emb, dim=_DIM, m=_PQ_M, k=_PQ_K,
                                train_iters=1, train_frac=_PQ_TRAIN_FRAC)
+
+
+def _ivfpq_served_oracle(query_pred: str | None = None,
+                         nbr_pred: str | None = None) -> str:
+    """One-directional SERVING twin of ``_IVFPQ_ORACLE`` — the
+    semantics of ``ann_index.pq_index_search`` (compressed mode):
+    every query vector (optionally restricted by ``query_pred`` over
+    ``a.vec_id``) is encoded/assigned exactly as the build side (the
+    ``idx`` CTE — pre-cap, a query in a dropped cell finds no
+    postings) and takes the SDC argmin over the CAPPED coded postings
+    of its cell, self-matches excluded. ``nbr_pred`` (over the
+    ``embeddings`` row aliased ``lb``) replays an attribute-filtered
+    search — the predicate the Spark side pushes into the coded
+    postings scan (PQ serving parity, VERDICT r8 item 1). Pruning is
+    pure routing, so the pruned query shares the unfiltered tail."""
+    prefix = _IVFPQ_ORACLE.split("scored AS (")[0]
+    qf = f"\n  WHERE {query_pred}" if query_pred else ""
+    nj = (f"\n  JOIN embeddings lb ON lb.vec_id = b.vec_id "
+          f"AND ({nbr_pred})" if nbr_pred else "")
+    tail = f"""scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         round({" + ".join(f"l{b}.d2" for b in range(_PQ_M))}, 6) AS sdc
+  FROM idx a
+  JOIN capped b ON a.cell = b.cell AND a.vec_id != b.vec_id{nj}
+  {" ".join(f"JOIN lut l{b} ON l{b}.b = {b} AND l{b}.cda = a.code{b} AND l{b}.cdb = b.code{b}"
+            for b in range(_PQ_M))}{qf})
+SELECT qid AS vec_id, nbr AS neighbor_id, sdc FROM (
+  SELECT qid, nbr, sdc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sdc, nbr) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+    return prefix + tail
+
+
+@query("ann_filtered_pq_saved",
+       _ivfpq_served_oracle(nbr_pred="lb.label < 3"))
+def q_ann_filtered_pq_saved(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-FILTERED search over the saved IVF-PQ index (VERDICT
+    r8 item 1 — serving parity for the tier whose index actually fits
+    a serving node: 126 MB at 20 M rows): the build carries ``label``
+    into the CODED postings (``attr_cols``), and the search applies
+    ``label < 3`` to the postings scan — Catalyst pushes it into the
+    parquet reader (PushedFilters, plan-gated in tests/test_plans.py),
+    cutting candidate I/O in the compressed domain. Serving
+    semantics: every corpus vector queries, neighbors come only from
+    filtered postings, per-query SDC argmin."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "pqfilt_" + os.path.basename(os.path.normpath(sf_dir)))
+    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K,
+                   attr_cols=["label"])
+    index = pq_index_load(spark, path)
+    return pq_index_search(emb, index, where=F.col("label") < 3)
+
+
+@query("ann_pruned_pq_saved",
+       _ivfpq_served_oracle(query_pred="a.vec_id % 10 = 0"))
+def q_ann_pruned_pq_saved(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Small-batch PRUNED serve over the saved IVF-PQ index (VERDICT
+    r8 item 1): a 10% query batch probes with ``prune=True``, which
+    collects the batch's probed coarse shards into a static ``sid IN
+    (...)`` filter on the coded-postings scan — a PartitionFilter
+    (the postings are written ``partitionBy`` the shard), so the scan
+    reads ONLY the probed directories. Pruning is pure routing —
+    results are identical to the unpruned search (the oracle knows
+    nothing about it)."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "pqprune_" + os.path.basename(os.path.normpath(sf_dir)))
+    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
+    index = pq_index_load(spark, path)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    return pq_index_search(batch, index, prune=True)
 
 
 @query("ann_recall_ivfpq", f"""

@@ -114,7 +114,10 @@ def test_pq_saved_equals_fused_and_postings_are_codes_only(spark, tmp_path):
     assert saved == fused
     index = pq_index_load(spark, path)
     cols = set(index["postings"].columns)
-    assert cols == {"id", "cell", "code0", "code1"}
+    # codes + routing keys only — sid is the coarse shard partition
+    # column (directory-encoded, ~zero bytes per row); no vector
+    # column may reach the index (the PQ memory contract)
+    assert cols == {"id", "cell", "sid", "code0", "code1"}
     assert index["meta"].m == 2 and index["meta"].k == 4
 
 
@@ -362,8 +365,8 @@ def test_pq_append_and_rebuild(spark, tmp_path):
     index2 = pq_index_load(spark, path)
     assert index2["postings"].count() == base + batch.count()
     cols = set(index2["postings"].columns)
-    assert cols == {"id", "cell", "code0", "code1"}, (
-        "appended rows must be CODES, not vectors")
+    assert cols == {"id", "cell", "sid", "code0", "code1"}, (
+        "appended rows must be CODES (+ the sid shard key), not vectors")
     # the appended ids are now searchable candidates
     hits = pq_index_search(batch, index2).collect()
     assert hits
@@ -474,11 +477,11 @@ def test_load_rejects_postings_schema_drift(spark, tmp_path):
     ivf2_index_build(emb, path, n_super=2, k2=2)
     import shutil
 
-    drifted = spark.read.parquet(path + "/postings") \
+    drifted = spark.read.parquet(path + "/postings_v1") \
         .withColumnRenamed("nrm", "norm")
     drifted.write.mode("overwrite").parquet(path + "/postings2")
-    shutil.rmtree(path + "/postings")
-    shutil.move(path + "/postings2", path + "/postings")
+    shutil.rmtree(path + "/postings_v1")
+    shutil.move(path + "/postings2", path + "/postings_v1")
     with pytest.raises(ValueError, match="schema drift"):
         ivf2_index_load(spark, path)
 
@@ -587,3 +590,240 @@ def test_rebuild_preserves_attr_columns(spark, tmp_path):
     assert hits
     for r in hits:
         assert r.neighbor_id % 2 == 1
+
+
+def test_delete_tombstones_then_rebuild_drops_physically(spark, tmp_path):
+    """VERDICT r8 item 2: a deleted vector never appears in search
+    results BEFORE or AFTER a rebuild. Before: tombstones anti-join
+    out of every loaded scan. After: the rebuild drops the rows
+    physically and clears the tombstones."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=30)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    dead = {r.vec_id for r in emb.where(F.col("vec_id") % 7 == 0)
+            .select("vec_id").collect()}
+    ivf2_index_delete(spark, path, sorted(dead))
+    index = ivf2_index_load(spark, path)
+    live_ids = {r.id for r in index["postings"].select("id").collect()}
+    assert live_ids.isdisjoint(dead), "tombstoned ids leaked into load"
+    hits = ivf2_index_search(emb, index).collect()
+    assert hits
+    assert all(r.neighbor_id not in dead for r in hits), (
+        "a deleted vector surfaced from the standing index")
+    ivf2_index_rebuild(spark, path)
+    assert not os.path.exists(path + "/tombstones"), (
+        "rebuild must clear the tombstones it materialized")
+    after = ivf2_index_load(spark, path)
+    assert after["meta"].seq == 2
+    phys = {r.id for r in spark.read.parquet(path + "/postings_v2")
+            .select("id").collect()}
+    assert phys.isdisjoint(dead), "rebuild did not drop deleted rows"
+    hits2 = ivf2_index_search(emb, after).collect()
+    assert all(r.neighbor_id not in dead for r in hits2)
+
+
+def test_delete_of_unindexed_ids_is_noop(spark, tmp_path):
+    """Anti-join semantics: deleting ids that were never indexed (the
+    dedup stage's removal list can name docs outside this index)
+    changes nothing — search results are identical."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_delete,
+    )
+
+    emb = _corpus(spark)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    before = {tuple(r) for r in ivf2_index_search(
+        emb, ivf2_index_load(spark, path)).collect()}
+    ivf2_index_delete(spark, path, [10_000, 10_001])
+    after = {tuple(r) for r in ivf2_index_search(
+        emb, ivf2_index_load(spark, path)).collect()}
+    assert after == before
+
+
+def test_pq_delete_tombstones(spark, tmp_path):
+    """The compressed tier honors the same delete contract: tombstoned
+    ids vanish from compressed-domain search and rerank immediately,
+    and physically at rebuild."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_delete,
+        pq_index_load,
+        pq_index_rebuild,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    path = str(tmp_path / "pq")
+    pq_index_build(emb, path, dim=8, m=2, k=4, n_cells=2, cell_cap=100)
+    dead_df = emb.where(F.col("vec_id") % 5 == 0).select("vec_id")
+    dead = {r.vec_id for r in dead_df.collect()}
+    pq_index_delete(spark, path, dead_df)
+    index = pq_index_load(spark, path)
+    hits = pq_index_search(emb, index).collect()
+    assert hits
+    assert all(r.neighbor_id not in dead for r in hits)
+    rr = pq_index_search(emb, index, rerank=3, corpus=emb).collect()
+    assert all(r.neighbor_id not in dead for r in rr)
+    pq_index_rebuild(spark, path)
+    after = pq_index_load(spark, path)
+    phys = {r.id for r in after["postings"].select("id").collect()}
+    assert phys.isdisjoint(dead)
+
+
+def test_versioned_rebuild_keeps_prior_reader_alive(spark, tmp_path):
+    """VERDICT r8 item 3: the rebuild publishes postings_v{seq+1} and
+    flips the meta pointer — it never touches the files a pre-rebuild
+    load resolved, so a DataFrame materialized from the OLD load still
+    collects correctly after the rebuild (the grace period). Versions
+    two behind are garbage-collected."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    old_index = ivf2_index_load(spark, path)
+    old_search = ivf2_index_search(batch, old_index)
+    expect = {tuple(r) for r in old_search.collect()}
+    ivf2_index_rebuild(spark, path)
+    assert os.path.isdir(path + "/postings_v1"), (
+        "grace period: the previous version must survive one rebuild")
+    assert os.path.isdir(path + "/postings_v2")
+    # the pre-rebuild plan re-collects from its own (v1) files
+    again = {tuple(r) for r in old_search.collect()}
+    assert again == expect
+    ivf2_index_rebuild(spark, path)
+    assert not os.path.isdir(path + "/postings_v1"), (
+        "a version two behind the pointer must be GC'd")
+    assert os.path.isdir(path + "/postings_v3")
+    fresh = {tuple(r) for r in ivf2_index_search(
+        batch, ivf2_index_load(spark, path)).collect()}
+    assert fresh == expect
+
+
+def test_pq_serving_knobs_compose(spark, tmp_path):
+    """PQ serving parity (VERDICT r8 item 1): attr_cols on the build,
+    where= cuts candidates to passing postings, prune=True is pure
+    routing (identical rows to the unpruned call), and the knobs
+    compose with k>1 — mirrored from the IVF2 serving-knob pin."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8).withColumn(
+        "tag", (F.col("vec_id") % 2).cast("int"))
+    batch = emb.where(F.col("vec_id") % 6 == 0)
+    path = str(tmp_path / "pq")
+    pq_index_build(emb, path, dim=8, m=2, k=4, n_cells=3, cell_cap=100,
+                   attr_cols=["tag"])
+    index = pq_index_load(spark, path)
+    assert "tag" in index["postings"].columns
+    kw = dict(k=2, where=F.col("tag") == 0)
+    full = {tuple(r)
+            for r in pq_index_search(batch, index, **kw).collect()}
+    pruned = {tuple(r)
+              for r in pq_index_search(batch, index, prune=True,
+                                       **kw).collect()}
+    assert pruned == full and full
+    for (_vid, nbr, _sdc, rank) in full:
+        assert nbr % 2 == 0
+        assert rank in (1, 2)
+    top1 = {(r.vec_id, r.neighbor_id, r.sdc)
+            for r in pq_index_search(batch, index,
+                                     where=F.col("tag") == 0).collect()}
+    assert {(v, n, s) for (v, n, s, r) in full if r == 1} == top1
+
+
+def test_pq_tree_serving_knobs(spark, tmp_path):
+    """The tree-coarse PQ index serves the same knobs: the sid shard
+    is the SUPER cell (k2 composite cells per directory), prune stays
+    pure routing, and attr filters compose."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8).withColumn(
+        "tag", (F.col("vec_id") % 2).cast("int"))
+    batch = emb.where(F.col("vec_id") % 6 == 0)
+    path = str(tmp_path / "pqt")
+    pq_index_build(emb, path, dim=8, m=2, k=4, cell_cap=100,
+                   coarse="tree", n_super=2, k2=2, attr_cols=["tag"])
+    index = pq_index_load(spark, path)
+    # sid is the super cell: cell == sid*k2 + sub
+    rows = index["postings"].select("cell", "sid").distinct().collect()
+    assert rows and all(r.cell // 2 == r.sid for r in rows)
+    kw = dict(where=F.col("tag") == 1)
+    full = {tuple(r)
+            for r in pq_index_search(batch, index, **kw).collect()}
+    pruned = {tuple(r)
+              for r in pq_index_search(batch, index, prune=True,
+                                       **kw).collect()}
+    assert pruned == full and full
+    assert all(nbr % 2 == 1 for (_v, nbr, _s) in full)
+
+
+def test_pruned_serve_does_not_accumulate_cache(spark, tmp_path):
+    """ADVICE r8: the pruned serve is the repeated-call path by design
+    — a serving loop over BOTH tiers must not grow the persisted-RDD
+    set (the r7 build-side discipline, extended to the serve side)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    p1 = str(tmp_path / "i2")
+    p2 = str(tmp_path / "pq")
+    ivf2_index_build(emb, p1, n_super=2, k2=2)
+    pq_index_build(emb, p2, dim=8, m=2, k=4, n_cells=2, cell_cap=100)
+    i2 = ivf2_index_load(spark, p1)
+    pq = pq_index_load(spark, p2)
+    batch = emb.where(F.col("vec_id") % 6 == 0)
+    ivf2_index_search(batch, i2, prune=True).collect()
+    pq_index_search(batch, pq, prune=True).collect()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        ivf2_index_search(batch, i2, prune=True).collect()
+        pq_index_search(batch, pq, prune=True).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"pruned serving leaked cached relations: {before} -> {after}")
+
+
+def test_trained_pq_builds_do_not_accumulate_cache(spark, tmp_path):
+    """ADVICE r8: _train_pq_codebook's per-iteration persists and the
+    tree-coarse builder's Lloyd relations are all released by the time
+    pq_index_build returns — including the trained + tree path."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+    )
+
+    emb = _corpus(spark, n=24, dim=8)
+    pq_index_build(emb, str(tmp_path / "warm"), dim=8, m=2, k=4,
+                   cell_cap=100, coarse="tree", n_super=2, k2=2,
+                   train_iters=2, train_frac=0.5)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for i in range(3):
+        pq_index_build(emb, str(tmp_path / f"i{i}"), dim=8, m=2, k=4,
+                       cell_cap=100, coarse="tree", n_super=2, k2=2,
+                       train_iters=2, train_frac=0.5)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"trained PQ builds leaked cached relations: {before} -> {after}")
