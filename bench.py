@@ -120,6 +120,13 @@ HEADLINE = [
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
     "ann_top1_ivfpq_trained",
+    # round-9 additions: tombstone-delete serve, saved multi-probe
+    # serving, PQ serving parity (filtered + pruned over coded postings)
+    "ann_deleted_ivf2_saved",
+    "ann_top1_ivf2_saved_probe2",
+    "ann_filtered_pq_saved",
+    "ann_pruned_pq_saved",
+    "ann_rerank_pq_saved",
 ]
 
 # The previous round's headline set (BENCH_r07.json / BENCH_FULL.json).
@@ -128,7 +135,7 @@ HEADLINE = [
 # shared_with_prev_total_sec, which is summed over identical query sets,
 # not the headline total, which grows whenever new queries join the set
 # (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:79]
+PREV_HEADLINE = HEADLINE[:83]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -1294,7 +1294,8 @@ def q_ann_top1_ivfpq_trained(spark: SparkSession,
 
 
 def _ivfpq_served_oracle(query_pred: str | None = None,
-                         nbr_pred: str | None = None) -> str:
+                         nbr_pred: str | None = None,
+                         rerank: int = 0) -> str:
     """One-directional SERVING twin of ``_IVFPQ_ORACLE`` — the
     semantics of ``ann_index.pq_index_search`` (compressed mode):
     every query vector (optionally restricted by ``query_pred`` over
@@ -1305,18 +1306,46 @@ def _ivfpq_served_oracle(query_pred: str | None = None,
     ``embeddings`` row aliased ``lb``) replays an attribute-filtered
     search — the predicate the Spark side pushes into the coded
     postings scan (PQ serving parity, VERDICT r8 item 1). Pruning is
-    pure routing, so the pruned query shares the unfiltered tail."""
+    pure routing, so the pruned query shares the unfiltered tail.
+
+    ``rerank`` > 0 replays the DEPLOYMENT refine stage: shortlist each
+    query's top-R candidates by SDC (asc sdc, ties to the smaller
+    nbr — the Spark shortlist window's exact order), exact-cosine
+    ONLY those rows against re-read vectors, argmax per query (ties
+    to the smaller nbr, matching the operator's max-struct)."""
     prefix = _IVFPQ_ORACLE.split("scored AS (")[0]
     qf = f"\n  WHERE {query_pred}" if query_pred else ""
     nj = (f"\n  JOIN embeddings lb ON lb.vec_id = b.vec_id "
           f"AND ({nbr_pred})" if nbr_pred else "")
-    tail = f"""scored AS (
+    scored_cte = f"""scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS nbr,
          round({" + ".join(f"l{b}.d2" for b in range(_PQ_M))}, 6) AS sdc
   FROM idx a
   JOIN capped b ON a.cell = b.cell AND a.vec_id != b.vec_id{nj}
   {" ".join(f"JOIN lut l{b} ON l{b}.b = {b} AND l{b}.cda = a.code{b} AND l{b}.cdb = b.code{b}"
-            for b in range(_PQ_M))}{qf})
+            for b in range(_PQ_M))}{qf})"""
+    if rerank > 0:
+        tail = f"""{scored_cte},
+short AS (SELECT qid, nbr FROM (
+            SELECT qid, nbr,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sdc, nbr) AS rn
+            FROM scored) t WHERE rn <= {rerank}),
+exact AS (SELECT s.qid, s.nbr,
+                 round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+                   AS cos_sim
+          FROM short s
+          JOIN v va ON va.vec_id = s.qid
+          JOIN v vb ON vb.vec_id = s.nbr)
+SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT qid, nbr, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM exact) t
+WHERE rn = 1
+"""
+        return prefix + tail
+    tail = f"""{scored_cte}
 SELECT qid AS vec_id, nbr AS neighbor_id, sdc FROM (
   SELECT qid, nbr, sdc,
          row_number() OVER (PARTITION BY qid
@@ -1388,6 +1417,40 @@ def q_ann_pruned_pq_saved(spark: SparkSession,
     index = pq_index_load(spark, path)
     batch = emb.where(F.col("vec_id") % 10 == 0)
     return pq_index_search(batch, index, prune=True)
+
+
+_PQ_RERANK = 5
+
+
+@query("ann_rerank_pq_saved", _ivfpq_served_oracle(rerank=_PQ_RERANK))
+def q_ann_rerank_pq_saved(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The DEPLOYMENT arm of the PQ tier, driver-adjudicated through
+    the saved lifecycle (it was pytest-only until r9): SDC-shortlist
+    each query's top-R candidates in the compressed domain (m O(1)
+    LUT lookups per pair — the cheap wide scan), then fetch raw
+    vectors for ONLY the shortlist from the corpus table (one
+    id-equi-join — the single place raw vectors appear) and
+    exact-cosine rerank. This is where PQ serves in production: the
+    measured recall at the rerank arm is 3-10× the raw-SDC arm
+    (PLANS.md §trained-PQ A/B) while exact-scoring ~R rows per query
+    instead of the whole cell."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "pqrr_" + os.path.basename(os.path.normpath(sf_dir)))
+    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
+    index = pq_index_load(spark, path)
+    return pq_index_search(emb, index, rerank=_PQ_RERANK, corpus=emb)
 
 
 @query("ann_recall_ivfpq", f"""

@@ -32,8 +32,13 @@ BNLJ_ALLOWED = {
     "ann_topk_ivf2_saved",    # same saved-lifecycle anchor broadcasts
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
+    "ann_deleted_ivf2_saved",       # same saved-lifecycle broadcasts
+    "ann_top1_ivf2_saved_probe2",   # + the multi-probe anchor arrays
     "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
     "ann_top1_ivfpq_saved",   # broadcast loaded codebook/LUT one-row arrays
+    "ann_filtered_pq_saved",  # broadcast loaded codebook/LUT one-row arrays
+    "ann_pruned_pq_saved",    # broadcast loaded codebook/LUT one-row arrays
+    "ann_rerank_pq_saved",    # broadcast loaded codebook/LUT one-row arrays
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
