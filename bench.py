@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_filtered_pq_saved",
     "ann_pruned_pq_saved",
     "ann_rerank_pq_saved",
+    "dedup_lsh_probe_saved",
 ]
 
 # The previous round's headline set (BENCH_r07.json / BENCH_FULL.json).

@@ -1,0 +1,195 @@
+"""Saved MinHash-LSH index lifecycle — the dedup family's
+build-once-serve-many twin of :mod:`operators.ann_index` (round 9):
+the standing banded index `lsh_probe_pairs` keeps as an in-session
+persist becomes a SAVED parquet relation, so the daily-ingest loop
+(new batch probes the standing corpus for near-duplicates) reads
+yesterday's index instead of re-banding 100 TB of documents per batch,
+and the per-call persist the in-session probe needs disappears
+entirely (the saved postings ARE the reusable relation).
+
+Layout under ``path`` — the exact maintenance contract of the ANN
+tiers, sharing their helpers (versioned manifest, tombstones, GC):
+
+* ``postings_v{seq}``  (id, band, h) — the CAPPED banded buckets,
+  partitioned by ``band`` (bands are few and uniformly sized — every
+  probe touches all bands, so the partition key here is layout
+  hygiene, not pruning; the bucket digest ``h`` carries the join).
+  32-char digests only: a few bytes per document per band, never text
+  or shingles — the index of an 18 M-doc corpus is ~2.4 GB.
+* ``meta``             versioned knobs (k, bands, shingle_n,
+  bucket_cap, id_col) + the ``seq`` manifest pointer.
+* ``tombstones``       optional deleted-id relation
+  (:func:`lsh_index_delete`); probes anti-join it out immediately,
+  rebuilds drop the rows physically.
+
+The build applies the bucket CAP (degenerate boilerplate buckets drop
+— the explicit recall tradeoff `lsh_candidate_pairs` documents) so
+every future probe inherits the bounded-bucket contract; appends are
+not re-capped per batch (bounded staleness, re-capped at rebuild) —
+identical semantics to the ANN postings cap.
+
+Reference parity note: the reference engine (kptfh/left-join-on-timeout)
+has no dedup surface — this module belongs to the LLM-data-pipeline
+extension mandated by the build spec.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.ann_index import (
+    INDEX_FORMAT_VERSION,
+    _apply_tombstones,
+    _check_id_col,
+    _index_delete,
+    _load_tombstones,
+    _postings_dir,
+    _publish_postings,
+    _read_meta,
+    _read_postings,
+    _reset_maintenance_state,
+)
+from left_join_on_timeout_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    DEFAULT_LSH_BUCKET_CAP,
+    DEFAULT_SHINGLE,
+    _with_minhash,
+    band_rows,
+    shingle_sets,
+)
+
+
+def _banded(docs: DataFrame, id_col: str, text_col: str,
+            k: int, bands: int, shingle_n: int) -> DataFrame:
+    """(id, band, h): documents → distinct shingle sets → minhash
+    signature → per-band bucket digests — all row-local projections
+    (zero shuffles), the exact arithmetic of the fused LSH family."""
+    sets = shingle_sets(docs, id_col, text_col, shingle_n)
+    sig = _with_minhash(sets, id_col, k).drop("sh_set")
+    return band_rows(sig, id_col, k, bands)
+
+
+def lsh_index_build(docs: DataFrame, path: str,
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    k: int = DEFAULT_K,
+                    bands: int = DEFAULT_BANDS,
+                    shingle_n: int = DEFAULT_SHINGLE,
+                    bucket_cap: int = DEFAULT_LSH_BUCKET_CAP) -> None:
+    """Band the corpus ONCE and persist the capped buckets under
+    ``path`` (overwrite semantics). One scan → row-local banding →
+    window cap → write; nothing is collected driver-side and the only
+    shuffle is the cap's (band, h) window — the pass a daily build
+    amortizes over every subsequent probe."""
+    banded = _banded(docs, id_col, text_col, k, bands, shingle_n)
+    w = Window.partitionBy("band", "h")
+    capped = (banded.withColumn("bsz", F.count("*").over(w))
+              .where(F.col("bsz") <= bucket_cap).drop("bsz")
+              .select(F.col(id_col).alias("id"), "band", "h"))
+    (capped.write.mode("overwrite").partitionBy("band")
+     .parquet(_postings_dir(path, 1)))
+    meta = docs.sparkSession.createDataFrame(
+        [(INDEX_FORMAT_VERSION, k, bands, shingle_n, bucket_cap,
+          id_col, 1)],
+        "version INT, k INT, bands INT, shingle_n INT, bucket_cap INT, "
+        "id_col STRING, seq INT")
+    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
+    _reset_maintenance_state(path)
+
+
+def lsh_index_load(spark: SparkSession, path: str) -> dict:
+    """Load a saved LSH index: ``{"meta": Row, "postings": df,
+    "path": str}`` — the postings stay a lazy scan of the live
+    ``postings_v{meta.seq}`` version, tombstones anti-joined out."""
+    meta = _read_meta(spark, path)
+    postings = _read_postings(spark, path, meta.seq) \
+        .withColumn("band", F.col("band").cast("long"))
+    expected = {"id": "bigint", "band": "bigint", "h": "string"}
+    got = dict(postings.dtypes)
+    bad = {c: (t, got.get(c)) for c, t in expected.items()
+           if got.get(c) != t}
+    if bad:
+        raise ValueError(
+            f"postings schema drift at {path}: expected vs got {bad}")
+    return {
+        "meta": meta,
+        "path": path,
+        "postings": _apply_tombstones(
+            postings, _load_tombstones(spark, path)),
+    }
+
+
+def lsh_index_probe(new_docs: DataFrame, index: dict,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Distinct ``(probe_id, index_id)`` near-dup candidates: the new
+    batch bands row-locally (using the INDEX's saved knobs — the
+    banding arithmetic must match the build's or buckets never
+    collide) and equi-joins the standing capped buckets on
+    (band, h). Cost scales with the batch, not the corpus; nothing
+    re-bands or persists the standing side — it is a parquet scan.
+    Self-pairs (a doc probing an index that contains it) are excluded
+    like the fused probe's id inequality."""
+    _check_id_col(index["meta"], id_col, "search")
+    meta = index["meta"]
+    prb = _banded(new_docs, id_col, text_col, meta.k, meta.bands,
+                  meta.shingle_n)
+    return (prb.select(F.col(id_col).alias("probe_id"), "band", "h")
+            .join(index["postings"]
+                  .select(F.col("id").alias("index_id"), "band", "h"),
+                  ["band", "h"])
+            .where(F.col("probe_id") != F.col("index_id"))
+            .select("probe_id", "index_id")
+            .distinct())
+
+
+def lsh_index_append(new_docs: DataFrame, spark: SparkSession, path: str,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> None:
+    """APPEND a new batch's banded rows to the saved index — the write
+    half of the ingest loop. The build-time bucket cap is NOT
+    re-evaluated per batch (it would need a full postings scan); a
+    bucket pushed over the cap by ingest is re-capped at the next
+    :func:`lsh_index_rebuild` — the same bounded-staleness contract as
+    the ANN appends. Idempotency is the caller's concern."""
+    index = lsh_index_load(spark, path)
+    _check_id_col(index["meta"], id_col, "append")
+    meta = index["meta"]
+    out = _banded(new_docs, id_col, text_col, meta.k, meta.bands,
+                  meta.shingle_n).select(
+        F.col(id_col).alias("id"), "band", "h")
+    (out.write.mode("append").partitionBy("band")
+     .parquet(_postings_dir(path, meta.seq)))
+
+
+def lsh_index_delete(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone-delete document ids from a saved LSH index — the
+    consumer shape: the engine's own ``dedup_keep_canonical`` stage
+    produces doc REMOVALS, and the standing near-dup index serving
+    that corpus must stop surfacing them immediately. See
+    :func:`operators.ann_index._index_delete` for the contract."""
+    _index_delete(spark, path, ids)
+
+
+def lsh_index_rebuild(spark: SparkSession, path: str) -> None:
+    """Compaction: re-apply the build-time bucket cap over the CURRENT
+    postings (base + appended, tombstones dropped physically), publish
+    ``postings_v{seq+1}``, flip the manifest pointer, clear tombstones,
+    GC versions ≥2 behind — the shared versioned-manifest publish."""
+    index = lsh_index_load(spark, path)
+    meta = index["meta"]
+    w = Window.partitionBy("band", "h")
+    recapped = (index["postings"]
+                .withColumn("bsz", F.count("*").over(w))
+                .where(F.col("bsz") <= meta.bucket_cap).drop("bsz"))
+    new_seq = int(getattr(meta, "seq", 1) or 1) + 1
+    meta_df = spark.createDataFrame(
+        [(meta.version, meta.k, meta.bands, meta.shingle_n,
+          meta.bucket_cap, meta.id_col, new_seq)],
+        "version INT, k INT, bands INT, shingle_n INT, bucket_cap INT, "
+        "id_col STRING, seq INT")
+    _publish_postings(spark, path, recapped, "band", meta_df, new_seq)

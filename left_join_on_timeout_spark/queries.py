@@ -385,17 +385,18 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 9 order:
-#   1-5    NEW queries (tombstone-delete serve, multi-probe saved
-#          serve, PQ filtered + pruned + reranked serving parity);
-#   6-13   sentinels: every query whose path round 9 touched -- all
+#   1-6    NEW queries (tombstone-delete serve, multi-probe saved
+#          serve, PQ filtered + pruned + reranked serving parity, the
+#          saved LSH dedup index probe);
+#   7-14   sentinels: every query whose path round 9 touched -- all
 #          saved-lifecycle names (the index layout moved to versioned
 #          postings_v{seq} + tombstone anti-join at load), the two
 #          streaming index probes (same loads), and the trained-PQ
 #          query (_train_pq_codebook's persist plumbing);
-#   14-29  the staleness rotation: the FULL r4 vintage (16 -- closing
-#          VERDICT r8 "wrong" #3), then 21 of the 34 r5 names
-#          alphabetically; the remaining 13 r5 names carry to r10's
-#          window (63 stale+new names into 50 slots).
+#   15-30  the staleness rotation: the FULL r4 vintage (16 -- closing
+#          VERDICT r8 "wrong" #3), then 20 of the 34 r5 names
+#          alphabetically; the remaining 14 r5 names carry to r10's
+#          window (64 stale+new names into 50 slots).
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -403,12 +404,13 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r9 ----------------------------------------------------- 5
+    # -- NEW in r9 ----------------------------------------------------- 6
     "ann_deleted_ivf2_saved",
     "ann_filtered_pq_saved",
     "ann_pruned_pq_saved",
     "ann_rerank_pq_saved",
     "ann_top1_ivf2_saved_probe2",
+    "dedup_lsh_probe_saved",
     # -- changed-code-path sentinels (r9 diff) ------------------------- 8
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
@@ -456,7 +458,6 @@ _PRIORITY: list[str] = [
     "quality_dup_calibration",
     "rolling_7d_active_users",
     "scd2_user_state_intervals",
-    "schema_evolution_merge",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

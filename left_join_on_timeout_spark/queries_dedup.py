@@ -564,7 +564,7 @@ def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental-ingest probe: new batch vs standing corpus index
 # ---------------------------------------------------------------------------
 
-@query("dedup_incremental_probe", f"""
+_INCR_PROBE_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 hashed AS (SELECT doc_id, {_DIGEST_COLS} FROM sh),
 sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
@@ -600,7 +600,10 @@ SELECT new_id, old_id, jaccard FROM (
                             ORDER BY jaccard DESC, old_id) AS rn
   FROM jac) t
 WHERE rn = 1
-""")
+"""
+
+
+@query("dedup_incremental_probe", _INCR_PROBE_ORACLE)
 def q_dedup_incremental_probe(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Incremental near-dup screening — the shape a production ingest
@@ -1107,3 +1110,70 @@ def q_quality_dup_calibration(spark: SparkSession,
                      F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
                      .cast("double") / F.count(F.lit(1)), 6)
                  .alias("dup_frac")))
+
+
+@query("dedup_lsh_probe_saved", _INCR_PROBE_ORACLE)
+def q_dedup_lsh_probe_saved(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The incremental near-dup probe through the SAVED-index lifecycle
+    (round 9 — the dedup family gets the build-once-serve-many shape
+    the ANN tiers have): band + cap the standing 90% corpus ONCE and
+    persist the capped buckets to parquet (`lsh_index_build`), LOAD
+    the index back, probe the 10% arrival batch against the saved
+    postings (`lsh_index_probe` — one equi-join whose cost scales
+    with the batch), then exact-Jaccard-verify candidates and keep
+    each new doc's best existing match. Hash-matches the fused
+    ``dedup_incremental_probe`` oracle row-for-row — the lifecycle is
+    a refactoring of the plan, not a new approximation; the probe
+    plan reads the index from a FileScan instead of re-banding the
+    corpus (plan-gated in tests/test_plans.py)."""
+    import os
+
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.dedup import shingle_sets
+    from left_join_on_timeout_spark.operators.lsh_index import (
+        lsh_index_build,
+        lsh_index_load,
+        lsh_index_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.where(F.col("doc_id") % 10 != 0)
+    new_docs = docs.where(F.col("doc_id") % 10 == 0)
+    root = default_index_root()
+    path = os.path.join(
+        root, "lsh_" + os.path.basename(os.path.normpath(sf_dir)))
+    lsh_index_build(old_docs, path)
+    index = lsh_index_load(spark, path)
+    cand = (lsh_index_probe(new_docs, index)
+            .withColumnRenamed("probe_id", "new_id")
+            .withColumnRenamed("index_id", "old_id"))
+    # verify stage: one shingle pass feeds both sides (persisted),
+    # exact Jaccard only on candidates — identical to the fused query
+    sets = shingle_sets(docs, "doc_id", "text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sized = sets.select("doc_id", "sh_set", F.size("sh_set").alias("n_sh"))
+    a = sized.select(F.col("doc_id").alias("new_id"),
+                     F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col("doc_id").alias("old_id"),
+                     F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("n_b"))
+    jac = (cand.join(a, "new_id").join(b, "old_id")
+           .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+           .withColumn("jaccard",
+                       F.col("inter") /
+                       (F.col("n_a") + F.col("n_b") - F.col("inter")))
+           .where(F.col("jaccard") >= 0.5)
+           .select("new_id", "old_id",
+                   F.round("jaccard", 6).alias("jaccard")))
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                             F.asc("old_id"))
+    return (jac.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn"))

@@ -469,3 +469,16 @@ def test_deleted_search_antijoin_keeps_scan_pushdown(spark):
     assert "tombstones" in plan, "delete serve must read the tombstones"
     # the anti-join side is broadcast (deletes are small by contract)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_saved_lsh_probe_reads_index_from_parquet(spark):
+    """The LSH lifecycle contract: the probe plan reads the standing
+    index from the SAVED postings parquet (a FileScan on postings_v*),
+    never re-banding the corpus side — that is the entire point of
+    the build-once shape; only the probe batch's banding pipeline may
+    appear."""
+    plan = plan_of(spark, "dedup_lsh_probe_saved")
+    assert any("postings_v" in ln and "FileScan" in ln
+               for ln in plan.splitlines()), (
+        "saved LSH probe must scan the persisted index postings")
+    assert "CartesianProduct" not in plan
