@@ -224,8 +224,9 @@ def _read_postings(spark: SparkSession, path: str, seq: int):
         return spark.read.parquet(_postings_dir(path, seq))
     except Exception as e:
         raise ValueError(
-            f"empty or corrupt index postings at {path} (every cell "
-            f"over cell_cap, or an empty corpus at build?): {e}") from e
+            f"empty or corrupt index postings at {path} (every cell/"
+            f"bucket over its build cap, or an empty corpus at "
+            f"build?): {e}") from e
 
 
 def ivf2_index_build(emb: DataFrame, path: str,
