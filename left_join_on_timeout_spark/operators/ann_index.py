@@ -286,8 +286,15 @@ def ivf2_index_build(emb: DataFrame, path: str,
             capped = capped.select(*posting_cols)
         # partitioned by super-cell: a probe's scan prunes to its own
         # sid directory — the file-layout analog of inverted-list
-        # sharding (the pruned-search path proves the filter fires)
-        (capped.write.mode("overwrite").partitionBy("sid")
+        # sharding (the pruned-search path proves the filter fires).
+        # Align the write partitioning with the directory key first:
+        # without it every write task touches every sid directory
+        # (files ≈ tasks × dirs — the 20 M tree build measured 5 728
+        # files for 179 dirs, PLANS.md r9); hash-clustering by sid
+        # bounds it to ~one file per directory, which is also what the
+        # pruned serve then reads
+        (capped.repartition(F.col("sid"))
+         .write.mode("overwrite").partitionBy("sid")
          .parquet(_postings_dir(path, 1)))
         meta = assigned.sparkSession.createDataFrame(
             [(INDEX_FORMAT_VERSION, n_super, k2, iters, cell_cap,
@@ -748,7 +755,10 @@ def pq_index_build(emb: DataFrame, path: str,
         if attr_cols:
             attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
             capped = capped.join(attrs, "id")
-        (capped.write.mode("overwrite").partitionBy("sid")
+        # cluster by the shard key before the write (see the ivf2
+        # builder's note: files ≈ tasks × dirs otherwise)
+        (capped.repartition(F.col("sid"))
+         .write.mode("overwrite").partitionBy("sid")
          .parquet(_postings_dir(path, 1)))
         # meta.k is the EFFECTIVE codeword count (rows actually in the
         # codebook), which is what the LUT position arithmetic needs —
@@ -1088,6 +1098,10 @@ def _publish_postings(spark: SparkSession, path: str,
     operations an object store does natively."""
     import shutil
 
+    if partition_by:
+        # cluster by the directory key so the rewritten version keeps
+        # ~one file per directory (files ≈ tasks × dirs otherwise)
+        recapped = recapped.repartition(F.col(partition_by))
     w = recapped.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)

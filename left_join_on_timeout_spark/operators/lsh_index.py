@@ -90,7 +90,13 @@ def lsh_index_build(docs: DataFrame, path: str,
     capped = (banded.withColumn("bsz", F.count("*").over(w))
               .where(F.col("bsz") <= bucket_cap).drop("bsz")
               .select(F.col(id_col).alias("id"), "band", "h"))
-    (capped.write.mode("overwrite").partitionBy("band")
+    # cluster by band before the write (files ≈ tasks × dirs
+    # otherwise — the ann builders' note); repartition(col) keeps the
+    # session's shuffle-partition parallelism, it only co-locates rows
+    # of a band, so the 100 TB write is not serialized into |bands|
+    # tasks
+    (capped.repartition(F.col("band"))
+     .write.mode("overwrite").partitionBy("band")
      .parquet(_postings_dir(path, 1)))
     meta = docs.sparkSession.createDataFrame(
         [(INDEX_FORMAT_VERSION, k, bands, shingle_n, bucket_cap,
