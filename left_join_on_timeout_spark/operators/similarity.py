@@ -1167,17 +1167,44 @@ def _pq_cand_fn(s: F.Column, b: int, sub: int):
     return _cand
 
 
-# One-slot release registry for the PQ trainer's persisted codebook
-# chain (ADVICE r8): each _train_pq_codebook call releases the PREVIOUS
-# call's persists before registering its own, so a session that trains
-# many codebooks (repeated builds, bench loops, serving sessions) holds
-# AT MOST one k-row cached chain at any time — accumulation-free — while
-# the returned codebook stays a lazy, persist-backed relation that fuses
-# into the consumer's single action (an eager collect-to-literal variant
-# measured 1.9× slower at bench scale: two extra driver jobs of pure
-# stage overhead). A consumer still holding the previous call's plan
-# simply recomputes it (deterministic DECIMAL means — bit-identical).
+# One-slot, plan-keyed cache for the PQ trainer's persisted codebook
+# chain (ADVICE r8): a training call whose logical plan is the SAME
+# RESULT as the slot's (same corpus, same knobs — Catalyst
+# ``sameResult``) reuses the cached codebook, a different one releases
+# the slot and takes it. A session that trains many codebooks
+# (repeated builds, bench loops, serving sessions) therefore holds AT
+# MOST one k-row cached chain at any time — accumulation-free — while
+# repeated identical trainings (retry loops, repeated self-searches
+# over one corpus) stay amortized, and the returned codebook stays a
+# lazy, persist-backed relation that fuses into the consumer's single
+# action (an eager collect-to-literal variant measured 1.9× slower at
+# bench scale: two extra driver jobs of pure stage overhead). A
+# consumer still holding a RELEASED plan simply recomputes it
+# (deterministic DECIMAL means — bit-identical).
 _TRAINED_SLOT: list = []
+
+
+def _slot_lookup(cb: DataFrame) -> DataFrame | None:
+    """Return the slot's cached codebook when its logical plan computes
+    the same result as ``cb``; otherwise release the slot. Any py4j
+    failure (e.g. the slot belongs to a stopped session) counts as a
+    miss and clears the slot."""
+    if not _TRAINED_SLOT:
+        return None
+    prev = _TRAINED_SLOT[-1]
+    try:
+        if cb._jdf.queryExecution().analyzed().sameResult(
+                prev._jdf.queryExecution().analyzed()):
+            return prev
+    except Exception:
+        pass
+    for df in _TRAINED_SLOT:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _TRAINED_SLOT.clear()
+    return None
 
 
 def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
@@ -1202,11 +1229,14 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
     stays fixed and code ids contiguous, which the SDC LUT's position
     arithmetic requires.
 
-    Cache discipline (ADVICE r8): the per-iteration persists truncate
-    the Lloyd lineage and let the consumer's single action compute
-    training exactly once; the module's one-slot registry releases
-    them on the NEXT training call, so repeated builds never
-    accumulate cached relations (pytest-pinned)."""
+    Cache discipline (ADVICE r8): the final codebook is persisted and
+    registered in the module's one-slot plan-keyed cache — an
+    identical retraining (same corpus, same knobs) reuses it, a
+    different one releases it, so repeated builds never accumulate
+    cached relations (pytest-pinned). Iterations feed each other
+    lazily (no intermediate persists — with the production iters of
+    1-2 the worst case is one recompute of the previous pass inside
+    the single consuming action)."""
     from pyspark import StorageLevel
 
     sub = dim // m
@@ -1226,9 +1256,6 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
         cb = vu.where(F.col(id_col) < k).select(
             F.col(id_col).cast("int").alias("code"),
             F.col("vu").alias("cv"))
-    for df in _TRAINED_SLOT:
-        df.unpersist()
-    _TRAINED_SLOT.clear()
     for _ in range(iters):
         cb_arr = cb.agg(F.collect_list(F.struct("code", "cv")).alias("cb"))
         enc = vt.join(F.broadcast(cb_arr))
@@ -1267,9 +1294,12 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
                    .alias("a"))
               .select("code",
                       F.flatten(F.transform(F.col("a"), lambda e: e["cs"]))
-                      .alias("cv"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-        _TRAINED_SLOT.append(cb)
+                      .alias("cv")))
+    hit = _slot_lookup(cb)
+    if hit is not None:
+        return hit
+    cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRAINED_SLOT.append(cb)
     return cb
 
 
