@@ -170,7 +170,19 @@ def _index_delete(spark: SparkSession, path: str, ids) -> None:
     rebuild, which also clears the tombstones — the delete-at-compact
     contract of every LSM-shaped index. Deleting an id that was never
     indexed is a no-op (anti-join semantics), so callers can feed the
-    dedup stage's removal list verbatim."""
+    dedup stage's removal list verbatim.
+
+    Ordering contract: a DELETE wins over any append of the same id
+    until the next rebuild (the anti-join is by id, not by version),
+    and the rebuild drops the id's rows physically — so a re-insert of
+    a deleted id only takes effect if appended AFTER the rebuild that
+    cleared its tombstone. Same rule as any id-keyed tombstone log.
+
+    Long-running STREAMING readers: a loaded index pins its resolved
+    ``postings_v{seq}`` files for the plan's lifetime; the versioned GC
+    keeps one prior version, so a stream survives ONE rebuild under it
+    and should re-load the index (re-resolve the pointer) at least
+    once per rebuild cycle."""
     if isinstance(ids, DataFrame):
         tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
     else:
