@@ -127,6 +127,7 @@ HEADLINE = [
     "ann_filtered_pq_saved",
     "ann_pruned_pq_saved",
     "ann_rerank_pq_saved",
+    "ann_top1_ivfpq_saved_probe2",
     "dedup_lsh_probe_saved",
 ]
 

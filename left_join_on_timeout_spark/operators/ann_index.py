@@ -828,26 +828,50 @@ def pq_index_load(spark: SparkSession, path: str) -> dict:
 
 
 def _pq_encode_and_assign(queries: DataFrame, index: dict,
-                          id_col: str, vec_col: str) -> DataFrame:
+                          id_col: str, vec_col: str,
+                          nprobe: int = 1) -> DataFrame:
     """(id, cell, sid, code0..m-1): queries encoded through the LOADED
     codebook and assigned through the LOADED anchors — zero training,
     the same arithmetic as the build side (tree-coarse indexes route
     through the saved sup/sub anchors and the same ``sid·k2 + sub``
     composite cell). ``sid`` is the coarse shard the postings are
     partitioned by (super cell for tree, cell for flat) — the pruned
-    serve collects it into the scan's partition filter."""
+    serve collects it into the scan's partition filter. ``nprobe`` > 1
+    emits one row per probed coarse cell (top-``nprobe`` anchors for
+    flat, best sub in each of the top-``nprobe`` supers for tree) —
+    the serving recall knob; the index stores primary-assignment
+    postings only, multi-probe is query-side (the IVF discipline)."""
     meta = index["meta"]
     sub = meta.dim // meta.m
     vq = fan_out(queries).select(F.col(id_col),
                                  as_double(vec_col).alias("v"))
     vq = vq.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     if getattr(meta, "coarse", "flat") == "tree":
-        sup = (_assign_to_anchors(vq, index["sup_anchors"], id_col)
-               .withColumnRenamed("cell", "sid"))
-        assigned = (_assign_to_subs(sup, index["sub_anchors"], id_col)
-                    .withColumn("cell",
-                                F.col("sid") * meta.k2 + F.col("sub"))
-                    .drop("sub"))
+        if nprobe > 1:
+            assigned = (probe_assign_multi(
+                vq, index["sup_anchors"], index["sub_anchors"],
+                id_col, nprobe).drop("pri")
+                .withColumn("cell",
+                            F.col("sid") * meta.k2 + F.col("sub"))
+                .drop("sub"))
+        else:
+            sup = (_assign_to_anchors(vq, index["sup_anchors"], id_col)
+                   .withColumnRenamed("cell", "sid"))
+            assigned = (_assign_to_subs(sup, index["sub_anchors"],
+                                        id_col)
+                        .withColumn("cell",
+                                    F.col("sid") * meta.k2
+                                    + F.col("sub"))
+                        .drop("sub"))
+    elif nprobe > 1:
+        from left_join_on_timeout_spark.operators.similarity import (
+            _assign_to_anchors_multi,
+        )
+
+        assigned = (_assign_to_anchors_multi(vq, index["anchors"],
+                                             id_col, nprobe)
+                    .drop("pri")
+                    .withColumn("sid", F.col("cell")))
     else:
         assigned = (_assign_to_anchors(vq, index["anchors"], id_col)
                     .withColumn("sid", F.col("cell")))
@@ -928,7 +952,8 @@ def pq_index_search(queries: DataFrame, index: dict,
                     corpus: DataFrame | None = None,
                     k: int = 1,
                     where: F.Column | None = None,
-                    prune: bool = False) -> DataFrame:
+                    prune: bool = False,
+                    nprobe: int = 1) -> DataFrame:
     """Search NEW query vectors against a saved IVF-PQ index —
     compressed-domain end to end: queries are encoded and assigned
     through the LOADED codebook/anchors, candidates come from the coded
@@ -960,7 +985,10 @@ def pq_index_search(queries: DataFrame, index: dict,
     Catalyst pushes it into the parquet reader; ``prune=True``
     collects the batch's probed coarse shards into a static ``sid IN
     (...)`` filter, a PartitionFilter that reads only the probed
-    directories (both plan-gated in tests/test_plans.py)."""
+    directories (both plan-gated in tests/test_plans.py); ``nprobe``
+    probes the top-``nprobe`` coarse cells per query (the serving
+    recall knob — postings stay the primary assignment, multi-probe is
+    query-side), completing knob parity with ``ivf2_index_search``."""
     from pyspark.sql import Window
 
     _check_id_col(index["meta"], id_col, "search")
@@ -971,7 +999,7 @@ def pq_index_search(queries: DataFrame, index: dict,
         postings = postings.where(where)
     lut_arr = index["lut"].agg(F.array_sort(
         F.collect_list(F.struct("b", "ca", "cbc", "d2"))).alias("lut"))
-    enc = _pq_encode_and_assign(queries, index, id_col, vec_col)
+    enc = _pq_encode_and_assign(queries, index, id_col, vec_col, nprobe)
     if prune:
         # one tiny action (≤ |batch| deduped shards) off the
         # UNPERSISTED assignment; the pairing join recomputes the

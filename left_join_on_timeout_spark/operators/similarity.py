@@ -438,6 +438,16 @@ def ivf_assign_multi(emb: DataFrame,
                .select(F.col(id_col).alias("cell"),
                        F.col("v").alias("av"),
                        F.col("nrm").alias("anrm")))
+    return _assign_to_anchors_multi(v, anchors, id_col, nprobe)
+
+
+def _assign_to_anchors_multi(v: DataFrame, anchors: DataFrame,
+                             id_col: str, nprobe: int) -> DataFrame:
+    """The multi-probe body of :func:`ivf_assign_multi`, factored so a
+    SAVED index can run the identical top-``nprobe`` argmax through its
+    LOADED anchor relation (the PQ tier's serving recall knob) — a pure
+    extraction, the plan is unchanged. See the caller for the argmax
+    loop's design notes."""
     anchor_arr = anchors.agg(
         F.collect_list(F.struct("cell", "av", "anrm")).alias("arr"))
     # struct(sim, negc): natural struct ordering makes array_max the

@@ -385,18 +385,18 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 9 order:
-#   1-6    NEW queries (tombstone-delete serve, multi-probe saved
-#          serve, PQ filtered + pruned + reranked serving parity, the
-#          saved LSH dedup index probe);
-#   7-14   sentinels: every query whose path round 9 touched -- all
+#   1-7    NEW queries (tombstone-delete serve, multi-probe saved
+#          serve on BOTH tiers, PQ filtered + pruned + reranked
+#          serving parity, the saved LSH dedup index probe);
+#   8-15   sentinels: every query whose path round 9 touched -- all
 #          saved-lifecycle names (the index layout moved to versioned
 #          postings_v{seq} + tombstone anti-join at load), the two
 #          streaming index probes (same loads), and the trained-PQ
 #          query (_train_pq_codebook's persist plumbing);
-#   15-30  the staleness rotation: the FULL r4 vintage (16 -- closing
-#          VERDICT r8 "wrong" #3), then 20 of the 34 r5 names
-#          alphabetically; the remaining 14 r5 names carry to r10's
-#          window (64 stale+new names into 50 slots).
+#   16-31  the staleness rotation: the FULL r4 vintage (16 -- closing
+#          VERDICT r8 "wrong" #3), then 19 of the 34 r5 names
+#          alphabetically; the remaining 15 r5 names carry to r10's
+#          window (65 stale+new names into 50 slots).
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -404,12 +404,13 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r9 ----------------------------------------------------- 6
+    # -- NEW in r9 ----------------------------------------------------- 7
     "ann_deleted_ivf2_saved",
     "ann_filtered_pq_saved",
     "ann_pruned_pq_saved",
     "ann_rerank_pq_saved",
     "ann_top1_ivf2_saved_probe2",
+    "ann_top1_ivfpq_saved_probe2",
     "dedup_lsh_probe_saved",
     # -- changed-code-path sentinels (r9 diff) ------------------------- 8
     "ann_filtered_ivf2_saved",
@@ -457,7 +458,6 @@ _PRIORITY: list[str] = [
     "pq_codes_recon",
     "quality_dup_calibration",
     "rolling_7d_active_users",
-    "scd2_user_state_intervals",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

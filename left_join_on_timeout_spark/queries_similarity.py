@@ -1295,7 +1295,8 @@ def q_ann_top1_ivfpq_trained(spark: SparkSession,
 
 def _ivfpq_served_oracle(query_pred: str | None = None,
                          nbr_pred: str | None = None,
-                         rerank: int = 0) -> str:
+                         rerank: int = 0,
+                         nprobe: int = 1) -> str:
     """One-directional SERVING twin of ``_IVFPQ_ORACLE`` — the
     semantics of ``ann_index.pq_index_search`` (compressed mode):
     every query vector (optionally restricted by ``query_pred`` over
@@ -1312,15 +1313,36 @@ def _ivfpq_served_oracle(query_pred: str | None = None,
     query's top-R candidates by SDC (asc sdc, ties to the smaller
     nbr — the Spark shortlist window's exact order), exact-cosine
     ONLY those rows against re-read vectors, argmax per query (ties
-    to the smaller nbr, matching the operator's max-struct)."""
+    to the smaller nbr, matching the operator's max-struct).
+
+    ``nprobe`` > 1 replays multi-probe SERVING: the query side ranks
+    the top-``nprobe`` coarse cells per vector (sim DESC, ties to the
+    lowest cell — the operator's successive-argmax order) while the
+    postings stay the primary capped build — the saved-index split,
+    exactly as in the IVF2 served twin."""
     prefix = _IVFPQ_ORACLE.split("scored AS (")[0]
     qf = f"\n  WHERE {query_pred}" if query_pred else ""
     nj = (f"\n  JOIN embeddings lb ON lb.vec_id = b.vec_id "
           f"AND ({nbr_pred})" if nbr_pred else "")
-    scored_cte = f"""scored AS (
+    if nprobe > 1:
+        qsrc = "qidx"
+        probes_cte = f"""qprobes AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM sims) t WHERE rn <= {nprobe}),
+qidx AS (SELECT p.vec_id, p.cell,
+                {", ".join(f"c.code{b}" for b in range(_PQ_M))}
+         FROM qprobes p JOIN codes c USING (vec_id)),
+"""
+    else:
+        qsrc = "idx"
+        probes_cte = ""
+    scored_cte = f"""{probes_cte}scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS nbr,
          round({" + ".join(f"l{b}.d2" for b in range(_PQ_M))}, 6) AS sdc
-  FROM idx a
+  FROM {qsrc} a
   JOIN capped b ON a.cell = b.cell AND a.vec_id != b.vec_id{nj}
   {" ".join(f"JOIN lut l{b} ON l{b}.b = {b} AND l{b}.cda = a.code{b} AND l{b}.cdb = b.code{b}"
             for b in range(_PQ_M))}{qf})"""
@@ -1451,6 +1473,37 @@ def q_ann_rerank_pq_saved(spark: SparkSession,
     pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
     index = pq_index_load(spark, path)
     return pq_index_search(emb, index, rerank=_PQ_RERANK, corpus=emb)
+
+
+@query("ann_top1_ivfpq_saved_probe2", _ivfpq_served_oracle(nprobe=2))
+def q_ann_top1_ivfpq_saved_probe2(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Multi-probe serving on the COMPRESSED tier (round 9 — the last
+    serving-knob asymmetry between the tiers): each query probes its
+    top-2 coarse cells and takes the SDC argmin over the union of
+    their coded postings; the index stores primary-assignment postings
+    only (multi-probe is query-side, the IVF discipline). With this,
+    both tiers serve the full knob set — k, nprobe, where (pushed),
+    prune (partition routing), and the PQ tier's rerank. The oracle's
+    query side ranks two cells per vector (sim DESC, lowest cell on
+    ties — the successive-argmax order) against the primary capped
+    postings."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        pq_index_build,
+        pq_index_load,
+        pq_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    path = os.path.join(
+        root, "pqsrv2_" + os.path.basename(os.path.normpath(sf_dir)))
+    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
+    index = pq_index_load(spark, path)
+    return pq_index_search(emb, index, nprobe=2)
 
 
 @query("ann_recall_ivfpq", f"""

@@ -732,7 +732,15 @@ def test_pq_serving_knobs_compose(spark, tmp_path):
                    attr_cols=["tag"])
     index = pq_index_load(spark, path)
     assert "tag" in index["postings"].columns
-    kw = dict(k=2, where=F.col("tag") == 0)
+    # nprobe only improves: every probe-1 answer is matched or beaten
+    one = {r.vec_id: r.sdc
+           for r in pq_index_search(batch, index).collect()}
+    two = {r.vec_id: r.sdc
+           for r in pq_index_search(batch, index, nprobe=2).collect()}
+    assert set(one) <= set(two)
+    for vid, sdc in one.items():
+        assert two[vid] <= sdc
+    kw = dict(k=2, where=F.col("tag") == 0, nprobe=2)
     full = {tuple(r)
             for r in pq_index_search(batch, index, **kw).collect()}
     pruned = {tuple(r)

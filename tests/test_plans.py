@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "ann_filtered_pq_saved",  # broadcast loaded codebook/LUT one-row arrays
     "ann_pruned_pq_saved",    # broadcast loaded codebook/LUT one-row arrays
     "ann_rerank_pq_saved",    # broadcast loaded codebook/LUT one-row arrays
+    "ann_top1_ivfpq_saved_probe2",  # + the multi-probe anchor array cross
     "ivf_kmeans_cells",
     "knn_brute_cosine",
     "q11_important_parts",
