@@ -388,15 +388,15 @@ EXTRA_ORACLE: dict[str, str] = {
 #   1-7    NEW queries (tombstone-delete serve, multi-probe saved
 #          serve on BOTH tiers, PQ filtered + pruned + reranked
 #          serving parity, the saved LSH dedup index probe);
-#   8-15   sentinels: every query whose path round 9 touched -- all
+#   8-19   sentinels: every query whose path round 9 touched -- all
 #          saved-lifecycle names (the index layout moved to versioned
 #          postings_v{seq} + tombstone anti-join at load), the two
 #          streaming index probes (same loads), and the trained-PQ
 #          query (_train_pq_codebook's persist plumbing);
-#   16-31  the staleness rotation: the FULL r4 vintage (16 -- closing
-#          VERDICT r8 "wrong" #3), then 19 of the 34 r5 names
-#          alphabetically; the remaining 15 r5 names carry to r10's
-#          window (65 stale+new names into 50 slots).
+#   20-50  the staleness rotation: the FULL r4 vintage (16 -- closing
+#          VERDICT r8 "wrong" #3), then 15 of the 34 r5 names
+#          alphabetically; the remaining 19 r5 names carry to r10's
+#          window (69 stale+new names into 50 slots).
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -412,12 +412,17 @@ _PRIORITY: list[str] = [
     "ann_top1_ivf2_saved_probe2",
     "ann_top1_ivfpq_saved_probe2",
     "dedup_lsh_probe_saved",
-    # -- changed-code-path sentinels (r9 diff) ------------------------- 8
+    # -- changed-code-path sentinels (r9 diff, incl. the factored
+    # -- multi-probe assign every ivf_* consumer routes through) ----- 12
+    "ann_recall_ivf",
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
+    "ann_top1_ivf",
     "ann_top1_ivf2_saved",
+    "ann_top1_ivf_probe2",
     "ann_top1_ivfpq_saved",
     "ann_top1_ivfpq_trained",
+    "ann_topk_ivf",
     "ann_topk_ivf2_saved",
     "stream_ann_probe",
     "stream_pq_probe",
@@ -438,7 +443,7 @@ _PRIORITY: list[str] = [
     "text_token_entropy",
     "timeout_only",
     "window_inner_join",
-    # -- next-stalest: first 22 of the r5 vintage (alphabetical) ------ 22
+    # -- next-stalest: first 15 of the r5 vintage (alphabetical) ------ 15
     "ann_recall_ivfpq",
     "cluster_aware_split",
     "cms_heavy_hitters",
@@ -454,10 +459,6 @@ _PRIORITY: list[str] = [
     "lang_confusion_matrix",
     "length_quality_corr",
     "oov_rate_docs",
-    "pii_redaction",
-    "pq_codes_recon",
-    "quality_dup_calibration",
-    "rolling_7d_active_users",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
