@@ -133,17 +133,29 @@ def _gc_versions(path: str, live_seq: int) -> None:
     import shutil
 
     for name in os.listdir(path):
-        m = re.fullmatch(r"postings_v(\d+)", name)
+        m = re.fullmatch(r"(?:postings|tombstones)_v(\d+)", name)
         if m and int(m.group(1)) <= int(live_seq) - 2:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
-def _load_tombstones(spark: SparkSession, path: str):
-    """The index's deleted-id relation, or None. Kept tiny by contract:
-    deletes accumulate only between rebuilds (the rebuild drops the
-    rows physically and clears this), so search-side anti-joins
-    broadcast it."""
-    tdir = os.path.join(path, "tombstones")
+def _tombstones_dir(path: str, seq: int) -> str:
+    """Tombstones are VERSIONED like the postings (``tombstones_v{seq}``
+    pairs with ``postings_v{seq}``): a pre-rebuild reader keeps BOTH
+    sides of its loaded plan alive through one rebuild (the grace
+    period must cover the anti-join scan too, not just the postings),
+    a post-rebuild load sees no tombstones at all (the rebuild dropped
+    the rows physically — a later re-insert of a deleted id is
+    servable), and nothing is ever deleted at publish time, so there
+    is no crash window between the pointer flip and a cleanup."""
+    return os.path.join(path, f"tombstones_v{int(seq)}")
+
+
+def _load_tombstones(spark: SparkSession, path: str, seq: int):
+    """The live version's deleted-id relation, or None. Kept tiny by
+    contract: deletes accumulate only between rebuilds (the rebuild
+    drops the rows physically; its new version starts with none), so
+    search-side anti-joins broadcast it."""
+    tdir = _tombstones_dir(path, seq)
     if not os.path.isdir(tdir) or not any(
             f.endswith(".parquet") for f in os.listdir(tdir)):
         return None
@@ -170,13 +182,17 @@ def _index_delete(spark: SparkSession, path: str, ids) -> None:
     rebuild, which also clears the tombstones — the delete-at-compact
     contract of every LSM-shaped index. Deleting an id that was never
     indexed is a no-op (anti-join semantics), so callers can feed the
-    dedup stage's removal list verbatim.
+    dedup stage's removal list verbatim. Deletes take effect at the
+    next LOAD (the anti-join is wired into ``*_index_load``); a
+    consumer holding an already-loaded index keeps its as-of-load view
+    until it re-loads — same staleness rule as any snapshot reader.
 
     Ordering contract: a DELETE wins over any append of the same id
     until the next rebuild (the anti-join is by id, not by version),
-    and the rebuild drops the id's rows physically — so a re-insert of
-    a deleted id only takes effect if appended AFTER the rebuild that
-    cleared its tombstone. Same rule as any id-keyed tombstone log.
+    and the rebuild drops the id's rows physically into a NEW version
+    whose tombstone set starts empty — so a re-insert of a deleted id
+    only takes effect if appended AFTER the rebuild that dropped it.
+    Same rule as any id-keyed tombstone log.
 
     Long-running STREAMING readers: a loaded index pins its resolved
     ``postings_v{seq}`` files for the plan's lifetime; the versioned GC
@@ -188,7 +204,8 @@ def _index_delete(spark: SparkSession, path: str, ids) -> None:
     else:
         tomb = spark.createDataFrame(
             [(int(i),) for i in ids], "id LONG")
-    tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
+    meta = _read_meta(spark, path)
+    tomb.write.mode("append").parquet(_tombstones_dir(path, meta.seq))
 
 
 def ivf2_index_delete(spark: SparkSession, path: str, ids) -> None:
@@ -333,11 +350,11 @@ def _reset_maintenance_state(path: str) -> None:
     import shutil
 
     for name in os.listdir(path):
-        m = re.fullmatch(r"postings_v(\d+)", name)
-        if m and int(m.group(1)) != 1:
+        m = re.fullmatch(r"(?:postings|tombstones)_v(\d+)", name)
+        if (m and int(m.group(1)) != 1) or name == "tombstones_v1":
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    # legacy directories, if this path held an older-format index
     shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
-    # legacy directory, if this path held a format-1 index
     shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
 
 
@@ -374,7 +391,7 @@ def ivf2_index_load(spark: SparkSession, path: str) -> dict:
         "sub_anchors": spark.read.parquet(
             os.path.join(path, "sub_anchors")),
         "postings": _apply_tombstones(
-            postings, _load_tombstones(spark, path)),
+            postings, _load_tombstones(spark, path, meta.seq)),
     }
 
 
@@ -814,7 +831,7 @@ def pq_index_load(spark: SparkSession, path: str) -> dict:
         "codebook": spark.read.parquet(os.path.join(path, "codebook")),
         "lut": spark.read.parquet(os.path.join(path, "lut")),
         "postings": _apply_tombstones(
-            postings, _load_tombstones(spark, path)),
+            postings, _load_tombstones(spark, path, meta.seq)),
     }
     if getattr(meta, "coarse", "flat") == "tree":
         out["sup_anchors"] = spark.read.parquet(
@@ -1126,12 +1143,14 @@ def _publish_postings(spark: SparkSession, path: str,
        ``seq`` — a load started after this sees only the new version,
        and a crash before it leaves the old version fully live (the
        stray ``postings_v{new_seq}`` is rewritten by the next rebuild,
-       ``mode("overwrite")``);
-    3. clear tombstones (``recapped`` came from the tombstone-filtered
-       load, so the deletes are now physical);
-    4. GC versions ≥2 behind — a reader that loaded the PREVIOUS
-       version keeps scanning its own files through one full rebuild
-       (the grace period), instead of racing an immediate rmtree.
+       ``mode("overwrite")``); the new version has no tombstones
+       (``recapped`` came from the tombstone-filtered load, so the
+       deletes are now physical) — tombstones are versioned alongside
+       the postings, nothing is cleared here;
+    3. GC postings AND tombstone versions ≥2 behind — a reader that
+       loaded the PREVIOUS version keeps scanning its own files (both
+       sides of its anti-join) through one full rebuild (the grace
+       period), instead of racing an immediate rmtree.
 
     No renames anywhere: every step is a directory write, a tiny
     overwrite, or a delete of a no-longer-referenced directory — the
@@ -1147,7 +1166,6 @@ def _publish_postings(spark: SparkSession, path: str,
         w = w.partitionBy(partition_by)
     w.parquet(_postings_dir(path, new_seq))
     meta_df.write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     _gc_versions(path, new_seq)
 
 

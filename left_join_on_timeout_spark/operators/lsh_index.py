@@ -18,7 +18,7 @@ tiers, sharing their helpers (versioned manifest, tombstones, GC):
   or shingles — the index of an 18 M-doc corpus is ~2.4 GB.
 * ``meta``             versioned knobs (k, bands, shingle_n,
   bucket_cap, id_col) + the ``seq`` manifest pointer.
-* ``tombstones``       optional deleted-id relation
+* ``tombstones_v{seq}``  optional deleted-id relation
   (:func:`lsh_index_delete`); probes anti-join it out immediately,
   rebuilds drop the rows physically.
 
@@ -125,7 +125,7 @@ def lsh_index_load(spark: SparkSession, path: str) -> dict:
         "meta": meta,
         "path": path,
         "postings": _apply_tombstones(
-            postings, _load_tombstones(spark, path)),
+            postings, _load_tombstones(spark, path, meta.seq)),
     }
 
 

@@ -600,6 +600,7 @@ def test_delete_tombstones_then_rebuild_drops_physically(spark, tmp_path):
     import os
 
     from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
         ivf2_index_delete,
         ivf2_index_rebuild,
     )
@@ -617,9 +618,19 @@ def test_delete_tombstones_then_rebuild_drops_physically(spark, tmp_path):
     assert hits
     assert all(r.neighbor_id not in dead for r in hits), (
         "a deleted vector surfaced from the standing index")
+    # the reviewer scenario: a PRE-rebuild reader whose plan anti-joins
+    # the tombstones must survive one rebuild (grace covers BOTH sides)
+    pre_search = ivf2_index_search(emb, index)
+    pre_rows = {tuple(r) for r in pre_search.collect()}
     ivf2_index_rebuild(spark, path)
-    assert not os.path.exists(path + "/tombstones"), (
-        "rebuild must clear the tombstones it materialized")
+    assert os.path.isdir(path + "/tombstones_v1"), (
+        "the pre-rebuild reader's tombstone version must survive one "
+        "rebuild (grace period)")
+    assert not os.path.exists(path + "/tombstones_v2"), (
+        "the rebuilt version starts with no tombstones (deletes are "
+        "physical now)")
+    assert {tuple(r) for r in pre_search.collect()} == pre_rows, (
+        "pre-rebuild plan must keep collecting through the rebuild")
     after = ivf2_index_load(spark, path)
     assert after["meta"].seq == 2
     phys = {r.id for r in spark.read.parquet(path + "/postings_v2")
@@ -627,6 +638,15 @@ def test_delete_tombstones_then_rebuild_drops_physically(spark, tmp_path):
     assert phys.isdisjoint(dead), "rebuild did not drop deleted rows"
     hits2 = ivf2_index_search(emb, after).collect()
     assert all(r.neighbor_id not in dead for r in hits2)
+    # a re-insert of a deleted id AFTER the rebuild is servable (the
+    # new version's tombstone set starts empty)
+    reinsert = emb.where(F.col("vec_id") == 7)
+    assert 7 in dead
+    ivf2_index_append(reinsert, spark, path)
+    again = ivf2_index_load(spark, path)
+    assert 7 in {r.id for r in again["postings"]
+                 .select("id").collect()}, (
+        "re-inserted id masked by a stale tombstone after rebuild")
 
 
 def test_delete_of_unindexed_ids_is_noop(spark, tmp_path):

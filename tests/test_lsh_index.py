@@ -84,7 +84,8 @@ def test_delete_then_rebuild_drops_physically(spark, tmp_path):
     assert all(r.index_id not in dead for r in hits), (
         "a deleted doc surfaced from the standing LSH index")
     lsh_index_rebuild(spark, path)
-    assert not os.path.exists(path + "/tombstones")
+    assert not os.path.exists(path + "/tombstones_v2")
+    assert os.path.isdir(path + "/tombstones_v1"), "grace period"
     after = lsh_index_load(spark, path)
     assert after["meta"].seq == 2
     phys = {r.id for r in after["postings"].select("id").collect()}

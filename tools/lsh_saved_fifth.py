@@ -6,7 +6,7 @@ the daily-ingest loop reading yesterday's index instead of re-banding
 the corpus per batch (the in-session `lsh_probe_pairs` recomputes and
 persists the index side every call; the saved lifecycle amortizes it).
 
-Also exercises delete + rebuild at scale: tombstone 0.1 % of ids,
+Also exercises delete + rebuild at scale: tombstone ~0.05 % of ids,
 verify the probe excludes them (anti-join cost at 20 M), rebuild, and
 time the versioned publish.
 
@@ -76,8 +76,9 @@ def main() -> None:
         res["probe_warm_s"] * 1e6 / (n - out["batch_rows"]), 3)
     print(json.dumps(res), flush=True)
 
-    # delete 0.1% of indexed ids; the probe must exclude them while the
-    # anti-join stays broadcast-cheap at 20 M
+    # delete ~0.05% of indexed ids (gate [0020,0040) over the 0020-
+    # gated corpus); the probe must exclude them while the anti-join
+    # stays broadcast-cheap at 20 M
     dead = corpus.where(sample_key("doc_id") < "0040").where(~gate) \
         .select("doc_id")
     n_dead = dead.count()
