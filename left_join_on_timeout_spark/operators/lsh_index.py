@@ -51,6 +51,7 @@ from left_join_on_timeout_spark.operators.ann_index import (
     _read_meta,
     _read_postings,
     _reset_maintenance_state,
+    _write_meta,
 )
 from left_join_on_timeout_spark.operators.dedup import (
     DEFAULT_BANDS,
@@ -103,8 +104,8 @@ def lsh_index_build(docs: DataFrame, path: str,
           id_col, 1)],
         "version INT, k INT, bands INT, shingle_n INT, bucket_cap INT, "
         "id_col STRING, seq INT")
-    meta.write.mode("overwrite").parquet(os.path.join(path, "meta"))
-    _reset_maintenance_state(path)
+    _write_meta(meta, path, 1)
+    _reset_maintenance_state(meta.sparkSession, path)
 
 
 def lsh_index_load(spark: SparkSession, path: str) -> dict:
@@ -114,10 +115,16 @@ def lsh_index_load(spark: SparkSession, path: str) -> dict:
     meta = _read_meta(spark, path)
     postings = _read_postings(spark, path, meta.seq) \
         .withColumn("band", F.col("band").cast("long"))
-    expected = {"id": "bigint", "band": "bigint", "h": "string"}
+    # doc ids may be int- or string-keyed (VERDICT r9 item 4 — the
+    # typed-tombstone contract needs the string-keyed corpus to be a
+    # first-class citizen of the dedup index); the banding arithmetic
+    # never inspects the id, only groups by it
+    expected = {"band": "bigint", "h": "string"}
     got = dict(postings.dtypes)
     bad = {c: (t, got.get(c)) for c, t in expected.items()
            if got.get(c) != t}
+    if got.get("id") not in ("bigint", "string"):
+        bad["id"] = ("bigint|string", got.get("id"))
     if bad:
         raise ValueError(
             f"postings schema drift at {path}: expected vs got {bad}")

@@ -68,12 +68,12 @@ def test_load_rejects_wrong_version(spark, tmp_path):
     emb = _corpus(spark)
     path = str(tmp_path / "idx")
     ivf2_index_build(emb, path, n_super=2, k2=2)
-    bad = spark.read.parquet(path + "/meta") \
+    bad = spark.read.parquet(path + "/meta_v1") \
         .withColumn("version", F.lit(INDEX_FORMAT_VERSION + 1))
     bad.write.mode("overwrite").parquet(path + "/meta2")
     import shutil
-    shutil.rmtree(path + "/meta")
-    shutil.move(path + "/meta2", path + "/meta")
+    shutil.rmtree(path + "/meta_v1")
+    shutil.move(path + "/meta2", path + "/meta_v1")
     with pytest.raises(ValueError, match="version"):
         ivf2_index_load(spark, path)
 
@@ -855,3 +855,200 @@ def test_trained_pq_builds_do_not_accumulate_cache(spark, tmp_path):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before, (
         f"trained PQ builds leaked cached relations: {before} -> {after}")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: atomic manifest pointer (versioned meta + listing fallback),
+# Hadoop-FS-routed maintenance, typed tombstones, per-micro-batch manifest
+# re-resolution for streaming probes (VERDICT r9 items 1-4).
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_reader_survives_publish(spark, tmp_path):
+    """VERDICT r9 item 1: a reader resolving the index concurrently
+    with rebuild publishes never errors — the publish writes
+    meta_v{new} before flipping the single-object pointer, and the
+    reader falls back to listing if it catches the pointer mid-write;
+    GC keeps one version of grace for in-flight scans."""
+    import threading
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=30)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    errors: list[Exception] = []
+    done = threading.Event()
+
+    def churn():
+        try:
+            for _ in range(3):
+                ivf2_index_rebuild(spark, path)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=churn)
+    t.start()
+    reads = 0
+    try:
+        while not done.is_set():
+            index = ivf2_index_load(spark, path)
+            assert ivf2_index_search(emb, index).count() > 0
+            reads += 1
+    finally:
+        t.join()
+    assert not errors, errors
+    assert reads > 0
+    final = ivf2_index_load(spark, path)
+    assert final["meta"].seq == 4
+
+
+def test_crash_before_pointer_flip_leaves_old_version_live(spark,
+                                                           tmp_path):
+    """A rebuild that crashes after writing postings_v2/meta_v2 but
+    BEFORE flipping the pointer leaves v1 fully live: the pointer
+    still names seq 1, so a load resolves the old version and the
+    stray v2 directories are unreferenced (the next rebuild rewrites
+    them, mode overwrite)."""
+    emb = _corpus(spark, n=24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    before = {tuple(r) for r in ivf2_index_search(
+        emb, ivf2_index_load(spark, path)).collect()}
+    # simulate the crash window: v2 data + meta exist, pointer not yet
+    # flipped (exactly the state between _publish_postings steps 2a/2b)
+    spark.read.parquet(path + "/postings_v1").write.parquet(
+        path + "/postings_v2")
+    spark.read.parquet(path + "/meta_v1").withColumn(
+        "seq", F.lit(2)).write.parquet(path + "/meta_v2")
+    index = ivf2_index_load(spark, path)
+    assert index["meta"].seq == 1
+    after = {tuple(r) for r in ivf2_index_search(emb, index).collect()}
+    assert after == before
+
+
+def test_corrupt_pointer_falls_back_to_listing(spark, tmp_path):
+    """The pointer is an optimization, not the truth (the Iceberg
+    version-hint discipline): a missing or garbled ``latest`` must
+    not brick the index — the reader lists meta_v* and takes the
+    newest readable manifest."""
+    import os
+
+    emb = _corpus(spark, n=24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    with open(os.path.join(path, "latest"), "w") as f:
+        f.write("not-a-seq")
+    index = ivf2_index_load(spark, path)
+    assert index["meta"].seq == 1
+    os.remove(os.path.join(path, "latest"))
+    index = ivf2_index_load(spark, path)
+    assert index["meta"].seq == 1
+    assert ivf2_index_search(emb, index).count() > 0
+
+
+def test_lifecycle_on_hadoop_fs_uri(spark, tmp_path):
+    """VERDICT r9 item 2: every maintenance FS op (pointer write/read,
+    version listing, GC, tombstone discovery, build reset) routes
+    through the Hadoop FileSystem API when the index path carries a
+    URI scheme — the full lifecycle must work on a ``file:`` URI,
+    which exercises exactly the code path an hdfs:/s3a: deployment
+    uses (fsio treats any scheme as non-local)."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_append,
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=30)
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    batch = emb.where(F.col("vec_id") % 5 == 4)
+    path = "file:" + str(tmp_path / "idx")
+    local = str(tmp_path / "idx")
+    ivf2_index_build(base, path, n_super=2, k2=2)
+    ivf2_index_append(batch, spark, path)
+    ivf2_index_delete(spark, path, [0, 5])
+    index = ivf2_index_load(spark, path)
+    live = {r.id for r in index["postings"].select("id").collect()}
+    assert not ({0, 5} & live)
+    ivf2_index_rebuild(spark, path)
+    assert os.path.isdir(local + "/postings_v1")  # grace period
+    ivf2_index_rebuild(spark, path)
+    assert not os.path.isdir(local + "/postings_v1")  # GC'd via fsio
+    assert not os.path.isdir(local + "/meta_v1")
+    final = ivf2_index_load(spark, path)
+    assert final["meta"].seq == 3
+    assert ivf2_index_search(emb, final).count() > 0
+    assert not ({0, 5} & {
+        r.id for r in final["postings"].select("id").collect()})
+
+
+def test_delete_type_mismatch_raises(spark, tmp_path):
+    """VERDICT r9 item 4: tombstones are built in the id type the live
+    postings carry; ids that cannot cast losslessly refuse loudly
+    instead of null-casting into a silent no-op delete."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_delete,
+    )
+
+    emb = _corpus(spark, n=24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    with pytest.raises(TypeError, match="refusing"):
+        ivf2_index_delete(spark, path, ["doc-1"])
+    # int-typed deletes still work, including via a DataFrame
+    ivf2_index_delete(spark, path, emb.where(
+        F.col("vec_id") == 3).select("vec_id"))
+    live = {r.id for r in ivf2_index_load(spark, path)["postings"]
+            .select("id").collect()}
+    assert 3 not in live
+
+
+def test_refreshing_probe_survives_two_rebuilds(spark, tmp_path):
+    """VERDICT r9 item 3: a stream running through the foreachBatch
+    manifest re-resolution keeps emitting CORRECT probes across TWO
+    rebuilds under it (the plain stream-static probe pins its resolved
+    version and only survives one — the GC grace period). Deleted ids
+    must vanish from the first post-rebuild micro-batch."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+        refreshing_probe_sink,
+    )
+
+    emb = _corpus(spark, n=60, dim=4)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    path, src, out, ckpt = (str(tmp_path / d)
+                            for d in ("idx", "src", "out", "ck"))
+    ivf2_index_build(corpus, path, n_super=2, k2=2, cell_cap=5000)
+    batch.where(F.col("vec_id") < 30).write.mode("append").parquet(src)
+    q = (spark.readStream.schema(batch.schema).parquet(src)
+         .writeStream.foreachBatch(
+             refreshing_probe_sink(out, path, threshold=-1.0))
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        dead = [i for i in range(60) if i % 10 != 0 and i % 3 == 1]
+        ivf2_index_delete(spark, path, dead)
+        ivf2_index_rebuild(spark, path)
+        ivf2_index_rebuild(spark, path)  # original version now GC'd
+        batch.where(F.col("vec_id") >= 30).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.read.parquet(out)
+    pre = res.where(F.col("new_id") < 30)
+    post = res.where(F.col("new_id") >= 30)
+    assert pre.count() > 0 and post.count() > 0
+    assert pre.where(F.col("old_id").isin(dead)).count() > 0
+    assert post.where(F.col("old_id").isin(dead)).count() == 0

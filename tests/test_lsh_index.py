@@ -135,3 +135,34 @@ def test_probe_uses_saved_knobs_and_checks_id_col(spark, tmp_path):
     other = docs.withColumnRenamed("doc_id", "text_id")
     with pytest.raises(ValueError, match="id_col"):
         lsh_index_append(other, spark, path, id_col="text_id")
+
+
+def test_string_keyed_lsh_lifecycle(spark, tmp_path):
+    """VERDICT r9 item 4: a STRING-keyed corpus is a first-class
+    citizen of the saved dedup index — build, probe, typed tombstone
+    delete (both DataFrame and iterable forms), and physical rebuild
+    all work end-to-end; the tombstone relation is built in the id
+    type the live postings carry."""
+    docs_int = _docs(spark, n=20)
+    docs = docs_int.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text")
+    path = str(tmp_path / "lsh")
+    lsh_index_build(docs, path, k=8, bands=4)
+    index = lsh_index_load(spark, path)
+    assert dict(index["postings"].dtypes)["id"] == "string"
+    hits = lsh_index_probe(docs, index)
+    assert hits.count() > 0
+    lsh_index_delete(spark, path, docs.select("doc_id").limit(2))
+    lsh_index_delete(spark, path, ["doc-5"])
+    live = {r.id for r in lsh_index_load(spark, path)["postings"]
+            .select("id").distinct().collect()}
+    assert "doc-5" not in live
+    lsh_index_rebuild(spark, path)
+    after = lsh_index_load(spark, path)
+    assert after["meta"].seq == 2
+    live2 = {r.id for r in after["postings"]
+             .select("id").distinct().collect()}
+    assert "doc-5" not in live2 and live2
+    # deleted ids never resurface through a probe
+    assert lsh_index_probe(docs, after).where(
+        F.col("index_id") == "doc-5").count() == 0
