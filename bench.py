@@ -129,15 +129,20 @@ HEADLINE = [
     "ann_rerank_pq_saved",
     "ann_top1_ivfpq_saved_probe2",
     "dedup_lsh_probe_saved",
+    # round-10 additions: the append->rebuild->serve maintenance arc
+    # (postings_v2 through the atomic manifest pointer) and the
+    # foreachBatch manifest-refresh streaming probe
+    "ann_rebuild_ivf2_saved",
+    "stream_ann_probe_refresh",
 ]
 
-# The previous round's headline set (BENCH_r07.json / BENCH_FULL.json).
+# The previous round's headline set (BENCH_r09.json — 90 queries).
 # The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query sets,
 # not the headline total, which grows whenever new queries join the set
 # (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:83]
+PREV_HEADLINE = HEADLINE[:90]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -385,18 +385,18 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 9 order:
-#   1-7    NEW queries (tombstone-delete serve, multi-probe saved
-#          serve on BOTH tiers, PQ filtered + pruned + reranked
-#          serving parity, the saved LSH dedup index probe);
-#   8-19   sentinels: every query whose path round 9 touched -- all
-#          saved-lifecycle names (the index layout moved to versioned
-#          postings_v{seq} + tombstone anti-join at load), the two
-#          streaming index probes (same loads), and the trained-PQ
-#          query (_train_pq_codebook's persist plumbing);
-#   20-50  the staleness rotation: the FULL r4 vintage (16 -- closing
-#          VERDICT r8 "wrong" #3), then 15 of the 34 r5 names
-#          alphabetically; the remaining 19 r5 names carry to r10's
-#          window (69 stale+new names into 50 slots).
+#   1-2    NEW queries (the append->rebuild->serve maintenance arc
+#          through a version bump; the foreachBatch manifest-refresh
+#          streaming probe);
+#   3-18   sentinels: every query whose path round 10 touched -- all
+#          saved-lifecycle names (the manifest moved to versioned
+#          meta_v{seq} + an atomic 'latest' pointer with listing
+#          fallback, and maintenance FS ops route through the Hadoop
+#          FileSystem helper) and the two streaming index probes
+#          (same loads);
+#   19-50  the staleness rotation: the FULL r5 vintage (19 -- closing
+#          VERDICT r9 "wrong" #2), then the first 13 of the 44 r6
+#          names alphabetically; the rest carry to r11.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -404,61 +404,61 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r9 ----------------------------------------------------- 7
+    # -- NEW in r10 ---------------------------------------------------- 2
+    "ann_rebuild_ivf2_saved",
+    "stream_ann_probe_refresh",
+    # -- changed-code-path sentinels (r10 diff: versioned meta +
+    # -- pointer resolution in every *_index_load / _read_meta) ------- 16
+    "ann_top1_ivf2_sampled",
     "ann_deleted_ivf2_saved",
+    "ann_filtered_ivf2_saved",
     "ann_filtered_pq_saved",
+    "ann_pruned_ivf2_saved",
     "ann_pruned_pq_saved",
     "ann_rerank_pq_saved",
-    "ann_top1_ivf2_saved_probe2",
-    "ann_top1_ivfpq_saved_probe2",
-    "dedup_lsh_probe_saved",
-    # -- changed-code-path sentinels (r9 diff, incl. the factored
-    # -- multi-probe assign every ivf_* consumer routes through) ----- 12
-    "ann_recall_ivf",
-    "ann_filtered_ivf2_saved",
-    "ann_pruned_ivf2_saved",
-    "ann_top1_ivf",
     "ann_top1_ivf2_saved",
-    "ann_top1_ivf_probe2",
+    "ann_top1_ivf2_saved_probe2",
     "ann_top1_ivfpq_saved",
+    "ann_top1_ivfpq_saved_probe2",
     "ann_top1_ivfpq_trained",
-    "ann_topk_ivf",
     "ann_topk_ivf2_saved",
+    "dedup_lsh_probe_saved",
     "stream_ann_probe",
     "stream_pq_probe",
-    # -- stalest evidence: the FULL r4 vintage ------------------------ 16
-    "q8_market_share",
-    "quality_gated_sample",
-    "range_overlap_incidents",
-    "repetition_quality_flags",
-    "sample_uniform_events",
-    "sequence_packing_bins",
-    "stream_chunk_documents",
-    "stream_quality_filter",
-    "stream_semi_join",
-    "stream_sliding_counts",
-    "stream_timeout_left_join",
-    "stream_tumbling_counts",
-    "text_quality_score",
-    "text_token_entropy",
-    "timeout_only",
-    "window_inner_join",
-    # -- next-stalest: first 15 of the r5 vintage (alphabetical) ------ 15
-    "ann_recall_ivfpq",
-    "cluster_aware_split",
-    "cms_heavy_hitters",
-    "corpus_health_dashboard",
-    "daily_forward_fill",
-    "dedup_prefix_jaccard",
-    "doc_lm2_score",
-    "doc_lm_score",
-    "dow_seasonal_residuals",
-    "dup_span_removal_stats",
-    "embedding_dim_health",
-    "embedding_norm_audit",
-    "lang_confusion_matrix",
-    "length_quality_corr",
-    "oov_rate_docs",
+    # -- stalest evidence: the FULL r5 vintage ------------------------ 19
+    "pii_redaction",
+    "pq_codes_recon",
+    "quality_dup_calibration",
+    "rolling_7d_active_users",
+    "scd2_user_state_intervals",
+    "schema_evolution_merge",
+    "source_influence_loo",
+    "source_length_ks",
+    "source_mix_temperature",
+    "source_term_logodds",
+    "stream_dsir_score",
+    "stream_full_outer_timeout_join",
+    "stream_incremental_probe",
+    "stream_payload_dedup",
+    "stream_pii_redaction",
+    "stream_source_mix",
+    "time_decayed_user_value",
+    "train_val_split_leakproof",
+    "user_rfm_segments",
+    # -- next-stalest: first 13 of the r6 vintage (alphabetical) ------ 13
+    "ann_top1_srp",
+    "asof_backward_join",
+    "bigram_pmi_top",
+    "boilerplate_strip_docs",
+    "bootstrap_mean_quality",
+    "containment_minhash_est",
+    "containment_pairs",
+    "decode_image_ppm",
+    "dedup_exact",
+    "dedup_graph_triangles",
+    "dedup_incremental_probe",
+    "dedup_minhash_lsh",
+    "dedup_multi_signal_clusters",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

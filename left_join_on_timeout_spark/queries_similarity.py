@@ -589,6 +589,72 @@ WHERE rn = 1
     return prefix + tail
 
 
+def _ivf2_rebuilt_oracle(n_super: int, k2: int, dim: int = 64,
+                         cell_cap: int = DEFAULT_CELL_CAP,
+                         base_pred: str = "vec_id % 5 != 4") -> str:
+    """DuckDB replay of the full MAINTENANCE arc (VERDICT r9 item 7):
+    build on the ``base_pred`` subset → append the complement through
+    the trained (immutable) anchors → rebuild (re-apply the cell cap
+    over base+appended, publish ``postings_v2``) → serve every corpus
+    vector against the rebuilt version. Training CTEs run over the
+    BASE ONLY (the prefix's ``embeddings`` scan is restricted), the
+    appended rows assign through the final anchors exactly like
+    ``ivf2_index_append`` (same argmax chain, no re-cap), and the
+    rebuild's one-sided ``count(*)`` cap replays
+    ``ivf2_index_rebuild``. A base cell dropped at build whose batch
+    members alone fit the cap REAPPEARS batch-only after the rebuild —
+    the compaction semantics, replayed."""
+    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap).replace(
+        "FROM embeddings)", f"FROM embeddings WHERE {base_pred})")
+    tail = f""",
+vall AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings),
+qs AS (SELECT m.vec_id, m.v, m.nrm, cell,
+              list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
+       FROM vall m, pa1),
+qsup AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+           SELECT vec_id, v, nrm, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell) AS rn
+           FROM qs) t WHERE rn = 1),
+qs3 AS (SELECT m.vec_id, m.sid, b.sub,
+               list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+        FROM qsup m JOIN a2 b ON m.sid = b.sid),
+qfin AS (SELECT vec_id, sid, sub FROM (
+           SELECT vec_id, sid, sub,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, sub) AS rn
+           FROM qs3) t WHERE rn = 1),
+pv1 AS (SELECT vec_id, sid, sub FROM capped
+        UNION ALL
+        SELECT vec_id, sid, sub FROM qfin
+        WHERE NOT ({base_pred.replace("vec_id", "qfin.vec_id")})),
+pv2 AS (SELECT vec_id, sid, sub FROM (
+          SELECT vec_id, sid, sub,
+                 count(*) OVER (PARTITION BY sid, sub) AS csz
+          FROM pv1) t WHERE csz <= {cell_cap}),
+scored AS (
+  SELECT q.vec_id AS qid, p.vec_id AS nbr,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM qfin q
+  JOIN pv2 p ON q.sid = p.sid AND q.sub = p.sub
+             AND q.vec_id != p.vec_id
+  JOIN vall va ON va.vec_id = q.vec_id
+  JOIN vall vb ON vb.vec_id = p.vec_id)
+SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT qid, nbr, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+    return prefix + tail
+
+
+
 _IVF2_SUPER = 8
 _IVF2_K2 = 8
 
@@ -812,6 +878,45 @@ def q_ann_deleted_ivf2_saved(spark: SparkSession,
     ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
     dead = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
     ivf2_index_delete(spark, path, dead)
+    index = ivf2_index_load(spark, path)
+    return ivf2_index_search(emb, index)
+
+
+@query("ann_rebuild_ivf2_saved",
+       _ivf2_rebuilt_oracle(_IVF2_SUPER, _IVF2_K2))
+def q_ann_rebuild_ivf2_saved(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The full MAINTENANCE arc through a version bump (VERDICT r9
+    item 7 — append and rebuild were pytest-pinned but never driver-
+    adjudicated end-to-end): build the index on 80% of the corpus,
+    APPEND the other 20% through the trained (immutable) anchors,
+    REBUILD — which re-applies the build cap over base+appended rows
+    and publishes ``postings_v2`` behind the versioned-manifest
+    pointer flip — and serve every corpus vector against the REBUILT
+    version. The search plan reads ``postings_v2`` (plan-gated in
+    tests/test_plans.py); the oracle replays train-on-base,
+    assign-batch-through-anchors, and the rebuild's one-sided re-cap
+    deterministically."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_append,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_rebuild,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    batch = emb.where(F.col("vec_id") % 5 == 4)
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2rb_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(base, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+    ivf2_index_append(batch, spark, path)
+    ivf2_index_rebuild(spark, path)
     index = ivf2_index_load(spark, path)
     return ivf2_index_search(emb, index)
 

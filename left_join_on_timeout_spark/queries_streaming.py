@@ -801,3 +801,53 @@ def q_stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pq_index_probe_hits(stream, index, _SPQ_T)
 
     return drain_stream(spark, batch, probe)
+
+
+@query("stream_ann_probe_refresh", _STREAM_ANN_PROBE_SQL)
+def q_stream_ann_probe_refresh(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest through PER-MICRO-BATCH MANIFEST
+    RE-RESOLUTION (VERDICT r9 item 3): same probe semantics as
+    ``stream_ann_probe``, but the stream runs through ``foreachBatch``
+    with :func:`operators.ann_index.refreshing_probe_sink` — each
+    micro-batch re-reads the index's ``latest`` pointer and loads the
+    CURRENT postings version, so a long-running ingest stream survives
+    arbitrary rebuilds instead of the one-version GC grace period the
+    pinned stream-static plan gets. Here the index is REBUILT between
+    build and stream (a no-op compaction — pytest pins rebuild
+    row-identity), so every probed micro-batch serves from
+    ``postings_v2`` through a bumped manifest: the oracle is the
+    UNCHANGED ``stream_ann_probe`` replay, and a match proves both the
+    re-resolution plumbing and serve-after-rebuild row equality."""
+    import os
+    import tempfile
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_rebuild,
+        refreshing_probe_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    batch = (emb.where(F.col("vec_id") % 10 == 0)
+             .select("vec_id", "embedding"))
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2rfr_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(corpus, path, n_super=_ANN_PROBE_SUPER,
+                     k2=_ANN_PROBE_K2, cell_cap=_ANN_PROBE_CAP)
+    ivf2_index_rebuild(spark, path)  # pointer now names postings_v2
+    base = tempfile.mkdtemp(prefix="ljot_refresh_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    batch.write.mode("overwrite").parquet(src)
+    q = (spark.readStream.schema(batch.schema).parquet(src)
+         .writeStream.foreachBatch(
+             refreshing_probe_sink(out, path, threshold=_ANN_PROBE_T))
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "ann_filtered_ivf2_saved",
     "ann_pruned_ivf2_saved",
     "ann_deleted_ivf2_saved",       # same saved-lifecycle broadcasts
+    "ann_rebuild_ivf2_saved",       # same saved-lifecycle broadcasts
     "ann_top1_ivf2_saved_probe2",   # + the multi-probe anchor arrays
     "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
     "ann_top1_ivfpq_saved",   # broadcast loaded codebook/LUT one-row arrays
@@ -470,6 +471,22 @@ def test_deleted_search_antijoin_keeps_scan_pushdown(spark):
     assert "tombstones" in plan, "delete serve must read the tombstones"
     # the anti-join side is broadcast (deletes are small by contract)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_rebuilt_search_reads_postings_v2(spark):
+    """VERDICT r9 item 7: after an append + rebuild, the serving plan
+    must read the REBUILT version — the scan resolves the bumped
+    manifest pointer to postings_v2 and never touches v1's files (a
+    plan still reading v1 would race the GC one rebuild later). No
+    training lineage may survive into the serve plan either."""
+    plan = plan_of(spark, "ann_rebuild_ivf2_saved")
+    assert any("postings_v2" in ln and "FileScan" in ln
+               for ln in plan.splitlines()), (
+        "rebuilt serve must scan postings_v2")
+    assert "postings_v1" not in plan, (
+        "rebuilt serve still reads the pre-rebuild version")
+    assert "25,6" not in plan, "Lloyd training leaked into the plan"
+    assert "CartesianProduct" not in plan
 
 
 def test_saved_lsh_probe_reads_index_from_parquet(spark):
