@@ -467,19 +467,27 @@ def _read_meta(spark: SparkSession, path: str):
     reader racing a rebuild's publish never errors (VERDICT r9
     item 1; the publish writes ``meta_v{new}`` before flipping the
     pointer, and GC keeps one version of grace behind the flip)."""
-    candidates: list[int] = []
-    txt = fsio.read_text(spark, os.path.join(path, _POINTER))
-    if txt:
-        try:
-            candidates.append(int(txt.strip()))
-        except ValueError:
-            pass
-    listed = sorted(
-        (int(m.group(1)) for name in fsio.list_names(spark, path)
-         if (m := re.fullmatch(r"meta_v(\d+)", name))), reverse=True)
-    candidates += [s for s in listed if s not in candidates]
+    def _candidates():
+        # pointer first (the fast path pays ONE tiny read per load);
+        # the LIST fallback runs only when the pointer is missing,
+        # mid-write, or names an unreadable version
+        seen: set[int] = set()
+        txt = fsio.read_text(spark, os.path.join(path, _POINTER))
+        if txt:
+            try:
+                seq = int(txt.strip())
+            except ValueError:
+                pass
+            else:
+                seen.add(seq)
+                yield seq
+        listed = sorted(
+            (int(m.group(1)) for name in fsio.list_names(spark, path)
+             if (m := re.fullmatch(r"meta_v(\d+)", name))), reverse=True)
+        yield from (s for s in listed if s not in seen)
+
     last_err: Exception | None = None
-    for seq in candidates:
+    for seq in _candidates():
         try:
             meta_rows = spark.read.parquet(_meta_dir(path, seq)).collect()
         except Exception as e:  # mid-write/GC'd version: try the next
