@@ -134,6 +134,9 @@ HEADLINE = [
     # foreachBatch manifest-refresh streaming probe
     "ann_rebuild_ivf2_saved",
     "stream_ann_probe_refresh",
+    # round-10 continued: the snapshot (as_of) serve against a pinned
+    # pre-rebuild version
+    "ann_asof_ivf2_saved",
 ]
 
 # The previous round's headline set (BENCH_r09.json — 90 queries).

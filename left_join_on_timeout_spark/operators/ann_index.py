@@ -146,17 +146,35 @@ def _meta_dir(path: str, seq: int) -> str:
 _POINTER = "latest"
 
 
-def _gc_versions(spark: SparkSession, path: str, live_seq: int) -> None:
-    """Remove postings/tombstone/meta versions ≥2 behind the live
-    pointer — the grace period that lets a reader who loaded the
-    PREVIOUS version finish its scans after a rebuild publishes a new
-    one (the versioned-manifest pattern; `_publish_postings` flips the
-    pointer first). All FS ops route through :mod:`fsio` so GC runs on
-    any Hadoop-compatible store (VERDICT r9 item 2)."""
+def _gc_versions(spark: SparkSession, path: str, live_seq: int,
+                 keep: int = 2) -> None:
+    """Remove postings/tombstone/meta versions ``keep`` or more behind
+    the live pointer — the grace period that lets a reader who loaded
+    a PREVIOUS version finish its scans after a rebuild publishes a
+    new one (the versioned-manifest pattern; `_publish_postings` flips
+    the pointer first). The default retention (live + one prior)
+    matches the streaming-reader contract; a deployment that serves
+    snapshot (``as_of``) readers raises ``keep_versions`` on its
+    rebuilds to widen the time-travel horizon. All FS ops route
+    through :mod:`fsio` so GC runs on any Hadoop-compatible store
+    (VERDICT r9 item 2)."""
+    keep = max(1, int(keep))
     for name in fsio.list_names(spark, path):
         m = re.fullmatch(r"(?:postings|tombstones|meta)_v(\d+)", name)
-        if m and int(m.group(1)) <= int(live_seq) - 2:
+        if m and int(m.group(1)) <= int(live_seq) - keep:
             fsio.delete(spark, os.path.join(path, name))
+
+
+def index_versions(spark: SparkSession, path: str) -> list[int]:
+    """The version sequence numbers still LIVE under a saved index
+    path (ascending): the manifest pointer's target plus however many
+    prior versions the rebuilds' ``keep_versions`` retention has not
+    yet GC'd. Any of them can be pinned by ``*_index_load(...,
+    as_of=seq)`` — the snapshot/time-travel read. One directory
+    listing; nothing corpus-sized is touched."""
+    return sorted(
+        int(m.group(1)) for name in fsio.list_names(spark, path)
+        if (m := re.fullmatch(r"meta_v(\d+)", name)))
 
 
 def _tombstones_dir(path: str, seq: int) -> str:
@@ -422,15 +440,25 @@ def _write_meta(meta_df: DataFrame, path: str, seq: int) -> None:
     fsio.write_text(spark, os.path.join(path, _POINTER), str(int(seq)))
 
 
-def ivf2_index_load(spark: SparkSession, path: str) -> dict:
+def ivf2_index_load(spark: SparkSession, path: str,
+                    as_of: int | None = None) -> dict:
     """Load a saved index: ``{"meta": Row, "sup_anchors": df,
     "sub_anchors": df, "postings": df}``. The anchor relations are tiny
     (broadcast-bound at search); the postings stay a lazy parquet scan
     — a 100 TB index is never materialized by loading it. The scan
     resolves ``postings_v{meta.seq}`` (the manifest pointer) and
     anti-joins any standing tombstones, so every consumer inherits
-    delete semantics and version isolation from the load."""
-    meta = _read_meta(spark, path)
+    delete semantics and version isolation from the load.
+
+    ``as_of`` pins a still-live prior version (``index_versions``
+    lists them) — the snapshot read: serve against the exact postings
+    AND tombstone state that version published, ignoring everything a
+    later rebuild changed. A snapshot outside the rebuilds'
+    ``keep_versions`` retention fails loud with the live list. The
+    anchors are version-independent (the trained quantizer is
+    immutable between full builds — rebuilds reuse it), so pinning
+    the postings version pins the whole search semantics."""
+    meta = _read_meta(spark, path, as_of)
     # sid comes back from directory-partition inference (int for small
     # values) — restore the long the assignment relations use, then
     # VALIDATE the full fixed-column contract so schema drift (or a
@@ -459,14 +487,43 @@ def ivf2_index_load(spark: SparkSession, path: str) -> dict:
     }
 
 
-def _read_meta(spark: SparkSession, path: str):
+def _read_meta(spark: SparkSession, path: str, as_of: int | None = None):
     """Resolve the live manifest: read the ``latest`` pointer and load
     ``meta_v{seq}``; if the pointer is missing, mid-write, or points at
     an unreadable version, FALL BACK to listing the ``meta_v*``
     directories newest-first and take the first readable one — so a
     reader racing a rebuild's publish never errors (VERDICT r9
     item 1; the publish writes ``meta_v{new}`` before flipping the
-    pointer, and GC keeps one version of grace behind the flip)."""
+    pointer, and GC keeps one version of grace behind the flip).
+
+    ``as_of`` pins a SPECIFIC version instead (the snapshot read): no
+    pointer, no fallback — either ``meta_v{as_of}`` is still live or
+    the error names the versions that are (so a reader whose snapshot
+    aged out of the retention window gets "re-pin to one of [...]",
+    not an opaque missing-file failure)."""
+    if as_of is not None:
+        as_of = int(as_of)
+        try:
+            meta_rows = spark.read.parquet(
+                _meta_dir(path, as_of)).collect()
+        except Exception as e:
+            live = index_versions(spark, path)
+            raise ValueError(
+                f"index version {as_of} at {path} is not live "
+                f"(GC'd by a later rebuild's retention, or never "
+                f"published) — live versions: {live}; re-pin as_of to "
+                f"one of them or raise keep_versions on the rebuild "
+                f"side") from e
+        if len(meta_rows) != 1:
+            raise ValueError(f"corrupt index meta at {path} "
+                             f"(v{as_of}): {len(meta_rows)} rows")
+        meta = meta_rows[0]
+        if meta.version != INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index format version {meta.version} at {path}; "
+                f"this build reads version {INDEX_FORMAT_VERSION}")
+        return meta
+
     def _candidates():
         # pointer first (the fast path pays ONE tiny read per load);
         # the LIST fallback runs only when the pointer is missing,
@@ -911,14 +968,18 @@ def pq_index_build(emb: DataFrame, path: str,
             df.unpersist()
 
 
-def pq_index_load(spark: SparkSession, path: str) -> dict:
+def pq_index_load(spark: SparkSession, path: str,
+                  as_of: int | None = None) -> dict:
     """Load a saved IVF-PQ index (validated format version and postings
     schema). Anchor, codebook, and LUT relations are broadcast-bound at
     search; the coded postings stay a lazy scan of the live
     ``postings_v{meta.seq}`` version, tombstones anti-joined out. A
     ``coarse="tree"`` build loads the saved sup/sub anchors instead of
-    the flat anchor table."""
-    meta = _read_meta(spark, path)
+    the flat anchor table. ``as_of`` pins a still-live prior version —
+    the snapshot read (see :func:`ivf2_index_load`); the codebook/LUT
+    are immutable between full builds, so the pinned postings version
+    pins the whole search semantics."""
+    meta = _read_meta(spark, path, as_of)
     postings = _read_postings(spark, path, meta.seq) \
         .withColumn("sid", F.col("sid").cast("long"))
     expected = {"id": "bigint", "cell": "bigint", "sid": "bigint"}
@@ -1235,7 +1296,8 @@ def pq_index_append(new_vectors: DataFrame, spark: SparkSession,
 
 def _publish_postings(spark: SparkSession, path: str,
                       recapped: DataFrame, partition_by: str | None,
-                      meta_df, new_seq: int) -> None:
+                      meta_df, new_seq: int,
+                      keep_versions: int = 2) -> None:
     """Publish a rebuild as a NEW postings version (VERDICT r8 item 3
     — the versioned-manifest pattern, replacing the r7 rename-in-place
     swap that was neither object-store-portable nor safe for in-flight
@@ -1256,10 +1318,12 @@ def _publish_postings(spark: SparkSession, path: str,
        no tombstones (``recapped`` came from the tombstone-filtered
        load, so the deletes are now physical) — tombstones are
        versioned alongside the postings, nothing is cleared here;
-    3. GC postings, tombstone, AND meta versions ≥2 behind — a reader
-       that loaded the PREVIOUS version keeps scanning its own files
-       (both sides of its anti-join) through one full rebuild (the
-       grace period), instead of racing an immediate delete.
+    3. GC postings, tombstone, AND meta versions ``keep_versions`` or
+       more behind — a reader that loaded a PREVIOUS version keeps
+       scanning its own files (both sides of its anti-join) through
+       one full rebuild by default (the grace period), instead of
+       racing an immediate delete; snapshot (``as_of``) deployments
+       raise the retention to widen the time-travel horizon.
 
     No renames of live data anywhere: every step is a directory
     write, a single-object pointer publish, or a delete of a
@@ -1274,10 +1338,11 @@ def _publish_postings(spark: SparkSession, path: str,
         w = w.partitionBy(partition_by)
     w.parquet(_postings_dir(path, new_seq))
     _write_meta(meta_df, path, new_seq)
-    _gc_versions(spark, path, new_seq)
+    _gc_versions(spark, path, new_seq, keep_versions)
 
 
-def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
+def ivf2_index_rebuild(spark: SparkSession, path: str,
+                       keep_versions: int = 2) -> None:
     """REBUILD/COMPACT a saved two-level index in place (VERDICT r7
     item 4 — the maintenance contract :func:`ivf2_index_append`
     documents): re-apply the build-time cell cap over the CURRENT
@@ -1294,7 +1359,9 @@ def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
 
     A no-op rebuild (no appends since build) rewrites the same rows:
     search results are hash-identical before and after (pinned in
-    tests/test_ann_index.py)."""
+    tests/test_ann_index.py). ``keep_versions`` sets how many versions
+    (live + prior) survive the publish's GC — the retention window
+    ``as_of`` snapshot readers can pin into."""
     index = ivf2_index_load(spark, path)
     meta = index["meta"]
     cap = meta.cell_cap
@@ -1308,14 +1375,17 @@ def ivf2_index_rebuild(spark: SparkSession, path: str) -> None:
           meta.train_frac, meta.train_seed, meta.id_col, new_seq)],
         "version INT, n_super INT, k2 INT, iters INT, cell_cap INT, "
         "train_frac DOUBLE, train_seed STRING, id_col STRING, seq INT")
-    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq)
+    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq,
+                      keep_versions)
 
 
-def pq_index_rebuild(spark: SparkSession, path: str) -> None:
+def pq_index_rebuild(spark: SparkSession, path: str,
+                     keep_versions: int = 2) -> None:
     """Compaction for the IVF-PQ tier: re-apply the build-time cell cap
     over the current coded postings (base + appended), drop tombstoned
     ids physically, and publish ``postings_v{seq+1}`` before flipping
-    the manifest pointer — same contract as
+    the manifest pointer — same contract (including the
+    ``keep_versions`` snapshot-retention knob) as
     :func:`ivf2_index_rebuild`; the anchors, codebook, and LUT are
     reused (immutable between full builds)."""
     index = pq_index_load(spark, path)
@@ -1333,7 +1403,8 @@ def pq_index_rebuild(spark: SparkSession, path: str) -> None:
           int(getattr(meta, "k2", -1) or -1))],
         "version INT, dim INT, m INT, k INT, n_cells INT, cell_cap INT, "
         "id_col STRING, seq INT, coarse STRING, n_super INT, k2 INT")
-    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq)
+    _publish_postings(spark, path, recapped, "sid", meta_df, new_seq,
+                      keep_versions)
 
 
 def refreshing_probe(path: str, threshold: float | None = None,

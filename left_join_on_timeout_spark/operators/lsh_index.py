@@ -108,11 +108,16 @@ def lsh_index_build(docs: DataFrame, path: str,
     _reset_maintenance_state(meta.sparkSession, path)
 
 
-def lsh_index_load(spark: SparkSession, path: str) -> dict:
+def lsh_index_load(spark: SparkSession, path: str,
+                   as_of: int | None = None) -> dict:
     """Load a saved LSH index: ``{"meta": Row, "postings": df,
     "path": str}`` — the postings stay a lazy scan of the live
-    ``postings_v{meta.seq}`` version, tombstones anti-joined out."""
-    meta = _read_meta(spark, path)
+    ``postings_v{meta.seq}`` version, tombstones anti-joined out.
+    ``as_of`` pins a still-live prior version — the snapshot read
+    (see :func:`operators.ann_index.ivf2_index_load`); the banding
+    knobs live in the pinned meta itself, so the snapshot probes with
+    exactly the layout that version served."""
+    meta = _read_meta(spark, path, as_of)
     postings = _read_postings(spark, path, meta.seq) \
         .withColumn("band", F.col("band").cast("long"))
     # doc ids may be int- or string-keyed (VERDICT r9 item 4 — the
@@ -188,11 +193,13 @@ def lsh_index_delete(spark: SparkSession, path: str, ids) -> None:
     _index_delete(spark, path, ids)
 
 
-def lsh_index_rebuild(spark: SparkSession, path: str) -> None:
+def lsh_index_rebuild(spark: SparkSession, path: str,
+                      keep_versions: int = 2) -> None:
     """Compaction: re-apply the build-time bucket cap over the CURRENT
     postings (base + appended, tombstones dropped physically), publish
     ``postings_v{seq+1}``, flip the manifest pointer, clear tombstones,
-    GC versions ≥2 behind — the shared versioned-manifest publish."""
+    GC versions ``keep_versions`` or more behind — the shared
+    versioned-manifest publish with the snapshot-retention knob."""
     index = lsh_index_load(spark, path)
     meta = index["meta"]
     w = Window.partitionBy("band", "h")
@@ -205,4 +212,5 @@ def lsh_index_rebuild(spark: SparkSession, path: str) -> None:
           meta.bucket_cap, meta.id_col, new_seq)],
         "version INT, k INT, bands INT, shingle_n INT, bucket_cap INT, "
         "id_col STRING, seq INT")
-    _publish_postings(spark, path, recapped, "band", meta_df, new_seq)
+    _publish_postings(spark, path, recapped, "band", meta_df, new_seq,
+                      keep_versions)

@@ -921,6 +921,106 @@ def q_ann_rebuild_ivf2_saved(spark: SparkSession,
     return ivf2_index_search(emb, index)
 
 
+def _ivf2_asof_oracle(n_super: int, k2: int, dim: int = 64,
+                      cell_cap: int = DEFAULT_CELL_CAP,
+                      base_pred: str = "vec_id % 5 != 4") -> str:
+    """DuckDB replay of the SNAPSHOT (``as_of``) read (round 10):
+    build on the ``base_pred`` subset, append the complement, rebuild
+    (live pointer → v2), then serve the appended batch against the
+    PINNED v1. Versions isolate REBUILDS, not appends (an append
+    writes into the live postings version in place — the bounded-
+    staleness contract), so v1's frozen content is the base's capped
+    postings PLUS the appended rows WITHOUT the rebuild's re-cap:
+    training CTEs run over the base only, the batch assigns through
+    the final anchors with :func:`_ivf2_rebuilt_oracle`'s probe
+    chain, and the serve joins the pre-compaction union (``pv1``) —
+    snapshot semantics expressed as pre-rebuild serving semantics."""
+    prefix = _ivf2_train_prefix(n_super, k2, dim, cell_cap).replace(
+        "FROM embeddings)", f"FROM embeddings WHERE {base_pred})")
+    tail = f""",
+vall AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                sqrt(list_dot_product(embedding::DOUBLE[],
+                                      embedding::DOUBLE[])) AS nrm
+         FROM embeddings),
+qs AS (SELECT m.vec_id, m.v, m.nrm, cell,
+              list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
+       FROM vall m, pa1
+       WHERE NOT ({base_pred.replace("vec_id", "m.vec_id")})),
+qsup AS (SELECT vec_id, v, nrm, cell AS sid FROM (
+           SELECT vec_id, v, nrm, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, cell) AS rn
+           FROM qs) t WHERE rn = 1),
+qs3 AS (SELECT m.vec_id, m.sid, b.sub,
+               list_dot_product(m.v, b.av) / (m.nrm * b.anrm) AS sim
+        FROM qsup m JOIN a2 b ON m.sid = b.sid),
+qfin AS (SELECT vec_id, sid, sub FROM (
+           SELECT vec_id, sid, sub,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, sub) AS rn
+           FROM qs3) t WHERE rn = 1),
+pv1 AS (SELECT vec_id, sid, sub FROM capped
+        UNION ALL
+        SELECT vec_id, sid, sub FROM qfin),
+scored AS (
+  SELECT q.vec_id AS qid, p.vec_id AS nbr,
+         round(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm), 6)
+           AS cos_sim
+  FROM qfin q
+  JOIN pv1 p ON q.sid = p.sid AND q.sub = p.sub
+            AND q.vec_id != p.vec_id
+  JOIN vall va ON va.vec_id = q.vec_id
+  JOIN vall vb ON vb.vec_id = p.vec_id)
+SELECT qid AS vec_id, nbr AS neighbor_id, cos_sim FROM (
+  SELECT qid, nbr, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nbr) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
+    return prefix + tail
+
+
+@query("ann_asof_ivf2_saved",
+       _ivf2_asof_oracle(_IVF2_SUPER, _IVF2_K2))
+def q_ann_asof_ivf2_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT (time-travel) serving through the versioned manifest
+    (round 10): build on 80% of the corpus, append the other 20%,
+    REBUILD — the live pointer flips to ``postings_v2``, which now
+    contains the appended rows — then pin ``as_of=1`` and serve the
+    appended batch against the FROZEN pre-rebuild version (base's
+    capped postings + the in-place appends, no re-cap — versions
+    isolate rebuilds, not appends). The pinned plan reads
+    ``postings_v1`` and never v2 (plan-gated in tests/test_plans.py)
+    even though the live pointer says 2 — the reproducibility
+    contract a training-data pipeline needs to re-run yesterday's
+    retrieval against yesterday's index state. The oracle replays
+    train-on-base + assign-batch-through-anchors + serve against the
+    pre-compaction postings union."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_append,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_rebuild,
+        ivf2_index_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    batch = emb.where(F.col("vec_id") % 5 == 4)
+    root = default_index_root()
+    path = os.path.join(
+        root, "ivf2asof_" + os.path.basename(os.path.normpath(sf_dir)))
+    ivf2_index_build(base, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
+    ivf2_index_append(batch, spark, path)
+    ivf2_index_rebuild(spark, path)
+    snapshot = ivf2_index_load(spark, path, as_of=1)
+    return ivf2_index_search(batch, snapshot)
+
+
 _IVF2_TRAIN_FRAC = 0.5
 
 

@@ -1052,3 +1052,108 @@ def test_refreshing_probe_survives_two_rebuilds(spark, tmp_path):
     assert pre.count() > 0 and post.count() > 0
     assert pre.where(F.col("old_id").isin(dead)).count() > 0
     assert post.where(F.col("old_id").isin(dead)).count() == 0
+
+
+def test_as_of_snapshot_pins_prerebuild_postings_and_tombstones(
+        spark, tmp_path):
+    """``as_of`` load (round 10): after an append + rebuild bumps the
+    live pointer to v2, pinning v1 serves the exact pre-rebuild state
+    (versions isolate rebuilds, not appends — the appended rows are
+    part of v1) — and a tombstone written against the LIVE version
+    must not leak into the pinned snapshot (tombstones are versioned
+    alongside the postings)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_versions,
+        ivf2_index_append,
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark)
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(base, path, n_super=2, k2=2)
+    ivf2_index_append(batch, spark, path)
+    # the post-append, pre-rebuild state — exactly what v1 freezes
+    before = {(r.vec_id, r.neighbor_id, r.cos_sim)
+              for r in ivf2_index_search(
+                  batch, ivf2_index_load(spark, path)).collect()}
+    ivf2_index_rebuild(spark, path)
+    assert index_versions(spark, path) == [1, 2]
+
+    snap = ivf2_index_load(spark, path, as_of=1)
+    assert snap["meta"].seq == 1
+    again = {(r.vec_id, r.neighbor_id, r.cos_sim)
+             for r in ivf2_index_search(batch, snap).collect()}
+    assert again == before, "snapshot read must ignore the rebuild"
+    assert ivf2_index_load(spark, path)["meta"].seq == 2
+
+    # a delete against the LIVE version stays out of the snapshot
+    victim = sorted(nbr for _, nbr, _ in before)[0]
+    ivf2_index_delete(spark, path, [victim])
+    live_nbrs = {r.neighbor_id for r in ivf2_index_search(
+        batch, ivf2_index_load(spark, path)).collect()}
+    snap_nbrs = {r.neighbor_id for r in ivf2_index_search(
+        batch, ivf2_index_load(spark, path, as_of=1)).collect()}
+    assert victim not in live_nbrs
+    assert victim in snap_nbrs
+
+    with pytest.raises(ValueError, match=r"live versions: \[1, 2\]"):
+        ivf2_index_load(spark, path, as_of=7)
+
+
+def test_keep_versions_widens_and_default_gc_reclaims(spark, tmp_path):
+    """``keep_versions`` on the rebuild side sets the snapshot
+    horizon: two rebuilds at keep_versions=3 retain v1..v3; the next
+    default-retention rebuild GCs back down to live+1 and a pinned
+    read of the reclaimed version fails loud with the live list."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_versions,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(emb, path, n_super=2, k2=2)
+    ivf2_index_rebuild(spark, path, keep_versions=3)
+    ivf2_index_rebuild(spark, path, keep_versions=3)
+    assert index_versions(spark, path) == [1, 2, 3]
+    oldest = ivf2_index_load(spark, path, as_of=1)
+    assert oldest["meta"].seq == 1
+    assert oldest["postings"].count() > 0
+
+    ivf2_index_rebuild(spark, path)  # default retention: live + 1
+    assert index_versions(spark, path) == [3, 4]
+    with pytest.raises(ValueError, match=r"live versions: \[3, 4\]"):
+        ivf2_index_load(spark, path, as_of=1)
+
+
+def test_pq_as_of_snapshot(spark, tmp_path):
+    """The PQ tier shares the snapshot contract: pin v1 after a
+    rebuild and the compressed-domain search replays the pre-rebuild
+    result set."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_append,
+        pq_index_build,
+        pq_index_load,
+        pq_index_rebuild,
+        pq_index_search,
+    )
+
+    emb = _corpus(spark, n=32, dim=4)
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    batch = emb.where(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "pq")
+    pq_index_build(base, path, dim=4, m=2, k=4, n_cells=2)
+    pq_index_append(batch, spark, path)
+    # the post-append, pre-rebuild state — exactly what v1 freezes
+    before = {(r.vec_id, r.neighbor_id)
+              for r in pq_index_search(
+                  batch, pq_index_load(spark, path)).collect()}
+    pq_index_rebuild(spark, path)
+    snap = pq_index_load(spark, path, as_of=1)
+    assert snap["meta"].seq == 1
+    again = {(r.vec_id, r.neighbor_id)
+             for r in pq_index_search(batch, snap).collect()}
+    assert again == before

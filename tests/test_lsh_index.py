@@ -166,3 +166,79 @@ def test_string_keyed_lsh_lifecycle(spark, tmp_path):
     # deleted ids never resurface through a probe
     assert lsh_index_probe(docs, after).where(
         F.col("index_id") == "doc-5").count() == 0
+
+
+def test_lsh_as_of_snapshot_and_retention(spark, tmp_path):
+    """The LSH tier shares the snapshot contract (round 10): pinning
+    v1 after an append+rebuild probes the pre-rebuild bucket set, and
+    the rebuild's ``keep_versions`` widens the horizon."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_versions,
+    )
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") < 20)
+    extra = docs.where(F.col("doc_id") >= 20)
+    path = str(tmp_path / "lsh")
+    lsh_index_build(base, path)
+    lsh_index_append(extra, spark, path)
+    # the post-append, pre-rebuild state — exactly what v1 freezes
+    # (versions isolate rebuilds, not appends)
+    before = {(r.probe_id, r.index_id)
+              for r in lsh_index_probe(
+                  docs, lsh_index_load(spark, path)).collect()}
+    lsh_index_rebuild(spark, path, keep_versions=3)
+    assert index_versions(spark, path) == [1, 2]
+
+    snap = lsh_index_load(spark, path, as_of=1)
+    assert snap["meta"].seq == 1
+    again = {(r.probe_id, r.index_id)
+             for r in lsh_index_probe(docs, snap).collect()}
+    assert again == before, "snapshot probe must ignore the rebuild"
+    live = {r.index_id for r in lsh_index_probe(
+        docs, lsh_index_load(spark, path)).collect()}
+    assert any(i >= 20 for i in live)
+
+    with pytest.raises(ValueError, match="live versions"):
+        lsh_index_load(spark, path, as_of=9)
+
+
+def test_lsh_refreshing_probe_survives_two_rebuilds(spark, tmp_path):
+    """The LSH tier of the foreachBatch manifest re-resolution
+    (VERDICT r9 item 3 named "the LSH stream twin"): a near-dup ingest
+    stream keeps emitting correct banded candidates across TWO
+    rebuilds under it, and a doc deleted from the standing index
+    vanishes from the first post-rebuild micro-batch."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        refreshing_probe_sink,
+    )
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    path, src, out, ckpt = (str(tmp_path / d)
+                            for d in ("lsh", "src", "out", "ck"))
+    lsh_index_build(base, path)
+    new.where(F.col("doc_id") < 15).write.mode("append").parquet(src)
+    q = (spark.readStream.schema(new.schema).parquet(src)
+         .writeStream.foreachBatch(
+             refreshing_probe_sink(out, path, tier="lsh",
+                                   id_col="doc_id"))
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        pre = spark.read.parquet(out)
+        dead = sorted({r.index_id for r in pre.collect()})[:2]
+        assert dead, "the pre-rebuild micro-batch must find candidates"
+        lsh_index_delete(spark, path, dead)
+        lsh_index_rebuild(spark, path)
+        lsh_index_rebuild(spark, path)  # original version now GC'd
+        new.where(F.col("doc_id") >= 15).write.mode("append") \
+            .parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.read.parquet(out)
+    post = res.where(F.col("probe_id") >= 15)
+    assert post.count() > 0
+    assert post.where(F.col("index_id").isin(dead)).count() == 0

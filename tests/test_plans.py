@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "ann_pruned_ivf2_saved",
     "ann_deleted_ivf2_saved",       # same saved-lifecycle broadcasts
     "ann_rebuild_ivf2_saved",       # same saved-lifecycle broadcasts
+    "ann_asof_ivf2_saved",          # same saved-lifecycle broadcasts
     "ann_top1_ivf2_saved_probe2",   # + the multi-probe anchor arrays
     "ann_top1_ivf2_sampled",  # same two-level anchor broadcasts
     "ann_top1_ivfpq_saved",   # broadcast loaded codebook/LUT one-row arrays
@@ -485,6 +486,21 @@ def test_rebuilt_search_reads_postings_v2(spark):
         "rebuilt serve must scan postings_v2")
     assert "postings_v1" not in plan, (
         "rebuilt serve still reads the pre-rebuild version")
+    assert "25,6" not in plan, "Lloyd training leaked into the plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_search_pins_postings_v1(spark):
+    """Round 10 snapshot read: with the live pointer at v2 (the
+    rebuild ran), the ``as_of=1`` serve plan must scan postings_v1 and
+    NEVER the rebuilt v2 — the whole point of the pin is that a later
+    rebuild cannot change an already-issued snapshot's result set."""
+    plan = plan_of(spark, "ann_asof_ivf2_saved")
+    assert any("postings_v1" in ln and "FileScan" in ln
+               for ln in plan.splitlines()), (
+        "as_of=1 serve must scan postings_v1")
+    assert "postings_v2" not in plan, (
+        "snapshot serve leaked the live (rebuilt) version into its plan")
     assert "25,6" not in plan, "Lloyd training leaked into the plan"
     assert "CartesianProduct" not in plan
 
