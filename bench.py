@@ -135,8 +135,10 @@ HEADLINE = [
     "ann_rebuild_ivf2_saved",
     "stream_ann_probe_refresh",
     # round-10 continued: the snapshot (as_of) serve against a pinned
-    # pre-rebuild version
+    # pre-rebuild version; BM25 retrieval + hybrid RRF fusion
     "ann_asof_ivf2_saved",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
 ]
 
 # The previous round's headline set (BENCH_r09.json — 90 queries).

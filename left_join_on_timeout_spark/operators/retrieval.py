@@ -1,0 +1,130 @@
+"""Text retrieval (BM25) and hybrid rank fusion (RRF) over the
+document corpus — the query-relevance surface a training-data pipeline
+uses for contamination sweeps ("which training docs score high against
+an eval query?"), targeted curation ("pull the top-k docs about X"),
+and retrieval-augmented labeling, fused with the similarity family's
+vector arm when both a lexical and an embedding signal exist.
+
+Everything is built-in Column expressions — one explode for
+tokenization (output-bounded: tokens per doc), hash-aggregations for
+term/document statistics, and broadcast joins for the tiny query-side
+relations (term stats are |query_terms| rows; the corpus-level
+(N, avgdl) aggregate is one row). At 100 TB the only corpus-sized
+passes are the tokenize scan and the per-doc score aggregation; no
+all-pairs stage exists, the candidate set is output-bound by "docs
+containing at least one query term", and the global top-k is Spark's
+distributed TakeOrdered (per-partition heads + one k-row reduce),
+never a single-partition window over the corpus.
+
+Determinism discipline (the oracle-hash contract): ``ln`` is rounded
+to 6 dp where it enters the score (the idf factor), and the final
+per-doc sum is rounded to 6 dp before ranking — the same engine-
+portable rounding the TF-IDF/entropy queries use; ranks then break
+ties on the id, so Spark and DuckDB order identically.
+
+Reference parity note: the reference engine (kptfh/left-join-on-timeout)
+has no retrieval surface — this module belongs to the LLM-data-pipeline
+extension mandated by the build spec. BM25 follows the standard
+Robertson/Sparck-Jones formulation (k1/b defaults 1.2/0.75); RRF is
+Cormack et al.'s reciprocal-rank fusion with the conventional k=60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BM25_K1 = 1.2
+DEFAULT_BM25_B = 0.75
+DEFAULT_RRF_K = 60
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = DEFAULT_BM25_K1,
+                b: float = DEFAULT_BM25_B) -> DataFrame:
+    """Per-document BM25 relevance against ``query_terms``: returns
+    ``(id_col, bm25)`` for every doc containing at least one query
+    term (absent docs score 0 by definition and are omitted — the
+    output is bounded by the posting lists, not the corpus).
+
+    Shuffle inventory at scale: one hash-agg per (doc, term) for tf,
+    one per term for df (|query_terms| rows, broadcast back), one
+    per doc for the final sum; the (N, avgdl) corpus aggregate is a
+    one-row broadcast. Document length comes from the same
+    single-space tokenization as the term explode, computed with
+    ``F.size`` on the split array — no second pass over the text."""
+    terms = [str(t) for t in query_terms]
+    split = F.split(F.col(text_col), " ")
+    dl = docs.select(F.col(id_col),
+                     F.size(split).cast("double").alias("dl"))
+    corpus = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+    toks = docs.select(F.col(id_col),
+                       F.explode(split).alias("term"))
+    qt = toks.where(F.col("term").isin(terms))
+    tf = qt.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf"))
+    df_t = (qt.select(id_col, "term").distinct()
+            .groupBy("term").agg(
+                F.count("*").cast("double").alias("df")))
+    scored = (tf.join(F.broadcast(df_t), "term")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(corpus)))
+    # idf rounded to 6 dp where ln enters (engine-portable); the
+    # remaining arithmetic mirrors the oracle's operation order
+    idf = F.round(F.log(
+        (F.col("n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5) + 1.0), 6)
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf")
+                  + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl")
+                                 / F.col("avgdl"))))
+    return (scored.select(F.col(id_col), contrib.alias("s"))
+            .groupBy(id_col)
+            .agg(F.round(F.sum("s"), 6).alias("bm25")))
+
+
+def top_k_ranked(scored: DataFrame, score_col: str, id_col: str,
+                 k: int, rank_col: str = "rank") -> DataFrame:
+    """Global top-``k`` of a scored relation with a dense 1..k rank
+    (desc score, ties to the smaller id). The ``orderBy().limit(k)``
+    is Spark's distributed TakeOrdered — per-partition heads reduced
+    to one k-row result — and only the ≤k survivors pay the
+    row_number window, so no corpus-sized single-partition sort ever
+    exists in the plan."""
+    head = (scored.orderBy(F.desc(score_col), F.asc(id_col))
+            .limit(int(k)))
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return head.withColumn(rank_col, F.row_number().over(w))
+
+
+def rrf_fuse(arms: dict[str, DataFrame], id_col: str,
+             rrf_k: int = DEFAULT_RRF_K,
+             k_out: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked arms (each
+    ``(id_col, rank)`` — the shape :func:`top_k_ranked` emits):
+    ``rrf = sum over arms of 1/(rrf_k + rank)``, a doc absent from an
+    arm's top-k contributing nothing — the standard RRF contract that
+    needs no score calibration between a lexical and a vector arm.
+    Output: ``(id_col, rrf, {name}_rank ...)`` with 0 marking "not in
+    this arm's head" (0 instead of NULL keeps the rank columns
+    integer-typed through the oracle hash), ordered by
+    (rrf desc, id) and cut to ``k_out`` when given. Every arm is
+    ≤ its own k rows, so the fusion is driver-cheap by construction
+    — the heavy lifting happened in the arms."""
+    tagged = None
+    for name, arm in arms.items():
+        t = arm.select(F.col(id_col), F.lit(name).alias("arm"),
+                       F.col("rank").cast("int").alias("rank"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (tagged.groupBy(id_col).agg(
+        F.round(F.sum(1.0 / (F.lit(float(rrf_k)) + F.col("rank"))), 6)
+        .alias("rrf"),
+        *[F.coalesce(
+            F.max(F.when(F.col("arm") == name, F.col("rank"))),
+            F.lit(0)).alias(f"{name}_rank")
+          for name in arms]))
+    out = fused.orderBy(F.desc("rrf"), F.asc(id_col))
+    return out.limit(int(k_out)) if k_out else out

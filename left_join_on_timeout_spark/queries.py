@@ -385,18 +385,19 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 9 order:
-#   1-3    NEW queries (the append->rebuild->serve maintenance arc
+#   1-5    NEW queries (the append->rebuild->serve maintenance arc
 #          through a version bump; the foreachBatch manifest-refresh
 #          streaming probe; the as_of snapshot serve against a pinned
-#          pre-rebuild version);
-#   4-19   sentinels: every query whose path round 10 touched -- all
+#          pre-rebuild version; BM25 text retrieval; hybrid BM25+cosine
+#          reciprocal-rank fusion);
+#   6-21   sentinels: every query whose path round 10 touched -- all
 #          saved-lifecycle names (the manifest moved to versioned
 #          meta_v{seq} + an atomic 'latest' pointer with listing
 #          fallback, and maintenance FS ops route through the Hadoop
 #          FileSystem helper) and the two streaming index probes
 #          (same loads);
-#   20-50  the staleness rotation: the FULL r5 vintage (19 -- closing
-#          VERDICT r9 "wrong" #2), then the first 12 of the 44 r6
+#   22-50  the staleness rotation: the FULL r5 vintage (19 -- closing
+#          VERDICT r9 "wrong" #2), then the first 10 of the 44 r6
 #          names alphabetically; the rest carry to r11.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
@@ -405,10 +406,12 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r10 ---------------------------------------------------- 3
+    # -- NEW in r10 ---------------------------------------------------- 5
     "ann_rebuild_ivf2_saved",
     "stream_ann_probe_refresh",
     "ann_asof_ivf2_saved",
+    "text_bm25_topk",
+    "hybrid_search_rrf",
     # -- changed-code-path sentinels (r10 diff: versioned meta +
     # -- pointer resolution in every *_index_load / _read_meta) ------- 16
     "ann_top1_ivf2_sampled",
@@ -458,8 +461,6 @@ _PRIORITY: list[str] = [
     "decode_image_ppm",
     "dedup_exact",
     "dedup_graph_triangles",
-    "dedup_incremental_probe",
-    "dedup_minhash_lsh",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

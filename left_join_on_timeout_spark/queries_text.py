@@ -1241,3 +1241,149 @@ def q_corpus_health_dashboard(spark: SparkSession,
         .alias("mean_quality"),
         F.min("n_words").cast("bigint").alias("min_words"),
         F.max("n_words").cast("bigint").alias("max_words"))
+
+
+# --- BM25 text retrieval (round 10) -----------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+# shared WITH-chain: per-doc length + corpus stats + per-(doc, term)
+# tf/df over the query terms + the BM25 sum, rounded exactly where the
+# Spark side rounds (idf at 6 dp, final sum at 6 dp)
+BM25_CTES = f"""
+dl AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       FROM documents),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM dl),
+qt AS (SELECT doc_id, term FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents) t
+       WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM qt GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM qt GROUP BY term),
+bmscored AS (SELECT tf.doc_id,
+                    round(ln((c.n_docs - dft.df + 0.5)
+                             / (dft.df + 0.5) + 1.0), 6)
+                    * tf.tf * {_BM25_K1 + 1.0}
+                    / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B}
+                       + {_BM25_B} * dl.dl / c.avgdl)) AS s
+             FROM tf
+             JOIN dft USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, corpus c),
+bmagg AS (SELECT doc_id, round(sum(s), 6) AS bm25 FROM bmscored
+          GROUP BY doc_id)"""
+
+
+@query("text_bm25_topk", f"""
+WITH {BM25_CTES}
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bmagg) t
+WHERE rank <= 20
+""")
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 against a fixed term query (round 10 — the lexical
+    retrieval arm a training-data pipeline runs for contamination
+    sweeps and targeted curation). Term/document statistics are
+    hash-aggregations over one tokenize scan; the corpus (N, avgdl)
+    aggregate is a one-row broadcast; the global top-k is distributed
+    TakeOrdered + a k-row rank window, never a corpus-sized
+    single-partition sort (``operators.retrieval``). The idf's ``ln``
+    rounds to 6 dp where it enters the score and the per-doc sum
+    rounds to 6 dp before ranking — the engine-portable discipline of
+    the TF-IDF twins."""
+    from left_join_on_timeout_spark.operators.retrieval import (
+        bm25_scores,
+        top_k_ranked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(BM25_TERMS),
+                         k1=_BM25_K1, b=_BM25_B)
+    return top_k_ranked(scored, "bm25", "doc_id", 20)
+
+
+@query("hybrid_search_rrf", f"""
+WITH {BM25_CTES},
+tarm AS (SELECT doc_id, rank FROM (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS rank
+           FROM bmagg) t WHERE rank <= 20),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+q AS (SELECT v, nrm FROM v WHERE vec_id = 0),
+cs AS (SELECT a.vec_id AS doc_id,
+              round(list_dot_product(a.v, q.v) / (a.nrm * q.nrm), 6)
+                AS cos_sim
+       FROM v a, q WHERE a.vec_id != 0),
+varm AS (SELECT doc_id, rank FROM (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                    AS rank
+           FROM cs) t WHERE rank <= 20),
+uni AS (SELECT doc_id, 'text' AS arm, rank FROM tarm
+        UNION ALL
+        SELECT doc_id, 'vec' AS arm, rank FROM varm),
+fused AS (SELECT doc_id,
+                 round(sum(1.0 / (60.0 + rank)), 6) AS rrf,
+                 coalesce(max(CASE WHEN arm = 'text' THEN rank END),
+                          0) AS text_rank,
+                 coalesce(max(CASE WHEN arm = 'vec' THEN rank END),
+                          0) AS vec_rank
+          FROM uni GROUP BY doc_id)
+SELECT doc_id, rrf, text_rank, vec_rank FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+""")
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion of the lexical and
+    vector arms (round 10): BM25 top-20 for the fixed term query
+    fused with cosine top-20 against doc 0's embedding via
+    ``rrf = Σ 1/(60 + rank)``, the calibration-free combiner every
+    two-signal retrieval stack uses. Each arm is output-bound (top-k
+    via distributed TakeOrdered) before the fusion ever runs, so the
+    fuse join touches ≤ 40 rows regardless of corpus size; rank
+    columns use 0 for "absent from this arm's head" to stay
+    integer-typed through the oracle hash. The vector arm is the
+    brute-force baseline for oracle checkability — at deployment
+    scale it swaps for ``ann_index.ivf2_index_search`` over the saved
+    index, same (id, rank) contract."""
+    from left_join_on_timeout_spark.functions.vectors import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from left_join_on_timeout_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        top_k_ranked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    text_arm = top_k_ranked(
+        bm25_scores(docs, list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B),
+        "bm25", "doc_id", 20)
+    qv = (emb.where(F.col("vec_id") == 0)
+          .select(as_double("embedding").alias("qv")))
+    qv = qv.select("qv", l2_norm(F.col("qv")).alias("qn"))
+    scored = (emb.where(F.col("vec_id") != 0)
+              .select(F.col("vec_id").alias("doc_id"),
+                      as_double("embedding").alias("v"))
+              .crossJoin(F.broadcast(qv))
+              .select("doc_id",
+                      F.round(dot(F.col("v"), F.col("qv"))
+                              / (l2_norm(F.col("v")) * F.col("qn")),
+                              6).alias("cos_sim")))
+    vec_arm = top_k_ranked(scored, "cos_sim", "doc_id", 20)
+    return rrf_fuse({"text": text_arm.select("doc_id", "rank"),
+                     "vec": vec_arm.select("doc_id", "rank")},
+                    "doc_id", k_out=10)

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "q15_top_supplier",
     "q22_idle_rich_customers",
     "tfidf_top_terms",  # broadcast one-row corpus-size N
+    "text_bm25_topk",   # broadcast one-row (N, avgdl) corpus aggregate
+    "hybrid_search_rrf",  # same one-row corpus stats + one-row query vector
     # queries_pipeline: one-row scalar crosses (corpus size / total /
     # leak count) and the source-count-sized mix table
     "boilerplate_strip_docs",
@@ -503,6 +505,17 @@ def test_asof_search_pins_postings_v1(spark):
         "snapshot serve leaked the live (rebuilt) version into its plan")
     assert "25,6" not in plan, "Lloyd training leaked into the plan"
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_distributed_take_ordered(spark):
+    """The retrieval top-k must be Spark's TakeOrderedAndProject
+    (per-partition heads + one k-row reduce), never a corpus-sized
+    single-partition Sort/Window — the rank window may only run over
+    the ≤k survivors ABOVE the TakeOrdered."""
+    for name in ("text_bm25_topk", "hybrid_search_rrf"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: global top-k is not a distributed TakeOrdered")
 
 
 def test_saved_lsh_probe_reads_index_from_parquet(spark):

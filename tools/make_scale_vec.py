@@ -53,7 +53,14 @@ def main() -> None:
     noise = lambda i: (  # noqa: E731 — deterministic ±0.005 per coord
         (F.pmod(F.hash(F.col("vec_id"), i, F.col("rep")), F.lit(1000))
          .cast("float") - 500.0) / 100_000.0)
+    # repartition BEFORE the per-coordinate noise transform: the
+    # source is one parquet file (one partition), so without it the
+    # whole factor× expansion — n_orig·factor·dim hash evaluations —
+    # runs in a single task and the 20 M generation is core-bound on
+    # one thread (observed r10); shuffling the expanded-but-untouched
+    # rows first spreads the transform across the session's cores
     scaled = (emb.crossJoin(F.broadcast(reps))
+              .repartition(32)
               .select(
                   (F.col("vec_id") + F.col("rep") * N_ORIG)
                   .alias("vec_id"),
@@ -62,7 +69,7 @@ def main() -> None:
                       "embedding",
                       lambda x, i: x + noise(i))).alias("embedding"),
                   "label"))
-    scaled.repartition(32).write.mode("overwrite").parquet(
+    scaled.write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet"))
 
     for t in TABLES:
