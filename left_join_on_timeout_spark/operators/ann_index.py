@@ -1407,6 +1407,75 @@ def pq_index_rebuild(spark: SparkSession, path: str,
                       keep_versions)
 
 
+def _tier_of(meta) -> tuple[str, tuple[str, ...], int]:
+    """Infer the index family from its meta row: (tier, cell-key
+    columns, cap). The three schemas are disjoint on these fields, so
+    one load-free probe of the manifest classifies the index."""
+    fields = set(meta.asDict())
+    if "bucket_cap" in fields:
+        return "lsh", ("band", "h"), int(meta.bucket_cap)
+    if "m" in fields:
+        return "pq", ("cell",), int(meta.cell_cap)
+    return "ivf2", ("sid", "sub"), int(meta.cell_cap)
+
+
+def index_stats(spark: SparkSession, path: str,
+                cap_pressure: bool = False) -> dict:
+    """Maintenance telemetry for a saved index (any family): the live
+    ``seq``, the pinnable version list, live postings rows, tombstone
+    rows, and ``tombstone_frac`` — the LSM compaction-trigger inputs.
+    Cost: one postings ``count()`` (column-pruned parquet row-count
+    pass — no vector/digest bytes are decoded) plus a tiny tombstone
+    count; cheap enough for a scheduler to poll between ingest
+    batches.
+
+    ``cap_pressure=True`` additionally computes ``over_cap_rows`` —
+    rows sitting in cells/buckets that ingest pushed past the build
+    cap, i.e. exactly the rows the next rebuild would drop back out of
+    the search space. That is a corpus-sized groupBy over the cell
+    key, so it is opt-in: poll tombstone_frac cheaply, pay for cap
+    pressure when deciding a rebuild."""
+    meta = _read_meta(spark, path)
+    tier, cell_key, cap = _tier_of(meta)
+    postings = _read_postings(spark, path, meta.seq)
+    n_rows = postings.count()
+    tomb = _load_tombstones(spark, path, meta.seq)
+    n_tomb = (tomb.select("id").distinct().count()
+              if tomb is not None else 0)
+    out = {
+        "tier": tier,
+        "seq": int(meta.seq),
+        "versions": index_versions(spark, path),
+        "postings_rows": n_rows,
+        "tombstone_rows": n_tomb,
+        "tombstone_frac": n_tomb / max(n_rows, 1),
+    }
+    if cap_pressure:
+        over = (postings.groupBy(*cell_key)
+                .agg(F.count("*").alias("csz"))
+                .where(F.col("csz") > cap)
+                .agg(F.coalesce(F.sum("csz"), F.lit(0)).alias("n"))
+                .collect()[0].n)
+        out["over_cap_rows"] = int(over)
+        out["over_cap_frac"] = int(over) / max(n_rows, 1)
+    return out
+
+
+def index_maintenance_due(stats: dict,
+                          max_tombstone_frac: float = 0.02,
+                          max_over_cap_frac: float = 0.10) -> bool:
+    """The rebuild decision over :func:`index_stats` output — pure
+    policy, no I/O, so a scheduler can log WHY it rebuilt. True when
+    the tombstone mass (every search pays the anti-join on it) or the
+    over-cap mass (rows ingest added that a probe can see but a
+    rebuild would re-drop — recall the index serves above its build
+    contract) crosses its threshold. Thresholds are deployment knobs:
+    the defaults say "compact at 2% deletes or 10% cap overflow"."""
+    if stats.get("tombstone_frac", 0.0) > max_tombstone_frac:
+        return True
+    return stats.get("over_cap_frac", 0.0) > max_over_cap_frac
+
+
 def refreshing_probe(path: str, threshold: float | None = None,
                      tier: str = "ivf2",
                      id_col: str = "vec_id",

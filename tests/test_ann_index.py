@@ -1157,3 +1157,72 @@ def test_pq_as_of_snapshot(spark, tmp_path):
     again = {(r.vec_id, r.neighbor_id)
              for r in pq_index_search(batch, snap).collect()}
     assert again == before
+
+
+def test_index_stats_and_maintenance_policy(spark, tmp_path):
+    """The compaction-trigger telemetry (round 10): tombstone_frac
+    rises with deletes and resets at rebuild; cap_pressure counts the
+    rows a rebuild would re-drop; index_maintenance_due turns both
+    into the rebuild decision."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+        ivf2_index_append,
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=40, dim=4)
+    base = emb.where(F.col("vec_id") < 30)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(base, path, n_super=2, k2=2, cell_cap=20)
+    s0 = index_stats(spark, path)
+    assert s0["tier"] == "ivf2" and s0["seq"] == 1
+    assert s0["tombstone_rows"] == 0 and s0["postings_rows"] > 0
+    assert not index_maintenance_due(s0)
+
+    dead = [i for i in range(30) if i % 3 == 0]
+    ivf2_index_delete(spark, path, dead)
+    ivf2_index_delete(spark, path, dead[:2])  # resubmission dedups
+    s1 = index_stats(spark, path)
+    assert s1["tombstone_rows"] <= len(dead)
+    assert s1["tombstone_frac"] > 0.02
+    assert index_maintenance_due(s1)
+
+    ivf2_index_rebuild(spark, path)
+    s2 = index_stats(spark, path)
+    assert s2["seq"] == 2 and s2["tombstone_rows"] == 0
+    assert s2["postings_rows"] < s0["postings_rows"]
+    assert not index_maintenance_due(s2)
+
+    # push one cell past the cap via appends: cap pressure appears,
+    # and the policy flags it only through the opt-in computation
+    ivf2_index_append(emb.where(F.col("vec_id") >= 30), spark, path)
+    s3 = index_stats(spark, path, cap_pressure=True)
+    if s3["over_cap_rows"]:
+        assert index_maintenance_due(s3, max_over_cap_frac=0.0)
+    assert "over_cap_rows" not in index_stats(spark, path)
+
+
+def test_index_stats_other_tiers(spark, tmp_path):
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_stats,
+        pq_index_build,
+    )
+    from left_join_on_timeout_spark.operators.lsh_index import (
+        lsh_index_build,
+    )
+
+    emb = _corpus(spark, n=32, dim=4)
+    pq_path = str(tmp_path / "pq")
+    pq_index_build(emb, pq_path, dim=4, m=2, k=4, n_cells=2)
+    sp = index_stats(spark, pq_path)
+    assert sp["tier"] == "pq" and sp["postings_rows"] > 0
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 7}" for j in range(12)))
+         for i in range(25)], "doc_id LONG, text STRING")
+    lsh_path = str(tmp_path / "lsh")
+    lsh_index_build(docs, lsh_path)
+    sl = index_stats(spark, lsh_path)
+    assert sl["tier"] == "lsh" and sl["postings_rows"] > 0
