@@ -139,6 +139,7 @@ HEADLINE = [
     "ann_asof_ivf2_saved",
     "text_bm25_topk",
     "hybrid_search_rrf",
+    "stream_lsh_probe_refresh",
 ]
 
 # The previous round's headline set (BENCH_r09.json — 90 queries).

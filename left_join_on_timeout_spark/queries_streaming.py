@@ -851,3 +851,86 @@ def q_stream_ann_probe_refresh(spark: SparkSession,
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+def _stream_lsh_probe_sql() -> str:
+    """Banded candidate replay for the streaming LSH refresh probe:
+    the new 10% arrivals band row-locally and join the capped standing
+    buckets — the `cand` stage of the incremental-probe oracle, pairs
+    only (the streaming probe emits candidates; verification is the
+    batch consumer's stage)."""
+    from left_join_on_timeout_spark.operators.dedup import (
+        DEFAULT_LSH_BUCKET_CAP,
+    )
+    from left_join_on_timeout_spark.queries_dedup import (
+        _BAND_SELECTS,
+        _DIGEST_COLS,
+        _SHINGLES_CTE,
+        _SIG_COLS,
+    )
+
+    return f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {_DIGEST_COLS} FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+idx AS (
+  SELECT doc_id, band, h FROM (
+    SELECT doc_id, band, h,
+           count(*) OVER (PARTITION BY band, h) AS bsz
+    FROM bands WHERE doc_id % 10 != 0) t
+  WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+prb AS (SELECT doc_id, band, h FROM bands WHERE doc_id % 10 = 0)
+SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS index_id
+FROM prb p JOIN idx i ON p.band = i.band AND p.h = i.h
+"""
+
+
+@query("stream_lsh_probe_refresh", _stream_lsh_probe_sql())
+def q_stream_lsh_probe_refresh(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The LSH tier of the per-micro-batch manifest re-resolution
+    (VERDICT r9 item 3's "LSH stream twin", driver-adjudicated): the
+    standing near-dup index is built on the 90% corpus and REBUILT
+    (no-op compaction; the pointer now names ``postings_v2``), then
+    the 10% arrivals stream through ``foreachBatch`` with
+    :func:`operators.ann_index.refreshing_probe_sink` in ``lsh``
+    mode — each micro-batch re-reads the manifest and bands ONLY the
+    batch against the loaded capped buckets. The oracle replays the
+    banding against the v1-content (rebuild row-identity makes v2
+    equal — pinned in pytest), so a match proves the re-resolution
+    plumbing AND probe-after-rebuild row equality on the dedup tier."""
+    import os
+    import tempfile
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        refreshing_probe_sink,
+    )
+    from left_join_on_timeout_spark.operators.lsh_index import (
+        lsh_index_build,
+        lsh_index_rebuild,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs = docs.where(F.col("doc_id") % 10 != 0)
+    new_docs = (docs.where(F.col("doc_id") % 10 == 0)
+                .select("doc_id", "text"))
+    root = default_index_root()
+    path = os.path.join(
+        root, "lshrfr_" + os.path.basename(os.path.normpath(sf_dir)))
+    lsh_index_build(old_docs, path)
+    lsh_index_rebuild(spark, path)  # pointer now names postings_v2
+    base = tempfile.mkdtemp(prefix="ljot_lshrfr_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    new_docs.write.mode("overwrite").parquet(src)
+    q = (spark.readStream.schema(new_docs.schema).parquet(src)
+         .writeStream.foreachBatch(
+             refreshing_probe_sink(out, path, tier="lsh",
+                                   id_col="doc_id"))
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).distinct()
