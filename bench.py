@@ -140,6 +140,7 @@ HEADLINE = [
     "text_bm25_topk",
     "hybrid_search_rrf",
     "stream_lsh_probe_refresh",
+    "bitext_margin_mine",
 ]
 
 # The previous round's headline set (BENCH_r09.json — 90 queries).

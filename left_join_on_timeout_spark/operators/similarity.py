@@ -1159,6 +1159,118 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
     return _score(pairs).where(F.col("cos_sim") >= threshold)
 
 
+def srp_cross_candidates(x: DataFrame, y: DataFrame,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int = 64,
+                         bands: int = DEFAULT_BANDS,
+                         n_bits: int = DEFAULT_BITS,
+                         seed: int = DEFAULT_SEED,
+                         bucket_cap: int = DEFAULT_BUCKET_CAP
+                         ) -> DataFrame:
+    """Cross-side SRP candidates ``(x_id, y_id)`` for bipartite mining
+    (ids must be disjoint across sides): both sides band TOGETHER —
+    one global bucket cap, the exact layout of
+    :func:`srp_candidate_pairs` — then x-side rows pair with y-side
+    rows within (band, bucket). Equi-joins only, cap bounds every
+    bucket before pairing; the banded relation (id + band + bucket,
+    never vectors) is persisted once like the self-join variant so the
+    hyperplane subtree is not planned per side."""
+    from pyspark import StorageLevel
+
+    both = (x.select(F.col(id_col), F.col(vec_col))
+            .unionByName(y.select(F.col(id_col), F.col(vec_col))))
+    banded = _banded(both, id_col, vec_col, dim, bands, n_bits, seed,
+                     bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    xs = (banded.join(x.select(F.col(id_col)), id_col)
+          .select(F.col(id_col).alias("x_id"), "band", "bucket"))
+    ys = (banded.join(y.select(F.col(id_col)), id_col)
+          .select(F.col(id_col).alias("y_id"), "band", "bucket"))
+    return (xs.join(ys, ["band", "bucket"])
+            .select("x_id", "y_id").distinct())
+
+
+def margin_mine_pairs(x: DataFrame, y: DataFrame,
+                      k: int = 4,
+                      threshold: float = 1.0,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """Margin-based bitext/pair mining between two embedding sides
+    (Artetxe & Schwenk's published margin criterion — the method
+    large-scale parallel-corpus mining uses): a candidate pair's raw
+    cosine is normalized by the mean of both endpoints' top-``k``
+    neighborhood cosines, ``margin = cos(x,y) / ((knn̄(x) + knn̄(y)) /
+    2)``, which cancels hubness (a vector that is close to EVERYTHING
+    scores no pair highly), then only MUTUAL-best pairs above
+    ``threshold`` survive — the "max" strategy, each side matched at
+    most once. Output: ``(x_id, y_id, margin)``.
+
+    ``candidates`` is the scale knob: pass a ``(x_id, y_id)`` relation
+    (e.g. each side's saved-index shortlist —
+    ``ann_index.ivf2_index_search(..., k=K)`` renamed) and every
+    stage — scoring, neighborhood means, mutual-best — runs over that
+    bounded set; the neighborhood mean is then the candidate-top-k
+    mean, the standard shortlist approximation of the published
+    criterion. ``None`` (default) scores the full bipartite cross —
+    the exact baseline, bench-SF / oracle territory like
+    :func:`brute_force_knn`.
+
+    Determinism discipline: cosines round to 6 dp; the neighborhood
+    mean divides an EXACT decimal(10,6) sum by the count (summation-
+    order-proof, the corpus-health recipe) and stays unrounded — only
+    the final margin rounds; ranks break ties on the partner id."""
+    xv = fan_out(x).select(F.col(id_col).alias("x_id"),
+                           as_double(vec_col).alias("xv"))
+    xv = xv.select("x_id", "xv", l2_norm(F.col("xv")).alias("xn"))
+    yv = fan_out(y).select(F.col(id_col).alias("y_id"),
+                           as_double(vec_col).alias("yv"))
+    yv = yv.select("y_id", "yv", l2_norm(F.col("yv")).alias("yn"))
+    if candidates is not None:
+        paired = (candidates.select("x_id", "y_id")
+                  .join(xv, "x_id").join(yv, "y_id"))
+    else:
+        paired = xv.crossJoin(yv)
+    cs = paired.select(
+        "x_id", "y_id",
+        F.round(dot(F.col("xv"), F.col("yv"))
+                / (F.col("xn") * F.col("yn")), 6).alias("cos_sim"))
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"),
+                                            F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos_sim"),
+                                            F.asc("x_id"))
+    ranked = (cs.withColumn("rnx", F.row_number().over(wx))
+              .withColumn("rny", F.row_number().over(wy)))
+    # the mean stays UNROUNDED: an exact decimal sum cast to double,
+    # divided by the count — deterministic IEEE in both engines. A
+    # 6 dp round here would sit exactly on .5 boundaries (6 dp values
+    # / 2) where Spark's decimal-string HALF_UP and DuckDB's binary
+    # round disagree (observed: two dx flaps at sf0.01); the margin
+    # rounds ONCE at the end, where the full-precision quotient makes
+    # a boundary hit vanishingly unlikely.
+    dec = F.col("cos_sim").cast("decimal(10,6)")
+    dx = (ranked.where(F.col("rnx") <= k).groupBy("x_id")
+          .agg((F.sum(dec).cast("double")
+                / F.count(F.lit(1))).alias("dx")))
+    dy = (ranked.where(F.col("rny") <= k).groupBy("y_id")
+          .agg((F.sum(dec).cast("double")
+                / F.count(F.lit(1))).alias("dy")))
+    m = (cs.join(dx, "x_id").join(dy, "y_id")
+         .select("x_id", "y_id",
+                 F.round(F.col("cos_sim")
+                         / ((F.col("dx") + F.col("dy")) / 2), 6)
+                 .alias("margin")))
+    bx = Window.partitionBy("x_id").orderBy(F.desc("margin"),
+                                            F.asc("y_id"))
+    by = Window.partitionBy("y_id").orderBy(F.desc("margin"),
+                                            F.asc("x_id"))
+    return (m.withColumn("bx", F.row_number().over(bx))
+            .withColumn("by", F.row_number().over(by))
+            .where((F.col("bx") == 1) & (F.col("by") == 1)
+                   & (F.col("margin") > threshold))
+            .select("x_id", "y_id", "margin"))
+
+
 DEFAULT_PQ_BLOCKS = 4
 DEFAULT_PQ_CODEWORDS = 16
 

@@ -385,19 +385,20 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 9 order:
-#   1-6    NEW queries (the append->rebuild->serve maintenance arc
+#   1-7    NEW queries (the append->rebuild->serve maintenance arc
 #          through a version bump; the foreachBatch manifest-refresh
 #          streaming probes, ANN and LSH tiers; the as_of snapshot
 #          serve against a pinned pre-rebuild version; BM25 text
-#          retrieval; hybrid BM25+cosine reciprocal-rank fusion);
-#   7-22   sentinels: every query whose path round 10 touched -- all
+#          retrieval; hybrid BM25+cosine reciprocal-rank fusion;
+#          margin-based cross-side pair mining over SRP candidates);
+#   8-23   sentinels: every query whose path round 10 touched -- all
 #          saved-lifecycle names (the manifest moved to versioned
 #          meta_v{seq} + an atomic 'latest' pointer with listing
 #          fallback, and maintenance FS ops route through the Hadoop
 #          FileSystem helper) and the two streaming index probes
 #          (same loads);
-#   23-50  the staleness rotation: the FULL r5 vintage (19 -- closing
-#          VERDICT r9 "wrong" #2), then the first 9 of the 44 r6
+#   24-50  the staleness rotation: the FULL r5 vintage (19 -- closing
+#          VERDICT r9 "wrong" #2), then the first 8 of the 44 r6
 #          names alphabetically; the rest carry to r11.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
@@ -406,13 +407,14 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r10 ---------------------------------------------------- 6
+    # -- NEW in r10 ---------------------------------------------------- 7
     "ann_rebuild_ivf2_saved",
     "stream_ann_probe_refresh",
     "ann_asof_ivf2_saved",
     "text_bm25_topk",
     "hybrid_search_rrf",
     "stream_lsh_probe_refresh",
+    "bitext_margin_mine",
     # -- changed-code-path sentinels (r10 diff: versioned meta +
     # -- pointer resolution in every *_index_load / _read_meta) ------- 16
     "ann_top1_ivf2_sampled",
@@ -460,7 +462,6 @@ _PRIORITY: list[str] = [
     "containment_minhash_est",
     "containment_pairs",
     "decode_image_ppm",
-    "dedup_exact",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

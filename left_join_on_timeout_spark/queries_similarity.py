@@ -1982,3 +1982,95 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  qfl(F.max("nrm")).alias("max_norm"),
                  F.sum(F.when(F.col("nrm") < 0.1, 1).otherwise(0))
                  .cast("bigint").alias("n_near_zero")))
+
+
+_MARGIN_K = 4
+_MARGIN_THR = 1.0
+
+
+@query("bitext_margin_mine", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+lab AS (SELECT vec_id, label FROM embeddings),
+banded AS (
+{{band_selects}}
+),
+capped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM banded) t
+  WHERE bsz <= {{bucket_cap}}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN lab la ON la.vec_id = a.vec_id AND la.label % 2 = 0
+  JOIN lab lb ON lb.vec_id = b.vec_id AND lb.label % 2 = 1),
+cs AS (SELECT c.x_id, c.y_id,
+              round(list_dot_product(ex.v, ey.v)
+                    / (ex.nrm * ey.nrm), 6) AS cos_sim
+       FROM cand c
+       JOIN e ex ON ex.vec_id = c.x_id
+       JOIN e ey ON ey.vec_id = c.y_id),
+ranked AS (SELECT x_id, y_id, cos_sim,
+                  row_number() OVER (PARTITION BY x_id
+                                     ORDER BY cos_sim DESC, y_id)
+                    AS rnx,
+                  row_number() OVER (PARTITION BY y_id
+                                     ORDER BY cos_sim DESC, x_id)
+                    AS rny
+           FROM cs),
+dx AS (SELECT x_id,
+              CAST(sum(CAST(cos_sim AS DECIMAL(10,6)))
+                   AS DOUBLE) / count(*) AS dx
+       FROM ranked WHERE rnx <= {{k}} GROUP BY x_id),
+dy AS (SELECT y_id,
+              CAST(sum(CAST(cos_sim AS DECIMAL(10,6)))
+                   AS DOUBLE) / count(*) AS dy
+       FROM ranked WHERE rny <= {{k}} GROUP BY y_id),
+m AS (SELECT c.x_id, c.y_id,
+             round(c.cos_sim / ((dx.dx + dy.dy) / 2), 6) AS margin
+      FROM cs c JOIN dx USING (x_id) JOIN dy USING (y_id)),
+best AS (SELECT x_id, y_id, margin,
+                row_number() OVER (PARTITION BY x_id
+                                   ORDER BY margin DESC, y_id) AS bx,
+                row_number() OVER (PARTITION BY y_id
+                                   ORDER BY margin DESC, x_id) AS by_
+         FROM m)
+SELECT x_id, y_id, margin FROM best
+WHERE bx = 1 AND by_ = 1 AND margin > {{thr}}
+""".format(band_selects=_band_selects(DEFAULT_BANDS, DEFAULT_BITS),
+           bucket_cap=DEFAULT_BUCKET_CAP, k=_MARGIN_K,
+           thr=_MARGIN_THR))
+def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED pair mining between two embedding sides (round
+    10 — the published criterion large-scale parallel-corpus /
+    translation-pair mining uses): even-label vectors play the source
+    language, odd-label the target. Candidates come from CROSS-SIDE
+    SRP banding (both sides band together under one global bucket
+    cap — equi-joins only, no bipartite cross anywhere in the plan);
+    each candidate\'s cosine is normalized by the mean of both
+    endpoints\' top-k candidate-neighborhood cosines (hubness
+    cancellation) and only MUTUAL-best pairs above the margin
+    threshold survive — each side matched at most once, the "max"
+    strategy. At 100 TB the same operator takes the saved-index
+    shortlist as ``candidates``; the SRP generator here IS a scale
+    path (capped equi-joins), so the registered form is deployment-
+    shaped, not a bench-only baseline. Neighborhood means divide
+    exact decimal sums (summation-order-proof); every rank breaks
+    ties on the partner id."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        margin_mine_pairs,
+        srp_cross_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.where(F.col("label") % 2 == 0)
+    y = emb.where(F.col("label") % 2 == 1)
+    return margin_mine_pairs(
+        x, y, k=_MARGIN_K, threshold=_MARGIN_THR,
+        candidates=srp_cross_candidates(x, y, dim=_DIM))

@@ -1,0 +1,77 @@
+
+
+def test_margin_mine_mutual_best_and_planted_pair(spark):
+    """Margin mining (round 10): a planted near-identical cross-side
+    pair must mine with margin > 1 (its cosine beats both endpoints'
+    neighborhood means), and the mutual-best contract holds — no side
+    id appears twice."""
+    import math
+
+    from left_join_on_timeout_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    def vec(seed, dim=8):
+        return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+    x_rows = [(i, vec(i)) for i in range(0, 10)]
+    planted = [v * 1.0 for v in vec(3)]
+    planted[0] += 0.01  # near-clone of x_id 3 on the y side
+    y_rows = [(100 + i, vec(50 + i)) for i in range(0, 9)] + [(199, planted)]
+    x = spark.createDataFrame(x_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y = spark.createDataFrame(y_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = margin_mine_pairs(x, y, k=3, threshold=1.0).collect()
+    assert got, "the planted near-clone must mine"
+    xs = [r.x_id for r in got]
+    ys = [r.y_id for r in got]
+    assert len(xs) == len(set(xs)) and len(ys) == len(set(ys)), (
+        "mutual-best: each side matched at most once")
+    best = {r.x_id: (r.y_id, r.margin) for r in got}
+    assert best[3][0] == 199 and best[3][1] > 1.0
+
+
+def test_margin_mine_candidates_knob_bounds_the_pairs(spark):
+    """The ``candidates`` relation bounds every stage: a pair outside
+    it can never mine, and the neighborhood means are candidate-set
+    means (the shortlist approximation)."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    def vec(seed, dim=8):
+        return [float((seed * 5 + d) % 7 - 3) for d in range(dim)]
+
+    x = spark.createDataFrame([(i, vec(i)) for i in range(5)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y = spark.createDataFrame([(10 + i, vec(i)) for i in range(5)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cand = spark.createDataFrame([(0, 10), (1, 11)],
+                                 "x_id LONG, y_id LONG")
+    got = {(r.x_id, r.y_id)
+           for r in margin_mine_pairs(x, y, k=2, threshold=0.0,
+                                      candidates=cand).collect()}
+    assert got <= {(0, 10), (1, 11)}
+    assert got, "identical-vector candidates must mine at threshold 0"
+
+
+def test_srp_cross_candidates_sides_never_self_pair(spark):
+    """Cross-side SRP candidates pair x with y only — never x with x —
+    and identical cross-side vectors (same bucket by construction)
+    always surface."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        srp_cross_candidates,
+    )
+
+    def vec(seed, dim=64):
+        return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+    x = spark.createDataFrame([(i, vec(i)) for i in range(6)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y = spark.createDataFrame([(100 + i, vec(i)) for i in range(6)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {(r.x_id, r.y_id)
+           for r in srp_cross_candidates(x, y).collect()}
+    assert got
+    assert all(a < 100 <= b for a, b in got)
+    assert all((i, 100 + i) in got for i in range(6)), (
+        "identical cross-side vectors share every bucket")
