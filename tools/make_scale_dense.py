@@ -72,7 +72,11 @@ def main() -> None:
         F.transform(F.split(F.col("text"), " "),
                     lambda w: F.concat(w, F.lit("~"),
                                        F.col("rep").cast("string"))), " ")
+    # repartition BEFORE the per-word transform (make_scale_vec's r10
+    # fix): the single-file source would otherwise run the whole
+    # factor× string expansion in one task
     scaled_docs = (docs.crossJoin(F.broadcast(reps))
+                   .repartition(32)
                    .select(
                        (F.col("doc_id") + F.col("rep") * OFFSET)
                        .alias("doc_id"),
@@ -84,7 +88,7 @@ def main() -> None:
                        .alias("text"),
                        "lang", "source")
                    .withColumn("n_chars", F.length("text")))
-    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+    scaled_docs.write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet"))
 
     for t in TABLES:
