@@ -1255,11 +1255,16 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
     dy = (ranked.where(F.col("rny") <= k).groupBy("y_id")
           .agg((F.sum(dec).cast("double")
                 / F.count(F.lit(1))).alias("dy")))
+    # a NON-POSITIVE denominator (possible when both neighborhoods
+    # average negative cosine — adversarial inputs; found by the
+    # hypothesis fuzz as an ANSI DIVIDE_BY_ZERO at dx = -dy) makes the
+    # ratio criterion meaningless, so those pairs are unscorable and
+    # drop before the division ever runs
+    den = (F.col("dx") + F.col("dy")) / 2
     m = (cs.join(dx, "x_id").join(dy, "y_id")
+         .where(den > 0)
          .select("x_id", "y_id",
-                 F.round(F.col("cos_sim")
-                         / ((F.col("dx") + F.col("dy")) / 2), 6)
-                 .alias("margin")))
+                 F.round(F.col("cos_sim") / den, 6).alias("margin")))
     bx = Window.partitionBy("x_id").orderBy(F.desc("margin"),
                                             F.asc("y_id"))
     by = Window.partitionBy("y_id").orderBy(F.desc("margin"),

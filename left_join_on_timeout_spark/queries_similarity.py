@@ -2034,7 +2034,8 @@ dy AS (SELECT y_id,
        FROM ranked WHERE rny <= {{k}} GROUP BY y_id),
 m AS (SELECT c.x_id, c.y_id,
              round(c.cos_sim / ((dx.dx + dy.dy) / 2), 6) AS margin
-      FROM cs c JOIN dx USING (x_id) JOIN dy USING (y_id)),
+      FROM cs c JOIN dx USING (x_id) JOIN dy USING (y_id)
+      WHERE (dx.dx + dy.dy) / 2 > 0),
 best AS (SELECT x_id, y_id, margin,
                 row_number() OVER (PARTITION BY x_id
                                    ORDER BY margin DESC, y_id) AS bx,
