@@ -1432,9 +1432,13 @@ def index_stats(spark: SparkSession, path: str,
     ``cap_pressure=True`` additionally computes ``over_cap_rows`` —
     rows sitting in cells/buckets that ingest pushed past the build
     cap, i.e. exactly the rows the next rebuild would drop back out of
-    the search space. That is a corpus-sized groupBy over the cell
-    key, so it is opt-in: poll tombstone_frac cheaply, pay for cap
-    pressure when deciding a rebuild."""
+    the search space. The aggregate runs over the TOMBSTONE-FILTERED
+    postings (ADVICE r10) — the rebuild re-caps the live relation, so
+    a cell only over the cap because of already-deleted rows must not
+    count as pressure (it would trigger a spurious rebuild). That is a
+    corpus-sized groupBy over the cell key, so it is opt-in: poll
+    tombstone_frac cheaply, pay for cap pressure when deciding a
+    rebuild."""
     meta = _read_meta(spark, path)
     tier, cell_key, cap = _tier_of(meta)
     postings = _read_postings(spark, path, meta.seq)
@@ -1451,7 +1455,7 @@ def index_stats(spark: SparkSession, path: str,
         "tombstone_frac": n_tomb / max(n_rows, 1),
     }
     if cap_pressure:
-        over = (postings.groupBy(*cell_key)
+        over = (_apply_tombstones(postings, tomb).groupBy(*cell_key)
                 .agg(F.count("*").alias("csz"))
                 .where(F.col("csz") > cap)
                 .agg(F.coalesce(F.sum("csz"), F.lit(0)).alias("n"))

@@ -113,7 +113,11 @@ def rrf_fuse(arms: dict[str, DataFrame], id_col: str,
     integer-typed through the oracle hash), ordered by
     (rrf desc, id) and cut to ``k_out`` when given. Every arm is
     ≤ its own k rows, so the fusion is driver-cheap by construction
-    — the heavy lifting happened in the arms."""
+    — the heavy lifting happened in the arms. ``k_out=0`` is an
+    explicit empty head (``None`` means "no cut") and zero arms is a
+    loud error, not an AttributeError three lines in (ADVICE r10)."""
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
     tagged = None
     for name, arm in arms.items():
         t = arm.select(F.col(id_col), F.lit(name).alias("arm"),
@@ -127,4 +131,4 @@ def rrf_fuse(arms: dict[str, DataFrame], id_col: str,
             F.lit(0)).alias(f"{name}_rank")
           for name in arms]))
     out = fused.orderBy(F.desc("rrf"), F.asc(id_col))
-    return out.limit(int(k_out)) if k_out else out
+    return out.limit(int(k_out)) if k_out is not None else out

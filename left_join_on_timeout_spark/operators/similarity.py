@@ -1168,26 +1168,57 @@ def srp_cross_candidates(x: DataFrame, y: DataFrame,
                          seed: int = DEFAULT_SEED,
                          bucket_cap: int = DEFAULT_BUCKET_CAP
                          ) -> DataFrame:
-    """Cross-side SRP candidates ``(x_id, y_id)`` for bipartite mining
-    (ids must be disjoint across sides): both sides band TOGETHER —
-    one global bucket cap, the exact layout of
-    :func:`srp_candidate_pairs` — then x-side rows pair with y-side
+    """Cross-side SRP candidates ``(x_id, y_id)`` for bipartite mining:
+    both sides band TOGETHER — one global bucket cap, the exact layout
+    of :func:`srp_candidate_pairs` — then x-side rows pair with y-side
     rows within (band, bucket). Equi-joins only, cap bounds every
-    bucket before pairing; the banded relation (id + band + bucket,
-    never vectors) is persisted once like the self-join variant so the
-    hyperplane subtree is not planned per side."""
+    bucket before pairing.
+
+    Side membership travels as a TAG COLUMN on the unioned relation
+    (ADVICE r10): the earlier id-equi-join back to each side silently
+    put an id present in BOTH inputs on both sides of the bucket join;
+    with the tag, a row belongs to exactly the side it came from, so
+    overlapping side ids are well-defined (they can at most pair with
+    the other side's row of the same id). The banded relation (id +
+    side + band + bucket, never vectors) is persisted only for the
+    duration of this call: the distinct candidate set — output-bound
+    by the capped buckets — is materialized eagerly via
+    ``localCheckpoint`` and the banded cache RELEASED before
+    returning, instead of pinning a corpus-sized relation for the
+    session (ADVICE r10)."""
     from pyspark import StorageLevel
 
-    both = (x.select(F.col(id_col), F.col(vec_col))
-            .unionByName(y.select(F.col(id_col), F.col(vec_col))))
-    banded = _banded(both, id_col, vec_col, dim, bands, n_bits, seed,
-                     bucket_cap).persist(StorageLevel.MEMORY_AND_DISK)
-    xs = (banded.join(x.select(F.col(id_col)), id_col)
+    both = (x.select(F.col(id_col), F.col(vec_col),
+                     F.lit("x").alias("side"))
+            .unionByName(y.select(F.col(id_col), F.col(vec_col),
+                                  F.lit("y").alias("side"))))
+    v = fan_out(both).select(F.col(id_col), "side",
+                             as_double(vec_col).alias("v"))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            srp_bucket("v", srp_planes(dim, n_bits, seed + b))
+            .alias("bucket"))
+        for b in range(bands)
+    ]
+    banded = (v.select(id_col, "side",
+                       F.explode(F.array(*band_structs)).alias("bb"))
+              .select(id_col, "side",
+                      F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    w = Window.partitionBy("band", "bucket")
+    capped = (banded.withColumn("bsz", F.count("*").over(w))
+              .where(F.col("bsz") <= bucket_cap).drop("bsz")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    xs = (capped.where(F.col("side") == "x")
           .select(F.col(id_col).alias("x_id"), "band", "bucket"))
-    ys = (banded.join(y.select(F.col(id_col)), id_col)
+    ys = (capped.where(F.col("side") == "y")
           .select(F.col(id_col).alias("y_id"), "band", "bucket"))
-    return (xs.join(ys, ["band", "bucket"])
-            .select("x_id", "y_id").distinct())
+    cand = (xs.join(ys, ["band", "bucket"])
+            .select("x_id", "y_id").distinct()
+            .localCheckpoint(eager=True))
+    capped.unpersist()
+    return cand
 
 
 def margin_mine_pairs(x: DataFrame, y: DataFrame,
@@ -1219,7 +1250,18 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
     Determinism discipline: cosines round to 6 dp; the neighborhood
     mean divides an EXACT decimal(10,6) sum by the count (summation-
     order-proof, the corpus-health recipe) and stays unrounded — only
-    the final margin rounds; ranks break ties on the partner id."""
+    the final margin rounds; ranks break ties on the partner id.
+
+    The candidate-scoring subtree ``cs`` (ids + cos_sim only — the
+    most expensive stage: candidate join + per-pair dot products) is
+    referenced by the neighborhood means AND the margin join, so it is
+    persisted for the duration of the call (ADVICE r10 — it was
+    recomputed 3× at mining scale); the mutual-best result — tiny by
+    construction, each side matched at most once — is materialized
+    eagerly via ``localCheckpoint`` so the cache can be RELEASED
+    before returning instead of pinning for the session."""
+    from pyspark import StorageLevel
+
     xv = fan_out(x).select(F.col(id_col).alias("x_id"),
                            as_double(vec_col).alias("xv"))
     xv = xv.select("x_id", "xv", l2_norm(F.col("xv")).alias("xn"))
@@ -1234,7 +1276,8 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
     cs = paired.select(
         "x_id", "y_id",
         F.round(dot(F.col("xv"), F.col("yv"))
-                / (F.col("xn") * F.col("yn")), 6).alias("cos_sim"))
+                / (F.col("xn") * F.col("yn")), 6).alias("cos_sim")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     wx = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"),
                                             F.asc("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.desc("cos_sim"),
@@ -1269,11 +1312,14 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
                                             F.asc("y_id"))
     by = Window.partitionBy("y_id").orderBy(F.desc("margin"),
                                             F.asc("x_id"))
-    return (m.withColumn("bx", F.row_number().over(bx))
-            .withColumn("by", F.row_number().over(by))
-            .where((F.col("bx") == 1) & (F.col("by") == 1)
-                   & (F.col("margin") > threshold))
-            .select("x_id", "y_id", "margin"))
+    mined = (m.withColumn("bx", F.row_number().over(bx))
+             .withColumn("by", F.row_number().over(by))
+             .where((F.col("bx") == 1) & (F.col("by") == 1)
+                    & (F.col("margin") > threshold))
+             .select("x_id", "y_id", "margin")
+             .localCheckpoint(eager=True))
+    cs.unpersist()
+    return mined
 
 
 DEFAULT_PQ_BLOCKS = 4

@@ -1204,6 +1204,39 @@ def test_index_stats_and_maintenance_policy(spark, tmp_path):
     assert "over_cap_rows" not in index_stats(spark, path)
 
 
+def test_cap_pressure_ignores_tombstoned_rows(spark, tmp_path):
+    """ADVICE r10 (medium): over_cap_rows must be computed over the
+    TOMBSTONE-FILTERED postings — the rebuild re-caps the live
+    relation, so a cell only over the cap because of already-deleted
+    rows is NOT pressure (the stats would otherwise trigger a
+    spurious rebuild and break the 'exactly what the next rebuild
+    drops' contract)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+        ivf2_index_append,
+        ivf2_index_delete,
+    )
+
+    emb = _corpus(spark, n=13, dim=4)
+    base = emb.where(F.col("vec_id") < 8)
+    path = str(tmp_path / "idx")
+    # single-cell index: every row lands in (sid 0, sub 0)
+    ivf2_index_build(base, path, n_super=1, k2=1, cell_cap=10)
+    ivf2_index_append(emb.where(F.col("vec_id") >= 8), spark, path)
+    raw = index_stats(spark, path, cap_pressure=True)
+    assert raw["postings_rows"] == 13
+    assert raw["over_cap_rows"] == 13, "13 live rows > cap 10"
+    # tombstone 4 rows: the live cell is back to 9 <= cap, so the next
+    # rebuild keeps it — no pressure, no spurious rebuild
+    ivf2_index_delete(spark, path, [1, 3, 5, 9])
+    s = index_stats(spark, path, cap_pressure=True)
+    assert s["tombstone_rows"] == 4
+    assert s["over_cap_rows"] == 0
+    assert not index_maintenance_due(s, max_tombstone_frac=1.0,
+                                     max_over_cap_frac=0.0)
+
+
 def test_index_stats_other_tiers(spark, tmp_path):
     from left_join_on_timeout_spark.operators.ann_index import (
         index_stats,

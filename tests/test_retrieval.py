@@ -74,6 +74,19 @@ def test_rrf_fuse_arithmetic_and_absent_arm(spark):
     assert order[0] == 2
 
 
+def test_rrf_fuse_edge_contracts(spark):
+    """ADVICE r10: zero arms must raise a clear ValueError (not an
+    AttributeError off the None accumulator) and ``k_out=0`` is an
+    explicit empty head, not 'no limit'."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse({}, "doc_id")
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id LONG, rank INT")
+    assert rrf_fuse({"only": a}, "doc_id", k_out=0).count() == 0
+    assert rrf_fuse({"only": a}, "doc_id", k_out=None).count() == 2
+
+
 def test_bm25_rarer_term_scores_higher(spark):
     rows = [(i, "common rare" if i == 0 else "common filler")
             for i in range(10)]

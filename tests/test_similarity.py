@@ -77,6 +77,32 @@ def test_srp_cross_candidates_sides_never_self_pair(spark):
         "identical cross-side vectors share every bucket")
 
 
+def test_srp_cross_candidates_overlapping_ids_stay_sided(spark):
+    """ADVICE r10: an id present in BOTH inputs must not land on both
+    sides of the bucket join through an id-equi-join back — side
+    membership is a tag column, so the overlapping id can only pair
+    across sides (including with the other side's row of the same
+    id), never inflate one side with the other's rows."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        srp_cross_candidates,
+    )
+
+    def vec(seed, dim=64):
+        return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+    # id 5 appears on BOTH sides, with the same vector
+    x = spark.createDataFrame([(i, vec(i)) for i in (1, 2, 5)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    y = spark.createDataFrame([(i, vec(i)) for i in (5, 101, 102)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {(r.x_id, r.y_id)
+           for r in srp_cross_candidates(x, y).collect()}
+    assert all(a in (1, 2, 5) and b in (5, 101, 102) for a, b in got)
+    assert (5, 5) in got, (
+        "the overlapping id's x-row shares every bucket with its "
+        "y-row — it must surface as a cross-side candidate")
+
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
