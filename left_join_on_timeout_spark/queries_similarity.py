@@ -341,7 +341,13 @@ def _ivf2_train_prefix(n_super: int, k2: int, dim: int = 64,
     CTE (no trailing comma) — the serving-shaped oracles
     (:func:`_ivf2_oracle`, :func:`_ivf2_served_oracle`) append their
     own search tails. See :func:`_ivf2_oracle` for the semantics the
-    CTEs replay."""
+    CTEs replay.
+
+    Level-1 seeds are the FIRST ``n_super`` rows by id (rank-based —
+    replaying the operator's TakeOrdered seed rule, which round 11
+    widened from ``id < n_super`` so string-keyed corpora can build;
+    on dense integer ids the two rules pick the same rows, on subset
+    builds — the rebuild/as-of arcs — only the rank form is right)."""
     if train_frac is not None and train_frac < 1.0:
         from left_join_on_timeout_spark.operators.sampling import (
             HASH_WIDTH,
@@ -378,8 +384,10 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   sqrt(list_dot_product(embedding::DOUBLE[],
                                         embedding::DOUBLE[])) AS nrm
            FROM embeddings),
-{vt_cte}pa0 AS (SELECT vec_id AS cell, v AS av, nrm AS anrm FROM v
-        WHERE vec_id < {n_super}),
+{vt_cte}pa0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, av, anrm FROM (
+          SELECT v AS av, nrm AS anrm,
+                 row_number() OVER (ORDER BY vec_id) AS rn
+          FROM v) t WHERE rn <= {n_super}),
 ps1 AS (SELECT vec_id, m.v AS v, m.nrm AS nrm, cell,
                list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
         FROM {l1_src} m, pa0),

@@ -527,8 +527,10 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
            FROM embeddings),
 c AS (SELECT * FROM v WHERE vec_id % 10 != 0),
 bq AS (SELECT * FROM v WHERE vec_id % 10 = 0),
-pa0 AS (SELECT vec_id AS cell, v AS av, nrm AS anrm FROM c
-        WHERE vec_id < {_ANN_PROBE_SUPER}),
+pa0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, av, anrm FROM (
+          SELECT v AS av, nrm AS anrm,
+                 row_number() OVER (ORDER BY vec_id) AS rn
+          FROM c) t WHERE rn <= {_ANN_PROBE_SUPER}),
 ps1 AS (SELECT vec_id, m.v AS v, m.nrm AS nrm, cell,
                list_dot_product(m.v, av) / (m.nrm * anrm) AS sim
         FROM c m, pa0),
