@@ -1443,6 +1443,8 @@ def _tier_of(meta) -> tuple[str, tuple[str, ...], int]:
         # inverted text index: no build cap exists on this tier —
         # rebuilds drop tombstones and refresh stats, nothing re-caps
         return "text", (), None
+    if "n_bits" in fields:
+        return "srp", ("band", "h"), int(meta.bucket_cap)
     if "bucket_cap" in fields:
         return "lsh", ("band", "h"), int(meta.bucket_cap)
     if "m" in fields:

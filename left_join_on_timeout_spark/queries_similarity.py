@@ -2083,3 +2083,127 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mine_pairs(
         x, y, k=_MARGIN_K, threshold=_MARGIN_THR,
         candidates=srp_cross_candidates(x, y, dim=_DIM))
+
+
+# --- Margin mining against a standing saved index (r11) ---------------------
+
+def _bitext_saved_oracle() -> str:
+    """DuckDB twin of the saved-index mining arc (VERDICT r10 missing
+    #3): the y side's banded buckets are built and CAPPED one-sided
+    (the saved index's contract — a standing side is capped once at
+    build; probe batches never cap against themselves, unlike
+    ``srp_cross_candidates``' global both-sides cap), the x side
+    bands uncapped and equi-joins the capped buckets, then the
+    standard margin tail (candidate-top-k neighborhood means over
+    exact decimal sums, mutual-best above the threshold) replays
+    ``margin_mine_pairs`` over that candidate set."""
+    xb = _band_selects(DEFAULT_BANDS, DEFAULT_BITS).replace(
+        "FROM e", "FROM ex")
+    yb = _band_selects(DEFAULT_BANDS, DEFAULT_BITS).replace(
+        "FROM e", "FROM ey")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+lab AS (SELECT vec_id, label FROM embeddings),
+ex AS (SELECT e.vec_id, e.v FROM e JOIN lab USING (vec_id)
+       WHERE lab.label % 2 = 0),
+ey AS (SELECT e.vec_id, e.v FROM e JOIN lab USING (vec_id)
+       WHERE lab.label % 2 = 1),
+ybanded AS (
+{yb}
+),
+ycapped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM ybanded) t
+  WHERE bsz <= {DEFAULT_BUCKET_CAP}
+),
+xbanded AS (
+{xb}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id
+  FROM xbanded a
+  JOIN ycapped b ON a.band = b.band AND a.bucket = b.bucket),
+cs AS (SELECT c.x_id, c.y_id,
+              round(list_dot_product(vx.v, vy.v)
+                    / (vx.nrm * vy.nrm), 6) AS cos_sim
+       FROM cand c
+       JOIN e vx ON vx.vec_id = c.x_id
+       JOIN e vy ON vy.vec_id = c.y_id),
+ranked AS (SELECT x_id, y_id, cos_sim,
+                  row_number() OVER (PARTITION BY x_id
+                                     ORDER BY cos_sim DESC, y_id)
+                    AS rnx,
+                  row_number() OVER (PARTITION BY y_id
+                                     ORDER BY cos_sim DESC, x_id)
+                    AS rny
+           FROM cs),
+dx AS (SELECT x_id,
+              CAST(sum(CAST(cos_sim AS DECIMAL(10,6)))
+                   AS DOUBLE) / count(*) AS dx
+       FROM ranked WHERE rnx <= {_MARGIN_K} GROUP BY x_id),
+dy AS (SELECT y_id,
+              CAST(sum(CAST(cos_sim AS DECIMAL(10,6)))
+                   AS DOUBLE) / count(*) AS dy
+       FROM ranked WHERE rny <= {_MARGIN_K} GROUP BY y_id),
+m AS (SELECT c.x_id, c.y_id,
+             round(c.cos_sim / ((dx.dx + dy.dy) / 2), 6) AS margin
+      FROM cs c JOIN dx USING (x_id) JOIN dy USING (y_id)
+      WHERE (dx.dx + dy.dy) / 2 > 0),
+best AS (SELECT x_id, y_id, margin,
+                row_number() OVER (PARTITION BY x_id
+                                   ORDER BY margin DESC, y_id) AS bx,
+                row_number() OVER (PARTITION BY y_id
+                                   ORDER BY margin DESC, x_id) AS by_
+         FROM m)
+SELECT x_id, y_id, margin FROM best
+WHERE bx = 1 AND by_ = 1 AND margin > {_MARGIN_THR}
+"""
+
+
+@query("bitext_margin_mine_saved", _bitext_saved_oracle())
+def q_bitext_margin_mine_saved(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Margin mining against a STANDING saved index (round 11 —
+    VERDICT r10 missing #3): the y (target-language) side's SRP
+    buckets persist once under the v3 versioned manifest
+    (``operators.srp_index``) and every mining run bands only the x
+    side, probing the saved postings by one (band, h) equi-join —
+    repeated runs pay probe-only instead of the four both-sides
+    banding passes ``srp_cross_candidates`` costs per call (385 s at
+    the fifth decade, PLANS.md). The candidate set feeds the same
+    pluggable ``margin_mine_pairs`` (candidate-top-k neighborhood
+    means, mutual-best above threshold); the saved tier's one-sided
+    bucket cap is the documented contract difference from the fused
+    query's global cap."""
+    import os
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.srp_index import (
+        srp_index_build,
+        srp_index_load,
+        srp_index_probe,
+    )
+
+    from left_join_on_timeout_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.where(F.col("label") % 2 == 0)
+    y = emb.where(F.col("label") % 2 == 1)
+    path = os.path.join(
+        default_index_root(),
+        "srpidx_" + os.path.basename(os.path.normpath(sf_dir)))
+    srp_index_build(y, path, dim=_DIM)
+    cand = (srp_index_probe(x, srp_index_load(spark, path))
+            .select(F.col("probe_id").alias("x_id"),
+                    F.col("index_id").alias("y_id")))
+    return margin_mine_pairs(x, y, k=_MARGIN_K,
+                             threshold=_MARGIN_THR, candidates=cand)

@@ -1,0 +1,137 @@
+"""Saved SRP index lifecycle (round 11 — VERDICT r10 missing #3):
+the standing y side of a cross-side mining problem bands once into a
+saved index; repeated mining runs pay probe-only. The oracle-paired
+``bitext_margin_mine_saved`` pins engine equality; these tests pin
+the lifecycle semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from left_join_on_timeout_spark.operators.srp_index import (
+    srp_index_append,
+    srp_index_build,
+    srp_index_delete,
+    srp_index_load,
+    srp_index_probe,
+    srp_index_rebuild,
+)
+
+
+def _vec(seed, dim=16):
+    return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+
+def _side(spark, ids, dim=16):
+    return spark.createDataFrame(
+        [(i, _vec(i, dim)) for i in ids],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_probe_equals_cross_candidates_without_caps(spark, tmp_path):
+    """With no bucket over the cap, the saved probe reproduces the
+    in-session cross-candidate set exactly (the lifecycle is a
+    refactoring, not a new approximation), and identical cross-side
+    vectors always surface."""
+    from left_join_on_timeout_spark.operators.similarity import (
+        srp_cross_candidates,
+    )
+
+    x = _side(spark, range(8), dim=64)
+    y = spark.createDataFrame(
+        [(100 + i, _vec(i, 64)) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "srp")
+    srp_index_build(y, path)
+    got = {(r.probe_id, r.index_id)
+           for r in srp_index_probe(x, srp_index_load(spark, path))
+           .collect()}
+    fused = {(r.x_id, r.y_id)
+             for r in srp_cross_candidates(x, y).collect()}
+    assert got == fused
+    assert all((i, 100 + i) in got for i in range(8))
+
+
+def test_probe_plan_reads_saved_postings_not_y_banding(spark, tmp_path):
+    """The build-once contract: the probe plan scans the persisted
+    postings parquet — the y side is never re-banded (no second
+    banding projection in the plan, only the probe batch's)."""
+    x = _side(spark, range(6))
+    y = _side(spark, range(50, 56))
+    path = str(tmp_path / "srp")
+    srp_index_build(y, path, dim=16)
+    probe = srp_index_probe(x, srp_index_load(spark, path))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # inputFiles, not the plan's Location string — Spark truncates
+    # scan metadata at 100 chars and pytest tmp paths are long
+    assert any("postings_v1" in f for f in probe.inputFiles()), (
+        "the probe must read the saved postings files")
+    assert "FileScan" in plan
+    # exactly ONE banding pipeline (the probe side): the explode of
+    # the 4-band struct array appears once, not twice
+    assert plan.count("Generate explode") == 1, (
+        "the standing side must come from the saved scan, not a "
+        "second banding pass")
+
+
+def test_maintenance_lifecycle(spark, tmp_path):
+    """Append is live, typed deletes stop candidates immediately,
+    rebuild re-caps (a hub bucket pushed past the cap by appends
+    drops whole) and clears tombstones physically."""
+    y = _side(spark, range(50, 58))
+    path = str(tmp_path / "srp")
+    srp_index_build(y, path, dim=16, bucket_cap=12)
+    x = _side(spark, range(4))
+    idx = srp_index_load(spark, path)
+    base = srp_index_probe(x, idx)
+    n0 = base.count()
+    assert n0 > 0
+    # append two clones of y 50 — immediately probe-visible
+    clones = spark.createDataFrame(
+        [(200, _vec(50, 16)), (201, _vec(50, 16))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    srp_index_append(clones, spark, path)
+    idx2 = srp_index_load(spark, path)
+    hits = {r.index_id for r in srp_index_probe(x, idx2).collect()}
+    assert 200 in hits and 201 in hits
+    srp_index_delete(spark, path, [200])
+    idx3 = srp_index_load(spark, path)
+    hits3 = {r.index_id for r in srp_index_probe(x, idx3).collect()}
+    assert 200 not in hits3 and 201 in hits3
+    srp_index_rebuild(spark, path)
+    after = srp_index_load(spark, path)
+    assert after["meta"].seq == 2
+    assert after["postings"].where(F.col("id") == 200).count() == 0
+    hits4 = {r.index_id for r in srp_index_probe(x, after).collect()}
+    assert 200 not in hits4
+
+
+def test_rebuild_recaps_hub_bucket(spark, tmp_path):
+    """A bucket ingest pushed past the cap drops WHOLE at rebuild —
+    the build-cap semantics, not a truncation — and index_stats
+    classifies the tier as srp."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_stats,
+    )
+
+    v = _vec(50, 16)
+    neg = [-c for c in v]  # opposite signs → a different bucket in
+    # every band (each plane's dot flips sign)
+    y = spark.createDataFrame([(50, v), (51, neg)],
+                              "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "srp")
+    srp_index_build(y, path, dim=16, bands=1, bucket_cap=2)
+    # 3 clones of v → its bucket holds 4 > cap 2; neg's bucket holds 1
+    clones = spark.createDataFrame(
+        [(60 + i, v) for i in range(3)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    srp_index_append(clones, spark, path)
+    s = index_stats(spark, path, cap_pressure=True)
+    assert s["tier"] == "srp"
+    assert s["over_cap_rows"] == 4
+    srp_index_rebuild(spark, path)
+    kept = {r.id for r in srp_index_load(spark, path)["postings"]
+            .select("id").collect()}
+    assert kept == {51}, (
+        "the overfull bucket must drop whole at re-cap; the "
+        "under-cap bucket survives")
