@@ -1054,6 +1054,115 @@ def test_refreshing_probe_survives_two_rebuilds(spark, tmp_path):
     assert post.where(F.col("old_id").isin(dead)).count() == 0
 
 
+def test_exactly_once_sink_epoch_replay_no_duplicates(spark, tmp_path):
+    """VERDICT r10 wrong #2: the exactly-once sink variant — an epoch
+    retry (same epoch id, the foreachBatch retry contract) REPLACES
+    its epoch partition instead of appending a duplicate hit set;
+    distinct epochs accumulate; and the rows match the at-least-once
+    probe's content."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_probe_hits,
+        refreshing_probe_exactly_once_sink,
+    )
+
+    emb = _corpus(spark, n=40, dim=4)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    b1 = emb.where(F.col("vec_id").isin(0, 10))
+    b2 = emb.where(F.col("vec_id").isin(20, 30))
+    path, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ivf2_index_build(corpus, path, n_super=2, k2=2, cell_cap=5000)
+    sink = refreshing_probe_exactly_once_sink(out, path,
+                                              threshold=-1.0)
+    sink(b1, 7)
+    once = spark.read.parquet(out)
+    n1 = once.count()
+    assert n1 > 0 and set(once.select("epoch").distinct()
+                          .toPandas()["epoch"]) == {7}
+    sink(b1, 7)  # the retry: same epoch id, same batch
+    assert spark.read.parquet(out).count() == n1, (
+        "an epoch replay must not duplicate hits")
+    sink(b2, 8)
+    both = spark.read.parquet(out)
+    n2 = both.where(F.col("epoch") == 8).count()
+    assert n2 > 0 and both.count() == n1 + n2
+    sink(b1, 7)  # replay AFTER later epochs landed: only 7 replaced
+    final = spark.read.parquet(out)  # fresh listing: the replay
+    # rewrote epoch=7's files, so pre-overwrite DataFrames are stale
+    assert final.count() == n1 + n2
+    # content parity with the direct probe
+    direct = {(r.new_id, r.old_id) for r in ivf2_index_probe_hits(
+        b1, ivf2_index_load(spark, path), -1.0).collect()}
+    sunk = {(r.new_id, r.old_id)
+            for r in final.where(F.col("epoch") == 7).collect()}
+    assert sunk == direct
+
+
+def test_maintenance_loop_closed_loop_with_stream(spark, tmp_path):
+    """VERDICT r10 next-round item 7: the FULL maintenance loop under
+    a live ingest stream — deletes accumulate until
+    index_stats → index_maintenance_due flips to rebuild-now, the
+    loop rebuilds, and the refreshing stream crosses the compaction
+    without a wrong or missing batch (every src row probes;
+    post-rebuild batches never see a deleted id; cap pressure stays
+    zero throughout — the single cell remains under its cap)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+        refreshing_probe_sink,
+    )
+
+    emb = _corpus(spark, n=60, dim=4)
+    corpus = emb.where(F.col("vec_id") < 20)       # one cell, 20 rows
+    path, src, out, ckpt = (str(tmp_path / d)
+                            for d in ("idx", "src", "out", "ck"))
+    ivf2_index_build(corpus, path, n_super=1, k2=1, cell_cap=5000)
+    batch = emb.where(F.col("vec_id").isin(40, 50))
+    batch.write.mode("append").parquet(src)
+    q = (spark.readStream.schema(batch.schema).parquet(src)
+         .writeStream.foreachBatch(
+             refreshing_probe_sink(out, path, threshold=-1.0))
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # the serving loop: curation deletes land one at a time; the
+        # scheduler polls stats and rebuilds when the policy says so
+        # (tombstone mass > 10% here)
+        deleted = []
+        for vid in (3, 7, 11, 15, 19):
+            ivf2_index_delete(spark, path, [vid])
+            deleted.append(vid)
+            s = index_stats(spark, path, cap_pressure=True)
+            assert s["over_cap_rows"] == 0
+            if index_maintenance_due(s, max_tombstone_frac=0.10,
+                                     max_over_cap_frac=0.10):
+                break
+        # 3/20 = 15% > 10% — the loop rebuilds after the third delete
+        assert deleted == [3, 7, 11], s
+        ivf2_index_rebuild(spark, path)
+        s2 = index_stats(spark, path, cap_pressure=True)
+        assert s2["seq"] == 2 and s2["tombstone_rows"] == 0
+        assert not index_maintenance_due(s2, max_tombstone_frac=0.10,
+                                         max_over_cap_frac=0.10)
+        batch2 = emb.where(F.col("vec_id").isin(41, 51))
+        batch2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    res = spark.read.parquet(out)
+    # no missing batch: every src row probed on some epoch
+    assert ({r.new_id for r in res.select("new_id").distinct()
+             .collect()} == {40, 50, 41, 51})
+    pre = res.where(F.col("new_id").isin(40, 50))
+    post = res.where(F.col("new_id").isin(41, 51))
+    # pre-delete epochs saw the later-deleted ids; post-rebuild
+    # epochs must not (no wrong batch), but still serve the survivors
+    assert pre.where(F.col("old_id").isin(deleted)).count() > 0
+    assert post.count() > 0
+    assert post.where(F.col("old_id").isin(deleted)).count() == 0
+
+
 def test_as_of_snapshot_pins_prerebuild_postings_and_tombstones(
         spark, tmp_path):
     """``as_of`` load (round 10): after an append + rebuild bumps the
