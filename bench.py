@@ -141,15 +141,21 @@ HEADLINE = [
     "hybrid_search_rrf",
     "stream_lsh_probe_refresh",
     "bitext_margin_mine",
+    # round-11 additions: the saved inverted index (BM25 with zero
+    # corpus passes at serve), hybrid RRF over both saved tiers, and
+    # margin mining probing a standing saved SRP index
+    "text_bm25_saved",
+    "hybrid_search_rrf_saved",
+    "bitext_margin_mine_saved",
 ]
 
-# The previous round's headline set (BENCH_r09.json — 90 queries).
+# The previous round's headline set (BENCH_r10.json — 97 queries).
 # The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query sets,
 # not the headline total, which grows whenever new queries join the set
 # (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:90]
+PREV_HEADLINE = HEADLINE[:97]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -25,13 +25,18 @@ typed tombstones, GC, snapshot reads):
 * ``tombstones_v{seq}``  typed deleted-id relation; probes anti-join
   it out immediately, rebuilds drop rows physically.
 
-The build applies the BUCKET CAP one-sided over the index side only —
-a deliberate difference from ``srp_cross_candidates``' global
-both-sides cap: the standing side is capped once at build (degenerate
-hub buckets drop — the recall tradeoff every capped LSH relation
-documents), while probe batches are never capped against themselves
-(a batch is not a corpus; capping it would make candidate recall
-depend on batch composition).
+The BUCKET CAP applies to EACH SIDE INDEPENDENTLY — a deliberate
+difference from ``srp_cross_candidates``' global both-sides cap: the
+standing side is capped once at build (degenerate hub buckets drop —
+the recall tradeoff every capped LSH relation documents), and the
+probe batch is capped against itself at probe time with the same cap,
+so a bucket's candidate contribution is bounded by cap² no matter how
+large either side grows. The probe-side cap is load-bearing at scale,
+not hygiene: the fifth-decade measurement (PLANS.md r11) caught an
+uncapped 10 M-row probe batch turning 12 k fused candidates into
+15 M — an x-side hub bucket is exactly the degenerate concentration
+the caps exist to drop, and a corpus-sized probe batch IS a corpus.
+On small ingest batches the cap never binds.
 
 Reference parity note: the reference engine (kptfh/left-join-on-timeout)
 has no similarity surface — this module belongs to the LLM-data-pipeline
@@ -158,21 +163,31 @@ def srp_index_load(spark: SparkSession, path: str,
 
 def srp_index_probe(queries: DataFrame, index: dict,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    probe_cap: int | None = None) -> DataFrame:
     """Distinct cross-side candidates ``(probe_id, index_id)``: the
     probe batch bands row-locally with the INDEX's saved knobs (same
-    hyperplanes — (dim, n_bits, seed) re-derive them) and equi-joins
-    the standing capped buckets on (band, h). Cost scales with the
-    batch; the standing side is a parquet scan, never re-banded.
-    Ids shared between probe and index DO pair (the index is the
-    other side of a bipartite mining problem, not a dedup corpus —
-    there is no self to exclude); feed the output to
+    hyperplanes — (dim, n_bits, seed) re-derive them), caps its OWN
+    buckets (``probe_cap``, defaulting to the index's build cap —
+    see the module docstring: an uncapped corpus-sized probe batch
+    re-admits the hub-bucket blowup the build cap exists to drop, and
+    on small batches the cap never binds), and equi-joins the
+    standing capped buckets on (band, h) — so every bucket's
+    candidate contribution is ≤ cap². Cost scales with the batch; the
+    standing side is a parquet scan, never re-banded. Ids shared
+    between probe and index DO pair (the index is the other side of a
+    bipartite mining problem, not a dedup corpus — there is no self
+    to exclude); feed the output to
     ``margin_mine_pairs(candidates=...)`` after renaming to
     (x_id, y_id)."""
     _check_id_col(index["meta"], id_col, "search")
     meta = index["meta"]
+    cap = int(probe_cap if probe_cap is not None else meta.bucket_cap)
     prb = _srp_rows(queries, id_col, vec_col, meta.dim, meta.bands,
                     meta.n_bits, meta.seed)
+    w = Window.partitionBy("band", "h")
+    prb = (prb.withColumn("bsz", F.count("*").over(w))
+           .where(F.col("bsz") <= cap).drop("bsz"))
     return (prb.select(F.col(id_col).alias("probe_id"), "band", "h")
             .join(index["postings"]
                   .select(F.col("id").alias("index_id"), "band", "h"),

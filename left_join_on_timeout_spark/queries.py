@@ -379,27 +379,24 @@ EXTRA_ORACLE: dict[str, str] = {
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
 # entries of this registry (dict insertion order).  Union driver coverage
-# is total (190/190 across r1..r7), so the window rotates by EVIDENCE
+# is total (209/209 across r1..r10), so the window rotates by EVIDENCE
 # STALENESS (VERDICT r6 item 4) with one refinement from ADVICE r7:
 # ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
-# ships with only local test coverage.  Round 9 order:
-#   1-7    NEW queries (the append->rebuild->serve maintenance arc
-#          through a version bump; the foreachBatch manifest-refresh
-#          streaming probes, ANN and LSH tiers; the as_of snapshot
-#          serve against a pinned pre-rebuild version; BM25 text
-#          retrieval; hybrid BM25+cosine reciprocal-rank fusion;
-#          margin-based cross-side pair mining over SRP candidates);
-#   8-23   sentinels: every query whose path round 10 touched -- all
-#          saved-lifecycle names (the manifest moved to versioned
-#          meta_v{seq} + an atomic 'latest' pointer with listing
-#          fallback, and maintenance FS ops route through the Hadoop
-#          FileSystem helper) and the two streaming index probes
-#          (same loads);
-#   24-50  the staleness rotation: the FULL r5 vintage (19 -- closing
-#          VERDICT r9 "wrong" #2), then the first 8 of the 44 r6
-#          names alphabetically; the rest carry to r11.
+# ships with only local test coverage.  Round 11 order:
+#   1-3    NEW queries (BM25 through the saved inverted index; hybrid
+#          RRF over both saved tiers; margin mining probing a standing
+#          saved SRP index);
+#   4-28   sentinels: every query whose path round 11 touched -- the
+#          two-level trainer's rank-based level-1 seeds (all ivf2
+#          fused + saved + trained-PQ names), the meta id_type
+#          contract + argmax tie-break rewrite in every *_index_load /
+#          serve head (all saved/stream lifecycle names), rrf_fuse's
+#          edge contracts (both retrieval arms), and the margin-mining
+#          / SRP-candidate cache discipline (bitext_margin_mine);
+#   29-50  the staleness rotation: the first 22 of the 36 age-5 r6
+#          names alphabetically; the remaining 14 carry to r12.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -407,61 +404,56 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    # -- NEW in r10 ---------------------------------------------------- 7
-    "ann_rebuild_ivf2_saved",
-    "stream_ann_probe_refresh",
-    "ann_asof_ivf2_saved",
-    "text_bm25_topk",
-    "hybrid_search_rrf",
-    "stream_lsh_probe_refresh",
-    "bitext_margin_mine",
-    # -- changed-code-path sentinels (r10 diff: versioned meta +
-    # -- pointer resolution in every *_index_load / _read_meta) ------- 16
-    "ann_top1_ivf2_sampled",
-    "ann_deleted_ivf2_saved",
-    "ann_filtered_ivf2_saved",
-    "ann_filtered_pq_saved",
-    "ann_pruned_ivf2_saved",
-    "ann_pruned_pq_saved",
-    "ann_rerank_pq_saved",
-    "ann_top1_ivf2_saved",
-    "ann_top1_ivf2_saved_probe2",
-    "ann_top1_ivfpq_saved",
-    "ann_top1_ivfpq_saved_probe2",
-    "ann_top1_ivfpq_trained",
-    "ann_topk_ivf2_saved",
-    "dedup_lsh_probe_saved",
-    "stream_ann_probe",
-    "stream_pq_probe",
-    # -- stalest evidence: the FULL r5 vintage ------------------------ 19
-    "pii_redaction",
-    "pq_codes_recon",
-    "quality_dup_calibration",
-    "rolling_7d_active_users",
-    "scd2_user_state_intervals",
-    "schema_evolution_merge",
-    "source_influence_loo",
-    "source_length_ks",
-    "source_mix_temperature",
-    "source_term_logodds",
-    "stream_dsir_score",
-    "stream_full_outer_timeout_join",
-    "stream_incremental_probe",
-    "stream_payload_dedup",
-    "stream_pii_redaction",
-    "stream_source_mix",
-    "time_decayed_user_value",
-    "train_val_split_leakproof",
-    "user_rfm_segments",
-    # -- next-stalest: first 13 of the r6 vintage (alphabetical) ------ 13
-    "ann_top1_srp",
-    "asof_backward_join",
-    "bigram_pmi_top",
-    "boilerplate_strip_docs",
-    "bootstrap_mean_quality",
-    "containment_minhash_est",
-    "containment_pairs",
-    "decode_image_ppm",
+    "bitext_margin_mine_saved",  # NEW
+    "hybrid_search_rrf_saved",  # NEW
+    "text_bm25_saved",  # NEW
+    "ann_top1_ivf2",  # r8 SENTINEL
+    "ann_top1_ivf2_probe2",  # r8 SENTINEL
+    "ann_asof_ivf2_saved",  # r10 SENTINEL
+    "ann_deleted_ivf2_saved",  # r10 SENTINEL
+    "ann_filtered_ivf2_saved",  # r10 SENTINEL
+    "ann_filtered_pq_saved",  # r10 SENTINEL
+    "ann_pruned_ivf2_saved",  # r10 SENTINEL
+    "ann_pruned_pq_saved",  # r10 SENTINEL
+    "ann_rebuild_ivf2_saved",  # r10 SENTINEL
+    "ann_rerank_pq_saved",  # r10 SENTINEL
+    "ann_top1_ivf2_sampled",  # r10 SENTINEL
+    "ann_top1_ivf2_saved",  # r10 SENTINEL
+    "ann_top1_ivf2_saved_probe2",  # r10 SENTINEL
+    "ann_top1_ivfpq_saved",  # r10 SENTINEL
+    "ann_top1_ivfpq_saved_probe2",  # r10 SENTINEL
+    "ann_top1_ivfpq_trained",  # r10 SENTINEL
+    "ann_topk_ivf2_saved",  # r10 SENTINEL
+    "bitext_margin_mine",  # r10 SENTINEL
+    "dedup_lsh_probe_saved",  # r10 SENTINEL
+    "hybrid_search_rrf",  # r10 SENTINEL
+    "stream_ann_probe",  # r10 SENTINEL
+    "stream_ann_probe_refresh",  # r10 SENTINEL
+    "stream_lsh_probe_refresh",  # r10 SENTINEL
+    "stream_pq_probe",  # r10 SENTINEL
+    "text_bm25_topk",  # r10 SENTINEL
+    "dedup_exact",  # r6
+    "dedup_graph_triangles",  # r6
+    "dedup_incremental_probe",  # r6
+    "dedup_minhash_lsh",  # r6
+    "dedup_multi_signal_clusters",  # r6
+    "dedup_savings_report",  # r6
+    "dsir_importance_weights",  # r6
+    "dup_span_detection",  # r6
+    "dynamic_timeout_left_join",  # r6
+    "events_burst_stats",  # r6
+    "events_fir_smoothing",  # r6
+    "events_pit_enrich",  # r6
+    "feature_hash_docs",  # r6
+    "full_outer_timeout_join",  # r6
+    "iqr_outlier_stats",  # r6
+    "ivf_kmeans_cells",  # r6
+    "json_dead_letter",  # r6
+    "length_equidepth_bins",  # r6
+    "multimodal_payload_dedup",  # r6
+    "neyman_allocation_sample",  # r6
+    "novelty_score_docs",  # r6
+    "ordered_funnel_sessions",  # r6
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

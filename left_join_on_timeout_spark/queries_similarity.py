@@ -2089,14 +2089,16 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bitext_saved_oracle() -> str:
     """DuckDB twin of the saved-index mining arc (VERDICT r10 missing
-    #3): the y side's banded buckets are built and CAPPED one-sided
-    (the saved index's contract — a standing side is capped once at
-    build; probe batches never cap against themselves, unlike
-    ``srp_cross_candidates``' global both-sides cap), the x side
-    bands uncapped and equi-joins the capped buckets, then the
-    standard margin tail (candidate-top-k neighborhood means over
-    exact decimal sums, mutual-best above the threshold) replays
-    ``margin_mine_pairs`` over that candidate set."""
+    #3): EACH side's banded buckets cap independently — the y side
+    once at build (the saved index's contract), the x side against
+    itself at probe time with the same cap (a bucket contributes
+    ≤ cap² candidates; the probe-side cap is what keeps a
+    corpus-sized probe batch from re-admitting the hub-bucket blowup
+    — unlike ``srp_cross_candidates``' single global both-sides cap).
+    The capped sides equi-join, then the standard margin tail
+    (candidate-top-k neighborhood means over exact decimal sums,
+    mutual-best above the threshold) replays ``margin_mine_pairs``
+    over that candidate set."""
     xb = _band_selects(DEFAULT_BANDS, DEFAULT_BITS).replace(
         "FROM e", "FROM ex")
     yb = _band_selects(DEFAULT_BANDS, DEFAULT_BITS).replace(
@@ -2124,9 +2126,16 @@ ycapped AS (
 xbanded AS (
 {xb}
 ),
+xcapped AS (
+  SELECT vec_id, band, bucket FROM (
+    SELECT vec_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM xbanded) t
+  WHERE bsz <= {DEFAULT_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id
-  FROM xbanded a
+  FROM xcapped a
   JOIN ycapped b ON a.band = b.band AND a.bucket = b.bucket),
 cs AS (SELECT c.x_id, c.y_id,
               round(list_dot_product(vx.v, vy.v)
@@ -2177,9 +2186,10 @@ def q_bitext_margin_mine_saved(spark: SparkSession,
     banding passes ``srp_cross_candidates`` costs per call (385 s at
     the fifth decade, PLANS.md). The candidate set feeds the same
     pluggable ``margin_mine_pairs`` (candidate-top-k neighborhood
-    means, mutual-best above threshold); the saved tier's one-sided
-    bucket cap is the documented contract difference from the fused
-    query's global cap."""
+    means, mutual-best above threshold); the saved tier caps EACH
+    side independently (build cap on y, probe-time self-cap on x —
+    ≤ cap² candidates per bucket), the documented contract
+    difference from the fused query's single global cap."""
     import os
 
     from left_join_on_timeout_spark.operators.ann_index import (

@@ -67,9 +67,13 @@ def test_probe_plan_reads_saved_postings_not_y_banding(spark, tmp_path):
     assert any("postings_v1" in f for f in probe.inputFiles()), (
         "the probe must read the saved postings files")
     assert "FileScan" in plan
-    # exactly ONE banding pipeline (the probe side): the explode of
-    # the 4-band struct array appears once, not twice
-    assert plan.count("Generate explode") == 1, (
+    # exactly ONE banding pipeline in the MAIN tree (the probe side)
+    # — a second explode may appear inside a dynamic-partition-pruning
+    # subquery (Spark re-evaluates the probe side to prune the
+    # postings' band directories: an optimization, not a re-band of
+    # the standing side)
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    assert main.count("Generate explode") == 1, (
         "the standing side must come from the saved scan, not a "
         "second banding pass")
 

@@ -48,16 +48,18 @@ def main() -> None:
     y = emb.where(F.col("label") % 2 == 1)
     n_x, n_y = x.count(), y.count()
 
-    cand = srp_cross_candidates(x, y, n_bits=n_bits)
+    # r11 note: srp_cross_candidates and margin_mine_pairs became
+    # EAGER (the materialize-then-release cache discipline, ADVICE
+    # r10), so the clock starts BEFORE the call, not before an action
     t0 = time.time()
+    cand = srp_cross_candidates(x, y, n_bits=n_bits)
     n_cand = cand.count()
     cand_s = round(time.time() - t0, 2)
 
     def run() -> tuple[float, int]:
+        t0 = time.time()
         mined = margin_mine_pairs(x, y, k=4, threshold=1.0,
                                   candidates=cand)
-        t0 = time.time()
-        mined.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 2), mined.count()
 
     cold_s, n_pairs = run()
