@@ -147,6 +147,7 @@ HEADLINE = [
     "text_bm25_saved",
     "hybrid_search_rrf_saved",
     "bitext_margin_mine_saved",
+    "text_bm25_sweep",
 ]
 
 # The previous round's headline set (BENCH_r10.json — 97 queries).

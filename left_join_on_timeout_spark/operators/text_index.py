@@ -231,6 +231,62 @@ def text_index_search(index: dict, query_terms: list[str],
             .withColumnRenamed("id", meta.id_col))
 
 
+def text_index_search_many(index: dict, queries: DataFrame,
+                           query_id_col: str = "query_id",
+                           terms_col: str = "terms",
+                           k1: float = DEFAULT_BM25_K1,
+                           b: float = DEFAULT_BM25_B) -> DataFrame:
+    """BATCH sweep — score MANY term queries against the saved index
+    in ONE pass: ``(query_id_col, id_col, bm25)`` for every
+    (query, doc) pair where the doc holds ≥1 of the query's terms.
+    This is the contamination-sweep shape (hundreds of eval queries
+    against a training corpus): per-query calls would pay one probe
+    join each; the sweep joins the UNION of all queries' posting
+    lists once and fans contributions out by query id.
+
+    ``queries`` is ``(query_id_col, terms_col: array<string>)``.
+    Terms normalize through the shared casing rule Column-side, and
+    the DISTINCT normalized term set is collected driver-side — one
+    tiny action, bounded by the sweep's vocabulary (a query set is
+    small by contract; the corpus never is) — to compute the hash
+    buckets for the scan's static ``tb IN (...)`` PartitionFilter,
+    exactly like the single-query probe. df per term is shared across
+    queries (it is a property of the corpus, not the query); per-doc
+    scores aggregate by (query, doc), so the output is bounded by the
+    probed posting lists × the queries that mention each term."""
+    meta = index["meta"]
+    qt = (queries.select(F.col(query_id_col),
+                         F.explode(terms_col).alias("t"))
+          .select(query_id_col,
+                  F.trim(F.lower(F.col("t"))).alias("term"))
+          .distinct())
+    terms = sorted({r.term for r in qt.select("term")
+                    .distinct().collect()})
+    buckets = sorted({_term_bucket_py(t, meta.n_buckets)
+                      for t in terms})
+    p = (index["postings"]
+         .where(F.col("tb").isin(buckets)
+                & F.col("term").isin(terms)))
+    df_t = (p.select("id", "term").distinct()
+            .groupBy("term").agg(
+                F.count("*").cast("double").alias("df")))
+    n_docs = F.lit(float(meta.n_docs))
+    idf = F.round(F.log(
+        (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6)
+    contrib = (idf * F.col("tf") * F.lit(k1 + 1.0)
+               / (F.col("tf")
+                  + F.lit(k1) * (F.lit(1.0 - b)
+                                 + F.lit(b) * F.col("dl")
+                                 / F.lit(float(meta.avgdl)))))
+    scored = (p.join(F.broadcast(df_t), "term")
+              .join(F.broadcast(qt), "term"))
+    return (scored.select(F.col(query_id_col), F.col("id"),
+                          contrib.alias("s"))
+            .groupBy(query_id_col, "id")
+            .agg(F.round(F.sum("s"), 6).alias("bm25"))
+            .withColumnRenamed("id", meta.id_col))
+
+
 def text_index_append(new_docs: DataFrame, spark: SparkSession,
                       path: str,
                       id_col: str = "doc_id",

@@ -1576,3 +1576,99 @@ def q_hybrid_search_rrf_saved(spark: SparkSession,
                .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"text": text_arm.select("doc_id", "rank"),
                      "vec": vec_arm}, "doc_id", k_out=10)
+
+
+# --- Multi-query sweep over the saved index (r11) ----------------------------
+
+SWEEP_QUERIES = ((0, ("spark", "join", "window")),
+                 (1, ("data", "stream")),
+                 (2, ("filter", "scan", "data")))
+_SWEEP_K = 5
+
+
+def _sweep_oracle() -> str:
+    """DuckDB twin of the batch sweep: one normalized tokenize chain
+    (shared with ``text_bm25_saved``'s CTEs minus its fixed-term
+    filter), a VALUES relation of (query_id, term), df per term shared
+    across queries, per-(query, doc) BM25 sums, top-k per query."""
+    vals = ", ".join(f"({qid}, '{t}')"
+                     for qid, terms in SWEEP_QUERIES for t in terms)
+    all_terms = sorted({t for _, terms in SWEEP_QUERIES for t in terms})
+    return f"""
+WITH ntok AS (SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+') AS toks
+              FROM documents),
+ndl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ntok),
+ncorp AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM ndl),
+qdef AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+nqt AS (SELECT doc_id, term FROM (
+          SELECT doc_id, unnest(toks) AS term FROM ntok) t
+        WHERE term IN ({", ".join(f"'{t}'" for t in all_terms)})),
+ntf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM nqt GROUP BY doc_id, term),
+ndft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         FROM nqt GROUP BY term),
+nsc AS (SELECT q.query_id, ntf.doc_id,
+               round(ln((c.n_docs - ndft.df + 0.5)
+                        / (ndft.df + 0.5) + 1.0), 6)
+               * ntf.tf * {_BM25_K1 + 1.0}
+               / (ntf.tf + {_BM25_K1} * ({1.0 - _BM25_B}
+                  + {_BM25_B} * ndl.dl / c.avgdl)) AS s
+        FROM ntf
+        JOIN qdef q USING (term)
+        JOIN ndft USING (term)
+        JOIN ndl ON ndl.doc_id = ntf.doc_id, ncorp c),
+nbm AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25 FROM nsc
+        GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+       rank FROM (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM nbm) t
+WHERE rank <= {_SWEEP_K}
+"""
+
+
+@query("text_bm25_sweep", _sweep_oracle())
+def q_text_bm25_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-QUERY BM25 sweep over the saved inverted index (round
+    11) — the contamination-sweep deployment shape: N queries score in
+    ONE pass (`text_index_search_many`) instead of N per-query probes.
+    The union of all queries' normalized terms resolves to hash
+    buckets driver-side (one tiny action bounded by the sweep's
+    vocabulary) for the scan's PartitionFilter; df per term is
+    computed once and shared across queries; contributions fan out by
+    an equi-join on term and aggregate per (query, doc). Top-k per
+    query is a window PARTITIONED by query_id — parallel across
+    queries, never a global single-partition sort."""
+    import os
+
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_build,
+        text_index_load,
+        text_index_search_many,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        default_index_root(),
+        "textidx_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(docs, path)
+    index = text_index_load(spark, path)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in SWEEP_QUERIES],
+        "query_id LONG, terms ARRAY<STRING>")
+    scored = text_index_search_many(index, qdf)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _SWEEP_K)
+            .select("query_id", "doc_id", "bm25", "rank"))

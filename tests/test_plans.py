@@ -556,6 +556,31 @@ def test_saved_bm25_serve_has_no_corpus_tokenize(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_sweep_shares_one_probe_pass(spark):
+    """The multi-query sweep's serve plan: ONE postings scan (all
+    queries share the probed posting lists — N queries must not plan
+    N scans), partition-pruned by the union term-bucket set, no
+    corpus tokenize, and the per-query top-k window is PARTITIONED by
+    query_id (parallel, never a global single-partition sort)."""
+    plan = plan_of(spark, "text_bm25_sweep")
+    lines = plan.splitlines()
+    postings_scans = [ln for ln in lines
+                      if "FileScan" in ln and "postings_v1" in ln]
+    # exactly TWO pruned scans — the df aggregate and the scoring
+    # join — regardless of how many queries the sweep carries (the
+    # gate's point: scan count must not grow with N)
+    assert len(postings_scans) == 2, (
+        f"sweep must plan its two fixed probe scans (df + scoring), "
+        f"found {len(postings_scans)}")
+    assert not any("documents" in ln for ln in lines), (
+        "sweep serve re-tokenizes the corpus")
+    assert any("PartitionFilters" in ln and "tb#" in ln
+               for ln in lines)
+    assert "windowspecdefinition(query_id" in plan, (
+        "per-query top-k must partition the window by query_id")
+    assert "CartesianProduct" not in plan
+
+
 def test_hybrid_saved_serve_reads_both_saved_tiers(spark):
     """Round 11 (VERDICT r10 missing #2): the fully-saved hybrid
     stack's serve plan reads BOTH index families from their saved

@@ -142,6 +142,32 @@ def test_string_keyed_text_index(spark, tmp_path):
         text_index_load(spark, path), ["spark"]).collect()} == {"d-3"}
 
 
+def test_search_many_equals_per_query_search(spark, tmp_path):
+    """The batch sweep is a refactoring of N per-query probes, not a
+    new approximation: per (query, doc) scores match the single-query
+    search exactly, terms normalize the same way, and a query whose
+    terms miss every doc simply contributes no rows."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_search_many,
+    )
+
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    index = text_index_load(spark, path)
+    qsets = {0: ["Spark", "join"], 1: ["scan"], 2: ["absentterm"]}
+    qdf = spark.createDataFrame(
+        [(k, v) for k, v in qsets.items()],
+        "query_id LONG, terms ARRAY<STRING>")
+    got = {(r.query_id, r.doc_id): r.bm25
+           for r in text_index_search_many(index, qdf).collect()}
+    exp = {}
+    for qid, terms in qsets.items():
+        for r in text_index_search(index, terms).collect():
+            exp[(qid, r.doc_id)] = r.bm25
+    assert got == exp
+    assert not any(q == 2 for q, _ in got), "absent terms score nothing"
+
+
 def test_bucket_routing_and_stats_tier(spark, tmp_path):
     """The Python-side term bucket matches the Spark-side md5 bucket
     (the probe's partition filter must route to the directory the
