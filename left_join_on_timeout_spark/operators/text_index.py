@@ -35,9 +35,12 @@ pointer, typed tombstones, GC):
 Tokenization runs through the text family's SHARED normalizer
 (``functions.text.words`` — trim + lower + whitespace split) on BOTH
 the build and the probe side, closing VERDICT r10 wrong #1 (the fused
-``bm25_scores`` splits raw text on a single space, so "Khartoum" vs
-"khartoum," silently miss-scores); query terms normalize through the
-same casing rule driver-side.
+``bm25_scores`` splits raw text on a single space with no case
+folding, so "Spark" never matches a lowercase query term); query
+terms normalize through the same casing rule driver-side. Punctuation
+stays attached to its token — the whole text family's convention
+(``words``-based TF-IDF, dedup shingles), kept deliberately so one
+normalizer serves every consumer.
 
 Reference parity note: the reference engine (kptfh/left-join-on-timeout)
 has no retrieval surface — this module belongs to the LLM-data-pipeline
