@@ -148,6 +148,7 @@ HEADLINE = [
     "hybrid_search_rrf_saved",
     "bitext_margin_mine_saved",
     "text_bm25_sweep",
+    "stream_text_index_append",
 ]
 
 # The previous round's headline set (BENCH_r10.json — 97 queries).

@@ -385,18 +385,19 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 11 order:
-#   1-4    NEW queries (BM25 through the saved inverted index; hybrid
+#   1-5    NEW queries (BM25 through the saved inverted index; hybrid
 #          RRF over both saved tiers; margin mining probing a standing
-#          saved SRP index; the multi-query sweep);
-#   5-29   sentinels: every query whose path round 11 touched -- the
+#          saved SRP index; the multi-query sweep; the text ingest
+#          stream);
+#   6-30   sentinels: every query whose path round 11 touched -- the
 #          two-level trainer's rank-based level-1 seeds (all ivf2
 #          fused + saved + trained-PQ names), the meta id_type
 #          contract + argmax tie-break rewrite in every *_index_load /
 #          serve head (all saved/stream lifecycle names), rrf_fuse's
 #          edge contracts (both retrieval arms), and the margin-mining
 #          / SRP-candidate cache discipline (bitext_margin_mine);
-#   30-50  the staleness rotation: the first 21 of the 36 age-5 r6
-#          names alphabetically; the remaining 15 carry to r12.
+#   31-50  the staleness rotation: the first 20 of the 36 age-5 r6
+#          names alphabetically; the remaining 16 carry to r12.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -408,6 +409,7 @@ _PRIORITY: list[str] = [
     "hybrid_search_rrf_saved",  # NEW
     "text_bm25_saved",  # NEW
     "text_bm25_sweep",  # NEW (multi-query sweep over the saved index)
+    "stream_text_index_append",  # NEW (text family's ingest stream)
     "ann_top1_ivf2",  # r8 SENTINEL
     "ann_top1_ivf2_probe2",  # r8 SENTINEL
     "ann_asof_ivf2_saved",  # r10 SENTINEL
@@ -453,7 +455,6 @@ _PRIORITY: list[str] = [
     "length_equidepth_bins",  # r6
     "multimodal_payload_dedup",  # r6
     "neyman_allocation_sample",  # r6
-    "novelty_score_docs",  # r6
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

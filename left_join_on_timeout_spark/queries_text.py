@@ -1672,3 +1672,96 @@ def q_text_bm25_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _SWEEP_K)
             .select("query_id", "doc_id", "bm25", "rank"))
+
+
+# --- Streaming ingest into the saved inverted index (r11) --------------------
+
+@query("stream_text_index_append", f"""
+WITH ntok AS (SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+') AS toks
+              FROM documents),
+ndl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ntok),
+bcorp AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+          FROM ndl WHERE doc_id % 10 != 0),
+nqt AS (SELECT doc_id, term FROM (
+          SELECT doc_id, unnest(toks) AS term FROM ntok) t
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+ntf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM nqt GROUP BY doc_id, term),
+ndft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         FROM nqt GROUP BY term),
+nsc AS (SELECT ntf.doc_id,
+               round(ln((c.n_docs - ndft.df + 0.5)
+                        / (ndft.df + 0.5) + 1.0), 6)
+               * ntf.tf * {_BM25_K1 + 1.0}
+               / (ntf.tf + {_BM25_K1} * ({1.0 - _BM25_B}
+                  + {_BM25_B} * ndl.dl / c.avgdl)) AS s
+        FROM ntf
+        JOIN ndft USING (term)
+        JOIN ndl ON ndl.doc_id = ntf.doc_id, bcorp c),
+nbm AS (SELECT doc_id, round(sum(s), 6) AS bm25 FROM nsc
+        GROUP BY doc_id)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM nbm) t
+WHERE rank <= 20
+""")
+def q_stream_text_index_append(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the saved inverted index (round 11 — the
+    text family's stream member, completing write-side parity with the
+    ANN/LSH ingest streams): the standing 90% corpus builds once, the
+    10% arrivals flow through a real ``readStream`` whose foreachBatch
+    body appends each micro-batch's postings
+    (``text_index_append`` — which re-resolves the manifest per batch,
+    the refreshing discipline on the WRITE side), and the post-ingest
+    serve proves the staleness contract end-to-end: streamed docs
+    score IMMEDIATELY (tf/df live — the oracle's term statistics span
+    the full corpus) while (N, avgdl) stay the BUILD-time 90% values
+    (the oracle's corpus CTE is the 90% base) until a rebuild
+    republishes them — the bounded-staleness contract every appending
+    tier documents, here driver-adjudicated through the value hash."""
+    import os
+    import tempfile
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.retrieval import (
+        top_k_ranked,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_append,
+        text_index_build,
+        text_index_load,
+        text_index_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    arrivals = (docs.where(F.col("doc_id") % 10 == 0)
+                .select("doc_id", "text"))
+    path = os.path.join(
+        default_index_root(),
+        "textstream_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(base, path)
+    stage = tempfile.mkdtemp(prefix="ljot_textidx_")
+    src, ckpt = (os.path.join(stage, d) for d in ("in", "ck"))
+    arrivals.write.mode("overwrite").parquet(src)
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        text_index_append(batch_df, spark, path)
+
+    q = (spark.readStream.schema(arrivals.schema).parquet(src)
+         .writeStream.foreachBatch(_append)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    index = text_index_load(spark, path)
+    scored = text_index_search(index, list(BM25_TERMS),
+                               k1=_BM25_K1, b=_BM25_B)
+    return top_k_ranked(scored, "bm25", "doc_id", 20)
