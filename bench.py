@@ -151,13 +151,30 @@ HEADLINE = [
     "stream_text_index_append",
 ]
 
-# The previous round's headline set (BENCH_r10.json — 97 queries).
-# The shared-subset total below makes cross-round comparison
+# Round-12 additions: the saved n-gram contamination sweep, the text
+# tier's rebuild lifecycle and refresh stream, and the hybrid sweep.
+# Kept as an explicit list (ADVICE r11: PREV_HEADLINE was a positional
+# slice that a mid-list insertion would silently corrupt) — the
+# previous round's set is derived by content, not position.
+_R12_ADDITIONS = [
+    "contamination_sweep_saved",
+    "text_bm25_rebuilt_saved",
+    "stream_text_probe_refresh",
+    "hybrid_search_sweep_saved",
+]
+HEADLINE += _R12_ADDITIONS
+
+# The previous round's headline set (BENCH_r11.json — 102 queries),
+# derived by content: this round's additions removed from the full
+# list. The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
-# shared_with_prev_total_sec, which is summed over identical query sets,
-# not the headline total, which grows whenever new queries join the set
-# (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = HEADLINE[:97]
+# shared_with_prev_total_sec, which is summed over identical query
+# sets, not the headline total, which grows whenever new queries join
+# the set (VERDICT r4 "What's wrong" #3).
+PREV_HEADLINE = [n for n in HEADLINE if n not in set(_R12_ADDITIONS)]
+assert len(PREV_HEADLINE) == 102, (
+    "PREV_HEADLINE must be exactly the r11 bench set; update "
+    "_R12_ADDITIONS when the headline list changes")
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -111,33 +111,52 @@ def top_k_ranked(scored: DataFrame, score_col: str, id_col: str,
 
 def rrf_fuse(arms: dict[str, DataFrame], id_col: str,
              rrf_k: int = DEFAULT_RRF_K,
-             k_out: int | None = None) -> DataFrame:
+             k_out: int | None = None,
+             group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Reciprocal-rank fusion of named ranked arms (each
-    ``(id_col, rank)`` — the shape :func:`top_k_ranked` emits):
+    ``(*group_cols, id_col, rank)`` — the shape :func:`top_k_ranked`
+    emits, plus any grouping keys):
     ``rrf = sum over arms of 1/(rrf_k + rank)``, a doc absent from an
     arm's top-k contributing nothing — the standard RRF contract that
     needs no score calibration between a lexical and a vector arm.
-    Output: ``(id_col, rrf, {name}_rank ...)`` with 0 marking "not in
-    this arm's head" (0 instead of NULL keeps the rank columns
-    integer-typed through the oracle hash), ordered by
+    Output: ``(*group_cols, id_col, rrf, {name}_rank ...)`` with 0
+    marking "not in this arm's head" (0 instead of NULL keeps the rank
+    columns integer-typed through the oracle hash), ordered by
     (rrf desc, id) and cut to ``k_out`` when given. Every arm is
     ≤ its own k rows, so the fusion is driver-cheap by construction
     — the heavy lifting happened in the arms. ``k_out=0`` is an
     explicit empty head (``None`` means "no cut") and zero arms is a
-    loud error, not an AttributeError three lines in (ADVICE r10)."""
+    loud error, not an AttributeError three lines in (ADVICE r10).
+
+    ``group_cols`` is the SWEEP knob (round 12): with e.g.
+    ``("query_id",)`` each group fuses independently — per-arm ranks
+    are per-query, the RRF aggregate keys on (query, doc), and
+    ``k_out`` becomes a per-group head via a group-partitioned
+    row_number window (parallel across queries, never a global
+    single-partition sort)."""
     if not arms:
         raise ValueError("rrf_fuse needs at least one ranked arm")
+    keys = [*group_cols, id_col]
     tagged = None
     for name, arm in arms.items():
-        t = arm.select(F.col(id_col), F.lit(name).alias("arm"),
+        t = arm.select(*[F.col(c) for c in keys],
+                       F.lit(name).alias("arm"),
                        F.col("rank").cast("int").alias("rank"))
         tagged = t if tagged is None else tagged.unionByName(t)
-    fused = (tagged.groupBy(id_col).agg(
+    fused = (tagged.groupBy(*keys).agg(
         F.round(F.sum(1.0 / (F.lit(float(rrf_k)) + F.col("rank"))), 6)
         .alias("rrf"),
         *[F.coalesce(
             F.max(F.when(F.col("arm") == name, F.col("rank"))),
             F.lit(0)).alias(f"{name}_rank")
           for name in arms]))
+    if group_cols:
+        if k_out is None:
+            return fused.orderBy(*group_cols, F.desc("rrf"),
+                                 F.asc(id_col))
+        w = Window.partitionBy(*group_cols).orderBy(F.desc("rrf"),
+                                                    F.asc(id_col))
+        return (fused.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= int(k_out)).drop("_rn"))
     out = fused.orderBy(F.desc("rrf"), F.asc(id_col))
     return out.limit(int(k_out)) if k_out is not None else out

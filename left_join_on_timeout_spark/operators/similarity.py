@@ -1175,9 +1175,17 @@ def srp_cross_candidates(x: DataFrame, y: DataFrame,
                          bands: int = DEFAULT_BANDS,
                          n_bits: int = DEFAULT_BITS,
                          seed: int = DEFAULT_SEED,
-                         bucket_cap: int = DEFAULT_BUCKET_CAP
-                         ) -> DataFrame:
-    """Cross-side SRP candidates ``(x_id, y_id)`` for bipartite mining:
+                         bucket_cap: int = DEFAULT_BUCKET_CAP,
+                         eager: bool = True) -> DataFrame:
+    """EAGER by default — returns a ``localCheckpoint``'ed DataFrame:
+    the candidate set is computed NOW and lives in non-replicated
+    executor-local blocks, so callers cannot compose it lazily and an
+    executor loss invalidates it (ADVICE r11); pass ``eager=False``
+    on clusters with dynamic allocation to get a lazy plan instead
+    (the banding subtree then recomputes once per downstream action —
+    the plan-reuse tradeoff, documented below).
+
+    Cross-side SRP candidates ``(x_id, y_id)`` for bipartite mining:
     both sides band TOGETHER — one global bucket cap, the exact layout
     of :func:`srp_candidate_pairs` — then x-side rows pair with y-side
     rows within (band, bucket). Equi-joins only, cap bounds every
@@ -1217,15 +1225,18 @@ def srp_cross_candidates(x: DataFrame, y: DataFrame,
                       F.col("bb.bucket").alias("bucket")))
     w = Window.partitionBy("band", "bucket")
     capped = (banded.withColumn("bsz", F.count("*").over(w))
-              .where(F.col("bsz") <= bucket_cap).drop("bsz")
-              .persist(StorageLevel.MEMORY_AND_DISK))
+              .where(F.col("bsz") <= bucket_cap).drop("bsz"))
+    if eager:
+        capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
     xs = (capped.where(F.col("side") == "x")
           .select(F.col(id_col).alias("x_id"), "band", "bucket"))
     ys = (capped.where(F.col("side") == "y")
           .select(F.col(id_col).alias("y_id"), "band", "bucket"))
-    cand = (xs.join(ys, ["band", "bucket"])
-            .select("x_id", "y_id").distinct()
-            .localCheckpoint(eager=True))
+    cand = xs.join(ys, ["band", "bucket"]).select("x_id", "y_id") \
+        .distinct()
+    if not eager:
+        return cand
+    cand = cand.localCheckpoint(eager=True)
     capped.unpersist()
     return cand
 
@@ -1235,8 +1246,17 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
                       threshold: float = 1.0,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding",
-                      candidates: DataFrame | None = None) -> DataFrame:
-    """Margin-based bitext/pair mining between two embedding sides
+                      candidates: DataFrame | None = None,
+                      eager: bool = True) -> DataFrame:
+    """EAGER by default — returns a ``localCheckpoint``'ed DataFrame:
+    the mined pairs are computed NOW and live in non-replicated
+    executor-local blocks, so callers cannot compose this lazily and
+    an executor loss invalidates the result (ADVICE r11); pass
+    ``eager=False`` on clusters with dynamic allocation for a lazy
+    plan (the candidate-scoring subtree then recomputes per
+    downstream action).
+
+    Margin-based bitext/pair mining between two embedding sides
     (Artetxe & Schwenk's published margin criterion — the method
     large-scale parallel-corpus mining uses): a candidate pair's raw
     cosine is normalized by the mean of both endpoints' top-``k``
@@ -1285,8 +1305,9 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
     cs = paired.select(
         "x_id", "y_id",
         F.round(dot(F.col("xv"), F.col("yv"))
-                / (F.col("xn") * F.col("yn")), 6).alias("cos_sim")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+                / (F.col("xn") * F.col("yn")), 6).alias("cos_sim"))
+    if eager:
+        cs = cs.persist(StorageLevel.MEMORY_AND_DISK)
     wx = Window.partitionBy("x_id").orderBy(F.desc("cos_sim"),
                                             F.asc("y_id"))
     wy = Window.partitionBy("y_id").orderBy(F.desc("cos_sim"),
@@ -1325,8 +1346,10 @@ def margin_mine_pairs(x: DataFrame, y: DataFrame,
              .withColumn("by", F.row_number().over(by))
              .where((F.col("bx") == 1) & (F.col("by") == 1)
                     & (F.col("margin") > threshold))
-             .select("x_id", "y_id", "margin")
-             .localCheckpoint(eager=True))
+             .select("x_id", "y_id", "margin"))
+    if not eager:
+        return mined
+    mined = mined.localCheckpoint(eager=True)
     cs.unpersist()
     return mined
 

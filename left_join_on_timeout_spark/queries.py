@@ -384,20 +384,25 @@ EXTRA_ORACLE: dict[str, str] = {
 # ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
-# ships with only local test coverage.  Round 11 order:
-#   1-5    NEW queries (BM25 through the saved inverted index; hybrid
-#          RRF over both saved tiers; margin mining probing a standing
-#          saved SRP index; the multi-query sweep; the text ingest
-#          stream);
-#   6-30   sentinels: every query whose path round 11 touched -- the
-#          two-level trainer's rank-based level-1 seeds (all ivf2
-#          fused + saved + trained-PQ names), the meta id_type
-#          contract + argmax tie-break rewrite in every *_index_load /
-#          serve head (all saved/stream lifecycle names), rrf_fuse's
-#          edge contracts (both retrieval arms), and the margin-mining
-#          / SRP-candidate cache discipline (bitext_margin_mine);
-#   31-50  the staleness rotation: the first 20 of the 36 age-5 r6
-#          names alphabetically; the remaining 16 carry to r12.
+# ships with only local test coverage.  Round 12 order:
+#   1-4    NEW queries (contamination audit served from the saved
+#          n-gram index; the hybrid sweep fusing both saved tiers per
+#          query; the text tier's refreshing read stream; the text
+#          tier's full rebuild lifecycle);
+#   5-14   sentinels: every query whose path round 12 touched -- the
+#          fused BM25 arm's normalization (bm25_scores + both its
+#          oracles), the text_index build/append/rebuild signature
+#          extension (every saved-text name), rrf_fuse's group_cols
+#          extension (both hybrid names), refreshing_probe's text-tier
+#          dispatch (both existing refresh streams), and the
+#          eager-contract/probe-cap work in similarity/srp_index
+#          (both margin-mining names);
+#   15-30  the staleness rotation: the 16 remaining age-6 r6 names --
+#          the r6 vintage FINISHES this round, re-adjudicating the
+#          FLAGSHIP timeout_left_join and the tws/timer tier whose
+#          driver evidence was 5 rounds old (VERDICT r11 missing #4);
+#   31-50  the oldest 20 of the 45 r7 names alphabetically; the
+#          remaining 25 carry to r13.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -405,56 +410,56 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    "bitext_margin_mine_saved",  # NEW
-    "hybrid_search_rrf_saved",  # NEW
-    "text_bm25_saved",  # NEW
-    "text_bm25_sweep",  # NEW (multi-query sweep over the saved index)
-    "stream_text_index_append",  # NEW (text family's ingest stream)
-    "ann_top1_ivf2",  # r8 SENTINEL
-    "ann_top1_ivf2_probe2",  # r8 SENTINEL
-    "ann_asof_ivf2_saved",  # r10 SENTINEL
-    "ann_deleted_ivf2_saved",  # r10 SENTINEL
-    "ann_filtered_ivf2_saved",  # r10 SENTINEL
-    "ann_filtered_pq_saved",  # r10 SENTINEL
-    "ann_pruned_ivf2_saved",  # r10 SENTINEL
-    "ann_pruned_pq_saved",  # r10 SENTINEL
-    "ann_rebuild_ivf2_saved",  # r10 SENTINEL
-    "ann_rerank_pq_saved",  # r10 SENTINEL
-    "ann_top1_ivf2_sampled",  # r10 SENTINEL
-    "ann_top1_ivf2_saved",  # r10 SENTINEL
-    "ann_top1_ivf2_saved_probe2",  # r10 SENTINEL
-    "ann_top1_ivfpq_saved",  # r10 SENTINEL
-    "ann_top1_ivfpq_saved_probe2",  # r10 SENTINEL
-    "ann_top1_ivfpq_trained",  # r10 SENTINEL
-    "ann_topk_ivf2_saved",  # r10 SENTINEL
-    "bitext_margin_mine",  # r10 SENTINEL
-    "dedup_lsh_probe_saved",  # r10 SENTINEL
-    "hybrid_search_rrf",  # r10 SENTINEL
-    "stream_ann_probe",  # r10 SENTINEL
-    "stream_ann_probe_refresh",  # r10 SENTINEL
-    "stream_lsh_probe_refresh",  # r10 SENTINEL
-    "stream_pq_probe",  # r10 SENTINEL
-    "text_bm25_topk",  # r10 SENTINEL
-    "dedup_exact",  # r6
-    "dedup_graph_triangles",  # r6
-    "dedup_incremental_probe",  # r6
-    "dedup_minhash_lsh",  # r6
-    "dedup_multi_signal_clusters",  # r6
-    "dedup_savings_report",  # r6
-    "dsir_importance_weights",  # r6
-    "dup_span_detection",  # r6
-    "dynamic_timeout_left_join",  # r6
-    "events_burst_stats",  # r6
-    "events_fir_smoothing",  # r6
-    "events_pit_enrich",  # r6
-    "feature_hash_docs",  # r6
-    "full_outer_timeout_join",  # r6
-    "iqr_outlier_stats",  # r6
-    "ivf_kmeans_cells",  # r6
-    "json_dead_letter",  # r6
-    "length_equidepth_bins",  # r6
-    "multimodal_payload_dedup",  # r6
-    "neyman_allocation_sample",  # r6
+    "contamination_sweep_saved",  # NEW
+    "hybrid_search_sweep_saved",  # NEW
+    "stream_text_probe_refresh",  # NEW
+    "text_bm25_rebuilt_saved",  # NEW
+    "bitext_margin_mine",  # r11 SENTINEL
+    "bitext_margin_mine_saved",  # r11 SENTINEL
+    "hybrid_search_rrf",  # r11 SENTINEL
+    "hybrid_search_rrf_saved",  # r11 SENTINEL
+    "stream_ann_probe_refresh",  # r11 SENTINEL
+    "stream_lsh_probe_refresh",  # r11 SENTINEL
+    "stream_text_index_append",  # r11 SENTINEL
+    "text_bm25_saved",  # r11 SENTINEL
+    "text_bm25_sweep",  # r11 SENTINEL
+    "text_bm25_topk",  # r11 SENTINEL
+    "novelty_score_docs",  # r6
+    "ordered_funnel_sessions",  # r6
+    "pagerank_candidates",  # r6
+    "purchase_interarrival_stats",  # r6
+    "q1_pricing_summary",  # r6
+    "quantile_normalize_quality",  # r6
+    "stream_dedup_keys",  # r6
+    "stream_dynamic_timeout_left_join",  # r6
+    "stream_json_dead_letter",  # r6
+    "timeout_left_join",  # r6 (FLAGSHIP)
+    "timer_timeout_left_join",  # r6
+    "training_order_shuffle",  # r6
+    "tws_timeout_left_join",  # r6
+    "user_value_trend",  # r6
+    "weighted_sample_docs",  # r6
+    "zorder_layout_stats",  # r6
+    "analytic_order_moves",  # r7
+    "approx_sketches",  # r7
+    "crossdoc_dup_ngrams",  # r7
+    "cube_order_status",  # r7
+    "dedup_cc_clusters",  # r7
+    "dedup_edit_distance",  # r7
+    "dedup_lsh_jaccard",  # r7
+    "dedup_ngram_jaccard",  # r7
+    "dedup_simhash",  # r7
+    "dedup_simhash_hamming2",  # r7
+    "distinct_counts",  # r7
+    "embedding_near_dup",  # r7
+    "events_daily_resample",  # r7
+    "exact_median_prices",  # r7
+    "exists_semi_join",  # r7
+    "global_price_rank",  # r7
+    "incremental_agg_refresh",  # r7
+    "kafka_sink_encode",  # r7
+    "key_partition_hist",  # r7
+    "multi_format_roundtrip",  # r7
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

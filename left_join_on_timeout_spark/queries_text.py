@@ -1558,16 +1558,16 @@ SWEEP_QUERIES = ((0, ("spark", "join", "window")),
 _SWEEP_K = 5
 
 
-def _sweep_oracle() -> str:
-    """DuckDB twin of the batch sweep: one normalized tokenize chain
-    (shared with ``text_bm25_saved``'s CTEs minus its fixed-term
-    filter), a VALUES relation of (query_id, term), df per term shared
-    across queries, per-(query, doc) BM25 sums, top-k per query."""
+def _sweep_ctes() -> str:
+    """The multi-query sweep's CTE chain (everything through ``nbm``
+    — per-(query, doc) BM25 sums over the normalized tokenize chain
+    and a VALUES relation of (query_id, term), df shared across
+    queries), reused by ``text_bm25_sweep`` and the hybrid sweep's
+    text arm."""
     vals = ", ".join(f"({qid}, '{t}')"
                      for qid, terms in SWEEP_QUERIES for t in terms)
     all_terms = sorted({t for _, terms in SWEEP_QUERIES for t in terms})
-    return f"""
-WITH ntok AS (SELECT doc_id,
+    return f"""ntok AS (SELECT doc_id,
                      string_split_regex(trim(lower(coalesce(text, ''))),
                                         '\\s+') AS toks
               FROM documents),
@@ -1593,7 +1593,14 @@ nsc AS (SELECT q.query_id, ntf.doc_id,
         JOIN ndft USING (term)
         JOIN ndl ON ndl.doc_id = ntf.doc_id, ncorp c),
 nbm AS (SELECT query_id, doc_id, round(sum(s), 6) AS bm25 FROM nsc
-        GROUP BY query_id, doc_id)
+        GROUP BY query_id, doc_id)"""
+
+
+def _sweep_oracle() -> str:
+    """DuckDB twin of the batch sweep: the shared CTE chain
+    (:func:`_sweep_ctes`) cut to the top-k per query."""
+    return f"""
+WITH {_sweep_ctes()}
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
        rank FROM (
   SELECT query_id, doc_id, bm25,
@@ -1868,3 +1875,130 @@ def q_text_bm25_rebuilt_saved(spark: SparkSession,
     scored = text_index_search(index, list(BM25_TERMS),
                                k1=_BM25_K1, b=_BM25_B)
     return top_k_ranked(scored, "bm25", "doc_id", 20)
+
+
+# --- Hybrid sweep over both saved tiers (r12) --------------------------------
+
+_HS_QVECS = (0, 1, 2)  # query embedding per sweep query id
+
+
+def _hybrid_sweep_oracle() -> str:
+    """DuckDB twin of the HYBRID SWEEP: the text arm replays the
+    shared sweep CTE chain (per-query BM25 over the saved-index
+    tokenization), the vector arm replays the IVF2 build + per-query
+    serve (each query vector's probed (sid, sub) cell joined against
+    the capped postings, self excluded), and the per-query top-20
+    heads fuse through the standard RRF sum, cut to 10 per query."""
+    from left_join_on_timeout_spark.queries_similarity import (
+        _ivf2_train_prefix,
+    )
+
+    vec_ctes = _ivf2_train_prefix(8, 8).replace("\nWITH ", ",\n", 1)
+    qv = ", ".join(str(q) for q in _HS_QVECS)
+    return f"""
+WITH {_sweep_ctes()},
+tarm AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY bm25 DESC, doc_id)
+                    AS rank
+           FROM nbm) t WHERE rank <= 20){vec_ctes},
+vq AS (SELECT a.vec_id AS query_id, a.sid, a.sub, va.v AS qv,
+              va.nrm AS qn
+       FROM fin a JOIN v va ON va.vec_id = a.vec_id
+       WHERE a.vec_id IN ({qv})),
+vcs AS (SELECT vq.query_id, b.vec_id AS doc_id,
+               round(list_dot_product(vq.qv, vb.v)
+                     / (vq.qn * vb.nrm), 6) AS cos_sim
+        FROM vq
+        JOIN capped b ON b.sid = vq.sid AND b.sub = vq.sub
+                      AND b.vec_id != vq.query_id
+        JOIN v vb ON vb.vec_id = b.vec_id),
+varm AS (SELECT query_id, doc_id, rank FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, doc_id)
+                    AS rank
+           FROM vcs) t WHERE rank <= 20),
+uni AS (SELECT query_id, doc_id, 'text' AS arm, rank FROM tarm
+        UNION ALL
+        SELECT query_id, doc_id, 'vec' AS arm, rank FROM varm),
+fused AS (SELECT query_id, doc_id,
+                 round(sum(1.0 / (60.0 + rank)), 6) AS rrf,
+                 coalesce(max(CASE WHEN arm = 'text' THEN rank END),
+                          0) AS text_rank,
+                 coalesce(max(CASE WHEN arm = 'vec' THEN rank END),
+                          0) AS vec_rank
+          FROM uni GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf,
+       text_rank, vec_rank FROM (
+  SELECT query_id, doc_id, rrf, text_rank, vec_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused) t
+WHERE rn <= 10
+"""
+
+
+@query("hybrid_search_sweep_saved", _hybrid_sweep_oracle())
+def q_hybrid_search_sweep_saved(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """HYBRID retrieval SWEEP over both saved tiers (round 12 —
+    VERDICT r11 next-round item 7: the contamination/eval shape where
+    N (text, vector) query PAIRS score in one pass per arm and fuse
+    per query): the text arm runs all N term queries through the
+    one-pass saved-index sweep (``text_index_search_many`` — two
+    fixed pruned postings scans regardless of N, df shared), the
+    vector arm serves all N query embeddings through ONE
+    ``ivf2_index_search(k=20)`` call against the saved IVF2 index
+    (one postings equi-join for the whole batch — the search is
+    already a queries-DataFrame operator), and the per-query top-20
+    heads fuse via ``rrf_fuse(group_cols=("query_id",))`` — the RRF
+    aggregate keys on (query, doc) and the per-query cut is a
+    query-partitioned window, parallel across queries. Per-arm cost
+    is one pass regardless of N; the fusion join touches ≤ 40 rows
+    per query."""
+    import os
+
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+        ivf2_index_build,
+        ivf2_index_load,
+        ivf2_index_search,
+    )
+    from left_join_on_timeout_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_build,
+        text_index_load,
+        text_index_search_many,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = default_index_root()
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tpath = os.path.join(root, "textidx_" + base)
+    vpath = os.path.join(root, "hybivf_" + base)
+    text_index_build(docs, tpath)
+    ivf2_index_build(emb, vpath, n_super=8, k2=8)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in SWEEP_QUERIES],
+        "query_id LONG, terms ARRAY<STRING>")
+    scored = text_index_search_many(
+        text_index_load(spark, tpath), qdf)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               F.asc("doc_id"))
+    tarm = (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("query_id", "doc_id", "rank"))
+    varm = (ivf2_index_search(
+        emb.where(F.col("vec_id").isin(list(_HS_QVECS))),
+        ivf2_index_load(spark, vpath), k=20)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse({"text": tarm, "vec": varm}, "doc_id", k_out=10,
+                    group_cols=("query_id",))

@@ -1475,3 +1475,39 @@ def test_index_version_diff_shows_recap_drops(spark, tmp_path):
                .collect()}
     assert len(dropped) == over
     assert diff.where(F.col("change") == "added").count() == 0
+
+
+def test_exactly_once_sink_empty_retry_clears_epoch(spark, tmp_path):
+    """ADVICE r11: a retried epoch whose probe now returns ZERO hits
+    (a delete/rebuild landed between attempts — the probe re-resolves
+    the manifest per call) must still CLEAR its epoch partition; the
+    static per-epoch overwrite does, where a dynamic partition
+    overwrite would write nothing and leave the first attempt's rows
+    standing."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        ivf2_index_delete,
+        ivf2_index_rebuild,
+        refreshing_probe_exactly_once_sink,
+    )
+
+    emb = _corpus(spark, n=40, dim=4)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    b1 = emb.where(F.col("vec_id").isin(0, 10))
+    b2 = emb.where(F.col("vec_id").isin(20, 30))
+    path, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    ivf2_index_build(corpus, path, n_super=2, k2=2, cell_cap=5000)
+    sink = refreshing_probe_exactly_once_sink(out, path,
+                                              threshold=-1.0)
+    sink(b2, 8)  # another epoch keeps the sink non-empty throughout
+    sink(b1, 7)
+    first = spark.read.parquet(out)
+    assert first.where(F.col("epoch") == 7).count() > 0
+    # everything b1 could hit is deleted between attempts
+    ivf2_index_delete(spark, path,
+                      [r.vec_id for r in corpus.select("vec_id")
+                       .collect()])
+    sink(b1, 7)  # the retry probes an emptied index
+    final = spark.read.parquet(out)
+    assert final.where(F.col("epoch") == 7).count() == 0, (
+        "the empty retry must replace the first attempt's rows")
+    assert final.where(F.col("epoch") == 8).count() > 0

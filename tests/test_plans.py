@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "text_bm25_topk",   # broadcast one-row (N, avgdl) corpus aggregate
     "hybrid_search_rrf",  # same one-row corpus stats + one-row query vector
     "hybrid_search_rrf_saved",  # saved-tier arms: loaded anchor arrays
+    "hybrid_search_sweep_saved",  # same saved-tier anchor broadcasts
     # queries_pipeline: one-row scalar crosses (corpus size / total /
     # leak count) and the source-count-sized mix table
     "boilerplate_strip_docs",
@@ -597,4 +598,81 @@ def test_hybrid_saved_serve_reads_both_saved_tiers(spark):
     assert not any("documents" in ln for ln in lines), (
         "text arm re-tokenizes the corpus")
     assert "25,6" not in plan, "Lloyd training leaked into the plan"
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_sweep_serve_is_probe_only(spark):
+    """Round 12 (VERDICT r11 missing #1): the saved-gram contamination
+    serve pays the EVAL side only — exactly ONE pruned postings scan
+    (the probe join; the count must not grow with eval-set size),
+    PartitionFilters on the gram buckets, exactly ONE documents scan
+    (the eval set's own gram pipeline — the training corpus never
+    re-tokenizes), and the membership test is a broadcast join, not a
+    corpus-sized shuffle. Counts are taken on the main plan section
+    (dynamic-pruning subqueries re-print probe subtrees)."""
+    plan = plan_of(spark, "contamination_sweep_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    postings = [ln for ln in lines
+                if "FileScan" in ln and "postings_v1" in ln]
+    assert len(postings) == 1, (
+        f"probe must plan ONE pruned postings scan, found "
+        f"{len(postings)}")
+    assert any("PartitionFilters" in ln and "tb#" in ln
+               for ln in lines), (
+        "the gram-bucket partition filter must prune the scan")
+    doc_scans = [ln for ln in lines
+                 if "FileScan" in ln and "documents" in ln]
+    assert len(doc_scans) == 1, (
+        f"only the eval side may scan documents, found "
+        f"{len(doc_scans)}")
+    assert "BroadcastHashJoin" in main
+    assert "CartesianProduct" not in plan
+
+
+def test_text_rebuilt_serve_reads_postings_v2_only(spark):
+    """Round 12 (VERDICT r11 missing #3): after the text tier's
+    build → append → delete → rebuild arc, the serve plan reads the
+    REBUILT ``postings_v2`` (refreshed stats, tombstones dropped
+    physically) and never the stale v1 — the manifest-pointer
+    discipline the vector tier has been gated on since r10 — with no
+    corpus tokenize."""
+    plan = plan_of(spark, "text_bm25_rebuilt_saved")
+    lines = plan.splitlines()
+    assert any("postings_v2" in ln and "FileScan" in ln
+               for ln in lines), "serve must scan the rebuilt version"
+    assert not any("postings_v1" in ln for ln in lines), (
+        "serve leaked the pre-rebuild postings version")
+    assert not any("documents" in ln for ln in lines), (
+        "rebuilt-serve re-tokenizes the corpus")
+    assert any("PartitionFilters" in ln and "tb#" in ln
+               for ln in lines)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_sweep_serve_fixed_scans_per_arm(spark):
+    """Round 12 (VERDICT r11 item 7): the hybrid sweep's serve plan
+    holds the text arm's TWO fixed pruned postings scans (df +
+    scoring — independent of N, the text_bm25_sweep gate) plus the
+    vector arm's saved IVF2 postings, fuses per query through a
+    query-partitioned window, and carries neither a corpus tokenize
+    nor Lloyd training lineage."""
+    plan = plan_of(spark, "hybrid_search_sweep_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    text_scans = [ln for ln in lines
+                  if "FileScan" in ln and "textidx" in ln
+                  and "postings_v1" in ln]
+    assert len(text_scans) == 2, (
+        f"text arm must plan its two fixed probe scans, found "
+        f"{len(text_scans)}")
+    assert any("hybivf" in ln and "postings_v1" in ln
+               and "FileScan" in ln for ln in lines), (
+        "vector arm must scan the saved IVF2 postings")
+    assert not any("documents" in ln for ln in lines), (
+        "text arm re-tokenizes the corpus")
+    assert "25,6" not in plan, "Lloyd training leaked into the plan"
+    assert "windowspecdefinition(query_id" in plan, (
+        "per-query fusion head must partition by query_id")
     assert "CartesianProduct" not in plan

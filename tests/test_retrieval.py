@@ -114,3 +114,28 @@ def test_bm25_rarer_term_scores_higher(spark):
     common = {r.doc_id: r.bm25
               for r in bm25_scores(docs, ["common"]).collect()}
     assert rare[0] > common[0], "idf must favor the rarer term"
+
+
+def test_rrf_fuse_group_cols_fuses_per_query(spark):
+    """Round 12: group_cols=('query_id',) fuses each query
+    independently — per-query RRF sums, per-query k_out heads — and
+    a doc ranked in different queries never cross-contaminates."""
+    text = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 2, 1)],
+        "query_id LONG, doc_id LONG, rank INT")
+    vec = spark.createDataFrame(
+        [(0, 2, 1), (1, 3, 1)],
+        "query_id LONG, doc_id LONG, rank INT")
+    got = {(r.query_id, r.doc_id): r for r in rrf_fuse(
+        {"text": text, "vec": vec}, "doc_id",
+        group_cols=("query_id",)).collect()}
+    assert got[(0, 2)].rrf == round(1 / 62 + 1 / 61, 6)
+    assert got[(0, 1)].rrf == round(1 / 61, 6)
+    assert got[(1, 2)].rrf == round(1 / 61, 6)   # rank from q1 only
+    assert got[(1, 3)].rrf == round(1 / 61, 6)
+    assert (got[(1, 2)].text_rank, got[(1, 2)].vec_rank) == (1, 0)
+    # per-group head: k_out=1 keeps the best doc of EACH query
+    head = {(r.query_id, r.doc_id) for r in rrf_fuse(
+        {"text": text, "vec": vec}, "doc_id", k_out=1,
+        group_cols=("query_id",)).collect()}
+    assert head == {(0, 2), (1, 2)}

@@ -139,3 +139,60 @@ def test_rebuild_recaps_hub_bucket(spark, tmp_path):
     assert kept == {51}, (
         "the overfull bucket must drop whole at re-cap; the "
         "under-cap bucket survives")
+
+
+def test_probe_stats_reports_cap_drops(spark, tmp_path):
+    """VERDICT r11 wrong #3: the probe-side cap drops hub buckets by
+    design — srp_index_probe_stats surfaces the dropped-row count so
+    a corpus-sized probe batch sees its recall cost. A small batch
+    reports zero drops."""
+    from left_join_on_timeout_spark.operators.srp_index import (
+        srp_index_build,
+        srp_index_load,
+        srp_index_probe_stats,
+    )
+
+    idx_side = _side(spark, range(10, 16), dim=4)
+    path = str(tmp_path / "srp")
+    srp_index_build(idx_side, path, dim=4, bands=2, n_bits=4,
+                    bucket_cap=3)
+    index = srp_index_load(spark, path)
+    # a hub batch: 8 identical vectors land in one bucket per band
+    hub = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    s = srp_index_probe_stats(hub, index)
+    assert s["probe_rows"] == 16            # 8 rows x 2 bands
+    assert s["dropped_rows"] == 16          # every bucket is a hub
+    assert s["dropped_buckets"] == 2
+    assert s["dropped_frac"] == 1.0
+    small = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    s2 = srp_index_probe_stats(small, index)
+    assert s2["dropped_rows"] == 0 and s2["dropped_frac"] == 0.0
+
+
+def test_append_validates_dim_and_id_dtype(spark, tmp_path):
+    """ADVICE r11: a batch whose vectors have the wrong dim (would
+    hash through mismatched hyperplanes into garbage buckets) or
+    whose id dtype drifts fails loud AT APPEND."""
+    import pytest
+
+    from left_join_on_timeout_spark.operators.srp_index import (
+        srp_index_append,
+        srp_index_build,
+    )
+
+    path = str(tmp_path / "srp")
+    srp_index_build(_side(spark, range(5), dim=4), path, dim=4,
+                    bands=2, n_bits=4)
+    wrong_dim = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="dim"):
+        srp_index_append(wrong_dim, spark, path)
+    wrong_id = spark.createDataFrame(
+        [("99", [1.0, 0.0, 0.0, 0.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="id dtype"):
+        srp_index_append(wrong_id, spark, path)

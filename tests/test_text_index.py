@@ -194,3 +194,115 @@ def test_bucket_routing_and_stats_tier(spark, tmp_path):
     assert s["tier"] == "text" and s["postings_rows"] > 0
     with pytest.raises(ValueError, match="no build cap"):
         index_stats(spark, path, cap_pressure=True)
+
+
+# --- Round 12: gram mode, append validation, stats-drift telemetry ----------
+
+
+def _gram_docs(spark):
+    return spark.createDataFrame(
+        [(0, "a b c d e f"),      # grams: "a b c d e", "b c d e f"
+         (1, "a b c d e"),        # gram:  "a b c d e"
+         (2, "x y z w v u"),      # two grams, disjoint from bench
+         (3, "short text")],      # < 5 words: no grams, no postings
+        "doc_id LONG, text STRING")
+
+
+def _bench(spark, *grams):
+    return spark.createDataFrame([(g,) for g in grams], "g STRING") \
+        .select(F.md5("g").alias("h"))
+
+
+def test_gram_index_probe_hand_computed(spark, tmp_path):
+    """token_mode='ngram' build + text_index_gram_probe: hit counts,
+    the denormalized distinct-gram denominator, fraction and flag all
+    match hand computation; zero-hit and zero-gram docs are absent."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_gram_probe,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    index = text_index_load(spark, path)
+    assert (getattr(index["meta"], "token_mode", None),
+            index["meta"].ngram_n) == ("ngram", 5)
+    assert index["meta"].n_docs == 3, "doc 3 has no grams"
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contamination,
+                      r.flagged)
+           for r in text_index_gram_probe(
+               index, _bench(spark, "a b c d e")).collect()}
+    assert got == {0: (2, 1, 0.5, True), 1: (1, 1, 1.0, True)}
+
+
+def test_gram_probe_maintenance_and_mode_guard(spark, tmp_path):
+    """Deletes drop a doc from audits at the next load; appends hit
+    immediately; probing a word index through the gram probe fails
+    loud."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_gram_probe,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    text_index_delete(spark, path, [1])
+    new = spark.createDataFrame([(9, "q a b c d e")],
+                                "doc_id LONG, text STRING")
+    text_index_append(new, spark, path)  # tokenizes via saved mode
+    index = text_index_load(spark, path)
+    got = {r.doc_id: r.n_contaminated
+           for r in text_index_gram_probe(
+               index, _bench(spark, "a b c d e")).collect()}
+    assert 1 not in got, "deleted doc must leave the audit"
+    assert got[9] == 1, "appended doc must audit immediately"
+    wpath = str(tmp_path / "wix")
+    text_index_build(_docs(spark), wpath)  # word mode
+    widx = text_index_load(spark, wpath)
+    with pytest.raises(ValueError, match="token_mode"):
+        text_index_gram_probe(widx, _bench(spark, "a b c d e"))
+
+
+def test_append_id_dtype_mismatch_fails_loud(spark, tmp_path):
+    """ADVICE r11: an id-dtype drift fails AT APPEND, not at the next
+    load's schema check."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    bad = spark.createDataFrame([("9", "spark")],
+                                "doc_id STRING, text STRING")
+    with pytest.raises(ValueError, match="id dtype"):
+        text_index_append(bad, spark, path)
+
+
+def test_stats_drift_telemetry_flips_maintenance(spark, tmp_path):
+    """VERDICT r11 wrong #2: appends that move the corpus away from
+    the manifest's build-time (n_docs, avgdl) surface as drift
+    fractions in index_stats(stats_drift=True), index_maintenance_due
+    flips, the rebuild refreshes the stats, and the drift returns to
+    zero. The signal is text-tier-only."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+    )
+
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    s0 = index_stats(spark, path, stats_drift=True)
+    assert s0["tier"] == "text"
+    assert s0["live_n_docs"] == 4
+    assert s0["n_docs_drift_frac"] == 0.0
+    assert s0["avgdl_drift_frac"] < 1e-12
+    assert not index_maintenance_due(s0)
+    new = spark.createDataFrame(
+        [(10, "spark stream"), (11, "scan filter join")],
+        "doc_id LONG, text STRING")
+    text_index_append(new, spark, path)
+    s1 = index_stats(spark, path, stats_drift=True)
+    assert s1["live_n_docs"] == 6
+    assert abs(s1["n_docs_drift_frac"] - 0.5) < 1e-12
+    assert index_maintenance_due(s1), "50% doc growth must trigger"
+    text_index_rebuild(spark, path)
+    s2 = index_stats(spark, path, stats_drift=True)
+    assert s2["n_docs_drift_frac"] == 0.0
+    assert s2["avgdl_drift_frac"] < 1e-12
+    assert not index_maintenance_due(s2)
