@@ -161,6 +161,7 @@ _R12_ADDITIONS = [
     "text_bm25_rebuilt_saved",
     "stream_text_probe_refresh",
     "hybrid_search_sweep_saved",
+    "crossdoc_dup_saved",
 ]
 HEADLINE += _R12_ADDITIONS
 

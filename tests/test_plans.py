@@ -676,3 +676,23 @@ def test_hybrid_sweep_serve_fixed_scans_per_arm(spark):
     assert "windowspecdefinition(query_id" in plan, (
         "per-query fusion head must partition by query_id")
     assert "CartesianProduct" not in plan
+
+
+def test_crossdoc_dup_saved_serve_has_no_corpus_tokenize(spark):
+    """Round 12: the saved dup-mass audit reads the gram postings
+    ONLY — no documents scan (the tokenize/shingle/distinct pipeline
+    is amortized into the build), one postings scan feeding the
+    per-gram window + per-doc aggregate."""
+    plan = plan_of(spark, "crossdoc_dup_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    postings = [ln for ln in lines
+                if "FileScan" in ln and "postings_v1" in ln]
+    assert len(postings) == 1, (
+        f"dup audit must plan ONE postings scan, found "
+        f"{len(postings)}")
+    assert not any("documents" in ln for ln in lines), (
+        "saved dup audit re-tokenizes the corpus")
+    assert "windowspecdefinition(term" in plan, (
+        "per-gram doc count must be a window over the gram digest")
+    assert "CartesianProduct" not in plan

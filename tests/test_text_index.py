@@ -306,3 +306,34 @@ def test_stats_drift_telemetry_flips_maintenance(spark, tmp_path):
     assert s2["n_docs_drift_frac"] == 0.0
     assert s2["avgdl_drift_frac"] < 1e-12
     assert not index_maintenance_due(s2)
+
+
+def test_dup_stats_hand_computed_and_mode_guard(spark, tmp_path):
+    """text_index_dup_stats: per-doc shared-gram mass matches hand
+    computation over the saved postings, deletes leave both sides of
+    the count, and a word-mode index fails loud."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_dup_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"),   # grams abcde, bcdef
+         (1, "a b c d e"),     # gram  abcde (shared with 0)
+         (2, "x y z w v u")],  # two grams, unshared
+        "doc_id LONG, text STRING")
+    path = str(tmp_path / "gix")
+    text_index_build(docs, path, token_mode="ngram", ngram_n=5)
+    index = text_index_load(spark, path)
+    got = {r.doc_id: (r.n_grams, r.n_shared, r.shared_frac)
+           for r in text_index_dup_stats(index).collect()}
+    assert got == {0: (2, 1, 0.5), 1: (1, 1, 1.0), 2: (2, 0, 0.0)}
+    # deleting doc 1 removes it AND stops it supporting doc 0's share
+    text_index_delete(spark, path, [1])
+    after = {r.doc_id: (r.n_grams, r.n_shared)
+             for r in text_index_dup_stats(
+                 text_index_load(spark, path)).collect()}
+    assert after == {0: (2, 0), 2: (2, 0)}
+    wpath = str(tmp_path / "wix")
+    text_index_build(_docs(spark), wpath)
+    with pytest.raises(ValueError, match="token_mode"):
+        text_index_dup_stats(text_index_load(spark, wpath))
