@@ -162,6 +162,7 @@ _R12_ADDITIONS = [
     "stream_text_probe_refresh",
     "hybrid_search_sweep_saved",
     "crossdoc_dup_saved",
+    "contamination_suites_saved",
 ]
 HEADLINE += _R12_ADDITIONS
 

@@ -97,6 +97,19 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
                16) % n_buckets
 
 
+def _check_word_mode(index: dict, fn: str) -> None:
+    """Fail loud when a BM25 term search probes a GRAM index (round
+    12): word terms can never equal md5 gram digests, so the search
+    would return silently empty — the mirror of the gram probes'
+    own mode guard."""
+    mode = getattr(index["meta"], "token_mode", None) or "word"
+    if mode != "word":
+        raise ValueError(
+            f"{fn} needs a token_mode='word' index; {index['path']} "
+            f"was built with token_mode={mode!r} — probe it with "
+            f"text_index_gram_probe / text_index_gram_probe_many")
+
+
 def _norm_term(term: str) -> str:
     """Driver-side twin of the shared ``normalize`` Column (trim +
     lower) for query terms — a term is one token, so the whitespace
@@ -254,6 +267,7 @@ def text_index_search(index: dict, query_terms: list[str],
     A term containing internal whitespace can never match a single
     token and is dropped with the same silence as any absent term."""
     meta = index["meta"]
+    _check_word_mode(index, "text_index_search")
     terms = sorted({_norm_term(t) for t in query_terms})
     buckets = sorted({_term_bucket_py(t, meta.n_buckets)
                       for t in terms})
@@ -302,6 +316,7 @@ def text_index_search_many(index: dict, queries: DataFrame,
     scores aggregate by (query, doc), so the output is bounded by the
     probed posting lists × the queries that mention each term."""
     meta = index["meta"]
+    _check_word_mode(index, "text_index_search_many")
     qt = (queries.select(F.col(query_id_col),
                          F.explode(terms_col).alias("t"))
           .select(query_id_col,
@@ -389,6 +404,53 @@ def text_index_gram_probe(index: dict, bench_grams: DataFrame,
             .withColumn("flagged", contamination > threshold)
             .select(F.col("id").alias(meta.id_col), "n_grams",
                     "n_contaminated", "contamination", "flagged"))
+
+
+def text_index_gram_probe_many(index: dict, bench_grams: DataFrame,
+                               suite_col: str = "suite",
+                               gram_col: str = "h",
+                               threshold: float = 0.05) -> DataFrame:
+    """MULTI-SUITE contamination probe — K eval benchmarks audit the
+    corpus in ONE postings pass (round 12; the audit twin of
+    :func:`text_index_search_many`'s sweep discipline): a recurring
+    quarterly audit checks EVERY benchmark suite, and K sequential
+    :func:`text_index_gram_probe` calls pay K postings scans where
+    this pays one. ``bench_grams`` is ``(suite_col, gram_col)``; the
+    gram membership join is shared across suites (broadcast of the
+    distinct (suite, gram) relation — still MB-sized by the benchmark
+    contract) and hits aggregate per (suite, doc), so the output is
+    bounded by Σ per-suite hits. Returns ``(suite_col, id_col,
+    n_grams, n_contaminated, contamination, flagged)`` for every
+    (suite, live doc) pair sharing ≥1 gram; a doc contaminated
+    against two suites reports twice, once per suite — the audit's
+    unit is the (suite, doc) pair. Plan shape: ONE pruned postings
+    scan regardless of suite count (plan-gated)."""
+    meta = index["meta"]
+    mode = getattr(meta, "token_mode", None) or "word"
+    if mode != "ngram":
+        raise ValueError(
+            f"text_index_gram_probe_many needs a token_mode='ngram' "
+            f"index; {index['path']} was built with "
+            f"token_mode={mode!r}")
+    bench = (bench_grams
+             .select(F.col(suite_col), F.col(gram_col).alias("term"))
+             .distinct())
+    buckets = sorted({
+        r.tb for r in bench.select(
+            _term_bucket_col(F.col("term"), meta.n_buckets)
+            .alias("tb")).distinct().collect()})
+    p = index["postings"].where(F.col("tb").isin(buckets))
+    hits = p.join(F.broadcast(bench), "term")
+    out = hits.groupBy(suite_col, "id").agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.first("dl").cast("bigint").alias("n_grams"))
+    contamination = F.round(
+        F.col("n_contaminated").cast("double") / F.col("n_grams"), 6)
+    return (out.withColumn("contamination", contamination)
+            .withColumn("flagged", contamination > threshold)
+            .select(suite_col, F.col("id").alias(meta.id_col),
+                    "n_grams", "n_contaminated", "contamination",
+                    "flagged"))
 
 
 def text_index_dup_stats(index: dict) -> DataFrame:

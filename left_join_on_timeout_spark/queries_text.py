@@ -2044,3 +2044,60 @@ def q_crossdoc_dup_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gramidx8_" + os.path.basename(os.path.normpath(sf_dir)))
     text_index_build(docs, path, token_mode="ngram", ngram_n=8)
     return text_index_dup_stats(text_index_load(spark, path))
+
+
+@query("contamination_suites_saved", f"""
+WITH {_grams_sql(5)},
+bench AS (SELECT DISTINCT CAST((doc_id % 40) // 20 AS BIGINT) AS suite, h
+          FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT b.suite, t.doc_id, count(*) AS n_contaminated
+         FROM train t JOIN bench b ON t.h = b.h
+         GROUP BY b.suite, t.doc_id)
+SELECT hits.suite AS suite, hits.doc_id AS doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(hits.n_contaminated AS BIGINT) AS n_contaminated,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6)
+         AS contamination,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6) > 0.05
+         AS flagged
+FROM hits JOIN tot ON hits.doc_id = tot.doc_id
+""")
+def q_contamination_suites_saved(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """MULTI-SUITE contamination audit in ONE postings pass (round 12
+    — the audit twin of the r11 multi-query sweep): the eval docs
+    split into two benchmark suites (doc_id % 40 < 20 vs ≥ 20) and
+    BOTH audit the saved gram index through
+    ``text_index_gram_probe_many`` — gram membership joins once
+    against the broadcast (suite, gram) relation, hits aggregate per
+    (suite, doc), and the plan holds ONE pruned postings scan
+    regardless of suite count (plan-gated; K sequential single-suite
+    probes would pay K scans). Per-(suite, doc) arithmetic is exactly
+    ``contamination_sweep_saved``'s."""
+    import os
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_build,
+        text_index_gram_probe_many,
+        text_index_load,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    path = os.path.join(
+        default_index_root(),
+        "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(train, path, token_mode="ngram", ngram_n=5)
+    index = text_index_load(spark, path)
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(((F.col("doc_id") % 40) / 20).cast("bigint")
+                     .alias("suite"),
+                     F.explode(word_ngrams("text", 5)).alias("g"))
+             .select("suite", F.md5("g").alias("h")).distinct())
+    return text_index_gram_probe_many(index, bench, threshold=0.05)

@@ -696,3 +696,24 @@ def test_crossdoc_dup_saved_serve_has_no_corpus_tokenize(spark):
     assert "windowspecdefinition(term" in plan, (
         "per-gram doc count must be a window over the gram digest")
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_suites_one_scan_regardless_of_suites(spark):
+    """Round 12: the multi-suite audit plans ONE pruned postings scan
+    no matter how many benchmark suites probe (K sequential
+    single-suite probes would pay K scans) — the sweep discipline on
+    the audit shape."""
+    plan = plan_of(spark, "contamination_suites_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    postings = [ln for ln in lines
+                if "FileScan" in ln and "postings_v1" in ln]
+    assert len(postings) == 1, (
+        f"multi-suite audit must plan ONE postings scan, found "
+        f"{len(postings)}")
+    doc_scans = [ln for ln in lines
+                 if "FileScan" in ln and "documents" in ln]
+    assert len(doc_scans) == 1, (
+        "only the eval side may scan documents")
+    assert "BroadcastHashJoin" in main
+    assert "CartesianProduct" not in plan

@@ -385,3 +385,51 @@ def test_text_refreshing_probe_survives_two_rebuilds(spark, tmp_path):
             .where(F.col("query_id") == 200).collect()}
     assert got2 == {3, 9}, (
         "post-rebuild batches must see appends and never deletes")
+
+
+def test_gram_probe_many_equals_per_suite_probes(spark, tmp_path):
+    """text_index_gram_probe_many: per-(suite, doc) results equal K
+    independent single-suite probes, in one pass."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_gram_probe,
+        text_index_gram_probe_many,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    index = text_index_load(spark, path)
+    suites = {0: ["a b c d e"], 1: ["b c d e f", "x y z w v"]}
+    rows = [(s, g) for s, gs in suites.items() for g in gs]
+    bench = (spark.createDataFrame(rows, "suite LONG, g STRING")
+             .select("suite", F.md5("g").alias("h")))
+    got = {(r.suite, r.doc_id): (r.n_grams, r.n_contaminated,
+                                 r.contamination, r.flagged)
+           for r in text_index_gram_probe_many(index, bench).collect()}
+    want = {}
+    for s, gs in suites.items():
+        for r in text_index_gram_probe(index,
+                                       _bench(spark, *gs)).collect():
+            want[(s, r.doc_id)] = (r.n_grams, r.n_contaminated,
+                                   r.contamination, r.flagged)
+    assert got == want and len(got) > 0
+
+
+def test_word_search_rejects_gram_index(spark, tmp_path):
+    """Round 12: BM25 term search against a gram index would return
+    silently empty (terms never equal md5 digests) — both search
+    entry points fail loud instead."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_search_many,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    index = text_index_load(spark, path)
+    with pytest.raises(ValueError, match="token_mode"):
+        text_index_search(index, ["spark"])
+    qdf = spark.createDataFrame([(0, ["spark"])],
+                                "query_id LONG, terms ARRAY<STRING>")
+    with pytest.raises(ValueError, match="token_mode"):
+        text_index_search_many(index, qdf)
