@@ -163,6 +163,7 @@ _R12_ADDITIONS = [
     "hybrid_search_sweep_saved",
     "crossdoc_dup_saved",
     "contamination_suites_saved",
+    "stream_contamination_screen",
 ]
 HEADLINE += _R12_ADDITIONS
 

@@ -453,6 +453,52 @@ def text_index_gram_probe_many(index: dict, bench_grams: DataFrame,
                     "flagged"))
 
 
+def contamination_screen(new_docs: DataFrame, bench_grams: DataFrame,
+                         ngram_n: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         gram_col: str = "h",
+                         threshold: float = 0.05) -> DataFrame:
+    """INGEST-time contamination screen (round 12) — the REVERSE
+    probe direction of :func:`text_index_gram_probe`: there the
+    standing TRAINING corpus is indexed and the eval set probes it;
+    here NEW candidate docs arrive (an ingest stream admitting data
+    into the training corpus) and are gated against the standing eval
+    gram set BEFORE admission. No index is needed on either side: the
+    eval set is MB-sized by the benchmark contract, so it broadcasts,
+    and the arriving batch tokenizes ITSELF — per-batch cost is
+    batch-sized, making this shape stream-safe (stateless
+    stream-static broadcast join; wire it per micro-batch or direct
+    on a stream).
+
+    Returns one row per arriving doc — including clean ones, because
+    an admission gate must rule on every candidate: ``(id_col,
+    n_grams, n_contaminated, contamination, flagged)``; docs with
+    fewer than ``ngram_n`` words have zero grams and report
+    (0, 0, 0.0, false). Same per-doc arithmetic as the audit
+    probes."""
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+
+    bench = (bench_grams.select(F.col(gram_col).alias("h"))
+             .distinct().withColumn("m", F.lit(1)))
+    grams = (new_docs
+             .select(F.col(id_col),
+                     F.explode_outer(word_ngrams(text_col, ngram_n))
+                     .alias("g"))
+             .select(id_col, F.md5("g").alias("h"))
+             .distinct())
+    probed = grams.join(F.broadcast(bench), "h", "left")
+    out = probed.groupBy(id_col).agg(
+        F.count("h").alias("n_grams"),
+        F.count("m").alias("n_contaminated"))
+    contamination = F.when(
+        F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("n_contaminated").cast("double")
+                / F.col("n_grams"), 6))
+    return (out.withColumn("contamination", contamination)
+            .withColumn("flagged", contamination > threshold))
+
+
 def text_index_dup_stats(index: dict) -> DataFrame:
     """CROSS-DOCUMENT duplication mass served from a saved GRAM index
     (round 12 — the other recurring audit VERDICT r11 missing #1

@@ -1040,3 +1040,76 @@ def q_stream_text_probe_refresh(spark: SparkSession,
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+@query("stream_contamination_screen", f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(w[i:i+4], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+arr AS (SELECT doc_id, h FROM grams WHERE doc_id % 10 = 5),
+scr AS (SELECT a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(b.h) AS BIGINT) AS n_contaminated
+        FROM arr a LEFT JOIN bench b ON a.h = b.h
+        GROUP BY a.doc_id)
+SELECT doc_id, n_grams, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
+         AS contamination,
+       round(CAST(n_contaminated AS DOUBLE) / n_grams, 6) > 0.05
+         AS flagged
+FROM scr
+""")
+def q_stream_contamination_screen(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INGEST-time contamination screening (round 12 — the admission
+    gate a training pipeline runs BEFORE new data enters the corpus,
+    the reverse probe direction of the audit family): candidate docs
+    (doc_id ≡ 5 mod 10) arrive as a real stream and each micro-batch
+    gates against the standing eval gram set
+    (``operators.text_index.contamination_screen`` — the MB-sized
+    eval relation broadcasts, the batch tokenizes only itself, so the
+    plan is a stateless stream-static broadcast join and per-batch
+    cost is batch-sized). The per-doc ruling aggregates INSIDE
+    ``foreachBatch`` — the gate is per-batch-complete by
+    construction (a doc's grams arrive together), so no streaming
+    aggregation state or watermark is needed. Every arriving doc gets
+    a ruling — clean docs report (n, 0, 0.0, false) — because an
+    admission gate must rule on every candidate. The oracle replays
+    the screen over the bounded arrival set; the eval docs here hold
+    ≥5 words each, so the zero-gram guard arm stays a semantics test
+    (tests/test_text_index.py)."""
+    import os
+    import tempfile
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.operators.text_index import (
+        contamination_screen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct())
+    arrivals = (docs.where(F.col("doc_id") % 10 == 5)
+                .select("doc_id", "text"))
+    base = tempfile.mkdtemp(prefix="ljot_screen_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    arrivals.write.mode("overwrite").parquet(src)
+
+    def _screen(batch_df: DataFrame, epoch_id: int) -> None:
+        contamination_screen(batch_df, bench, ngram_n=5) \
+            .write.mode("append").parquet(out)
+
+    q = (spark.readStream.schema(arrivals.schema).parquet(src)
+         .writeStream.foreachBatch(_screen)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)

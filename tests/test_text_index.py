@@ -433,3 +433,25 @@ def test_word_search_rejects_gram_index(spark, tmp_path):
                                 "query_id LONG, terms ARRAY<STRING>")
     with pytest.raises(ValueError, match="token_mode"):
         text_index_search_many(index, qdf)
+
+
+def test_contamination_screen_rules_on_every_candidate(spark):
+    """The ingest gate (round 12): every arriving doc gets a ruling —
+    contaminated, clean, and even gram-less (< n words) docs report
+    (0, 0, 0.0, false) instead of vanishing from the admission
+    decision."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        contamination_screen,
+    )
+
+    bench = _bench(spark, "a b c d e")
+    arrivals = spark.createDataFrame(
+        [(0, "a b c d e f"),   # 1 of 2 grams contaminated
+         (1, "x y z w v u"),   # clean
+         (2, "too short")],    # no grams
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contamination,
+                      r.flagged)
+           for r in contamination_screen(arrivals, bench).collect()}
+    assert got == {0: (2, 1, 0.5, True), 1: (2, 0, 0.0, False),
+                   2: (0, 0, 0.0, False)}
