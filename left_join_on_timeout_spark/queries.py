@@ -411,8 +411,8 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    "contamination_sweep_saved",  # NEW
     "contamination_suites_saved",  # NEW (K suites, one postings pass)
+    "contamination_sweep_saved",  # NEW
     "crossdoc_dup_saved",  # NEW (dup-mass audit from the saved grams)
     "hybrid_search_sweep_saved",  # NEW
     "stream_contamination_screen",  # NEW (ingest admission gate)
