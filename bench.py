@@ -164,6 +164,7 @@ _R12_ADDITIONS = [
     "crossdoc_dup_saved",
     "contamination_suites_saved",
     "stream_contamination_screen",
+    "decontaminate_corpus_saved",
 ]
 HEADLINE += _R12_ADDITIONS
 

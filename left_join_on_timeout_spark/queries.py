@@ -385,12 +385,12 @@ EXTRA_ORACLE: dict[str, str] = {
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
 # ships with only local test coverage.  Round 12 order:
-#   1-7    NEW queries (contamination audit served from the saved
+#   1-8    NEW queries (contamination audit served from the saved
 #          n-gram index; the dup-mass audit from the same gram tier;
 #          the hybrid sweep fusing both saved tiers per query; the
 #          text tier's refreshing read stream; the text tier's full
 #          rebuild lifecycle);
-#   8-17   sentinels: every query whose path round 12 touched -- the
+#   9-18   sentinels: every query whose path round 12 touched -- the
 #          fused BM25 arm's normalization (bm25_scores + both its
 #          oracles), the text_index build/append/rebuild signature
 #          extension (every saved-text name), rrf_fuse's group_cols
@@ -398,12 +398,12 @@ EXTRA_ORACLE: dict[str, str] = {
 #          dispatch (both existing refresh streams), and the
 #          eager-contract/probe-cap work in similarity/srp_index
 #          (both margin-mining names);
-#   18-33  the staleness rotation: the 16 remaining age-6 r6 names --
+#   19-34  the staleness rotation: the 16 remaining age-6 r6 names --
 #          the r6 vintage FINISHES this round, re-adjudicating the
 #          FLAGSHIP timeout_left_join and the tws/timer tier whose
 #          driver evidence was 5 rounds old (VERDICT r11 missing #4);
-#   34-50  the oldest 17 of the 45 r7 names alphabetically; the
-#          remaining 28 carry to r13.
+#   35-50  the oldest 16 of the 45 r7 names alphabetically; the
+#          remaining 29 carry to r13.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -414,6 +414,7 @@ _PRIORITY: list[str] = [
     "contamination_suites_saved",  # NEW (K suites, one postings pass)
     "contamination_sweep_saved",  # NEW
     "crossdoc_dup_saved",  # NEW (dup-mass audit from the saved grams)
+    "decontaminate_corpus_saved",  # NEW (the audit family's action arm)
     "hybrid_search_sweep_saved",  # NEW
     "stream_contamination_screen",  # NEW (ingest admission gate)
     "stream_text_probe_refresh",  # NEW
@@ -460,7 +461,6 @@ _PRIORITY: list[str] = [
     "exact_median_prices",  # r7
     "exists_semi_join",  # r7
     "global_price_rank",  # r7
-    "incremental_agg_refresh",  # r7
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -2101,3 +2101,73 @@ def q_contamination_suites_saved(spark: SparkSession,
                      F.explode(word_ngrams("text", 5)).alias("g"))
              .select("suite", F.md5("g").alias("h")).distinct())
     return text_index_gram_probe_many(index, bench, threshold=0.05)
+
+
+@query("decontaminate_corpus_saved", f"""
+WITH {_grams_sql(5)},
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+         FROM train t JOIN bench b ON t.h = b.h GROUP BY t.doc_id),
+fl AS (SELECT hits.doc_id FROM hits JOIN tot ON hits.doc_id = tot.doc_id
+       WHERE round(CAST(hits.n_contaminated AS DOUBLE)
+                   / tot.n_grams, 6) > 0.05)
+SELECT d.source AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END)
+                  AS DOUBLE) / count(*), 6) AS drop_frac
+FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+WHERE d.doc_id % 20 <> 0
+GROUP BY d.source
+""")
+def q_decontaminate_corpus_saved(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The audit family's ACTION arm (round 12): the saved-gram
+    contamination audit's flagged docs DROP from the training corpus,
+    and the decontamination report accounts for every training doc
+    per source — ``(source, n_docs, n_dropped, drop_frac)``. The
+    flagged set comes from the standing gram index
+    (``text_index_gram_probe`` — probe-only, zero corpus tokenize on
+    the audit side); the accounting join is a broadcast of the
+    flagged ids (audit hits are output-bound, MB-sized against any
+    corpus) onto ONE pass over the training docs — the anti-join a
+    real pipeline would run to materialize the cleaned corpus,
+    expressed as its per-source report so the result is oracle-
+    checkable. Totals count every training doc, including the
+    gram-less ones the index never holds (they can never be flagged
+    but must appear in the denominator)."""
+    import os
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_build,
+        text_index_gram_probe,
+        text_index_load,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    path = os.path.join(
+        default_index_root(),
+        "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(train, path, token_mode="ngram", ngram_n=5)
+    index = text_index_load(spark, path)
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct())
+    flagged = (text_index_gram_probe(index, bench, threshold=0.05)
+               .where(F.col("flagged"))
+               .select("doc_id").withColumn("fl", F.lit(1)))
+    acc = train.join(F.broadcast(flagged), "doc_id", "left")
+    return acc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("fl"), F.lit(0)).cast("bigint")
+        .alias("n_dropped"),
+        F.round(F.coalesce(F.sum("fl"), F.lit(0)).cast("double")
+                / F.count(F.lit(1)), 6).alias("drop_frac"))

@@ -717,3 +717,29 @@ def test_contamination_suites_one_scan_regardless_of_suites(spark):
         "only the eval side may scan documents")
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_accounting_scan_prunes_text(spark):
+    """Round 12: the decontamination report's TRAINING-side pass is
+    accounting only — its documents scan must read (doc_id, source)
+    and never the text bytes (the audit side already paid its one
+    postings probe); only the eval set's own gram pipeline may read
+    text. At 100 TB the text column IS the table — an accounting
+    pass that drags it along re-reads the corpus."""
+    plan = plan_of(spark, "decontaminate_corpus_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    postings = [ln for ln in lines
+                if "FileScan" in ln and "postings_v1" in ln]
+    assert len(postings) == 1, "audit side must probe the saved index"
+    doc_scans = [ln for ln in lines
+                 if "FileScan" in ln and "documents" in ln]
+    assert len(doc_scans) == 2, (
+        f"expected the eval gram scan + the accounting scan, found "
+        f"{len(doc_scans)}")
+    text_reading = [ln for ln in doc_scans
+                    if "text" in ln.split("ReadSchema")[-1]]
+    assert len(text_reading) == 1, (
+        "the accounting scan must column-prune text; only the eval "
+        "gram pipeline may read it")
+    assert "CartesianProduct" not in plan
