@@ -455,3 +455,67 @@ def test_contamination_screen_rules_on_every_candidate(spark):
            for r in contamination_screen(arrivals, bench).collect()}
     assert got == {0: (2, 1, 0.5, True), 1: (2, 0, 0.0, False),
                    2: (0, 0, 0.0, False)}
+
+
+def test_text_maintenance_closed_loop_with_stream(spark, tmp_path):
+    """Round 12 — the TEXT twin of the vector tier's closed-loop
+    maintenance test: a live query stream runs through the
+    foreachBatch manifest re-resolution while appends push the corpus
+    away from the manifest's build-time stats; the drift telemetry
+    flips index_maintenance_due, the loop rebuilds (stats refresh),
+    and the NEXT query batch scores with the REFRESHED (n_docs,
+    avgdl) — both staleness regimes pinned by hand-computed BM25."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+        refreshing_probe_sink,
+    )
+
+    path, src, out, ckpt = (str(tmp_path / d)
+                            for d in ("tix", "src", "out", "ck"))
+    text_index_build(_docs(spark), path)  # N=4, avgdl=2.75
+    q1 = spark.createDataFrame([(100, "spark")],
+                               "query_id LONG, qtext STRING")
+    q1.write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(q1.schema).parquet(src)
+              .writeStream.foreachBatch(
+                  refreshing_probe_sink(out, path, tier="text",
+                                        id_col="query_id",
+                                        text_col="qtext"))
+              .option("checkpointLocation", ckpt).start())
+    try:
+        stream.processAllAvailable()
+        # ingest: two appended docs move n_docs 4 -> 6 (50% drift)
+        text_index_append(
+            spark.createDataFrame(
+                [(10, "spark stream"), (11, "scan filter join")],
+                "doc_id LONG, text STRING"), spark, path)
+        # mid-stream query: tf/df live, stats STALE (build-time N=4)
+        spark.createDataFrame([(200, "spark")],
+                              "query_id LONG, qtext STRING") \
+            .write.mode("append").parquet(src)
+        stream.processAllAvailable()
+        stats = index_stats(spark, path, stats_drift=True)
+        assert index_maintenance_due(stats), (
+            "50% doc growth must trigger the stats-refresh rebuild")
+        text_index_rebuild(spark, path)
+        assert not index_maintenance_due(
+            index_stats(spark, path, stats_drift=True))
+        # post-rebuild query: REFRESHED stats (N=6, avgdl=16/6)
+        spark.createDataFrame([(300, "spark")],
+                              "query_id LONG, qtext STRING") \
+            .write.mode("append").parquet(src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+    res = spark.read.parquet(out)
+    got = {(r.query_id, r.doc_id): r.bm25 for r in res.collect()}
+    # doc 10 (tf=1, dl=2) scores under df=3 in both regimes; only the
+    # corpus scalars differ between the mid-stream and final batches
+    stale = round(_bm25(1, 3, 4, 2, 2.75), 6)
+    fresh = round(_bm25(1, 3, 6, 2, 16 / 6), 6)
+    assert abs(got[(200, 10)] - stale) < 1e-9, (
+        "mid-stream batch must score with build-time stats")
+    assert abs(got[(300, 10)] - fresh) < 1e-9, (
+        "post-rebuild batch must score with refreshed stats")
+    assert stale != fresh
