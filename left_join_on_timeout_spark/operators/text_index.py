@@ -168,8 +168,10 @@ def _corpus_stats(postings: DataFrame):
     text splits to the single empty-string token, so no doc is lost).
     dl values are integer counts held in doubles, so the sums are
     exact and the resulting avgdl is bit-identical across engines and
-    summation orders."""
-    per_doc = postings.groupBy("id").agg(F.first("dl").alias("dl"))
+    summation orders. ``F.max`` (not ``F.first``) picks the per-doc
+    dl so the aggregate stays deterministic even over duplicate
+    (id, term) rows a same-id re-append left behind (ADVICE r12)."""
+    per_doc = postings.groupBy("id").agg(F.max("dl").alias("dl"))
     row = per_doc.agg(F.count("*").alias("n"),
                       F.avg("dl").alias("a")).collect()[0]
     return int(row.n), float(row.a if row.a is not None else 0.0)
@@ -380,7 +382,11 @@ def text_index_gram_probe(index: dict, bench_grams: DataFrame,
     contract: appends change a doc's hit counts immediately, its
     stored denominator at the next rebuild); tombstoned docs are
     already anti-joined out of ``index["postings"]``, so a deleted
-    doc stops appearing in audits at the next load."""
+    doc stops appearing in audits at the next load. Hit counting is
+    DISTINCT on the gram and the denominator read is ``F.max`` —
+    deterministic even if a same-id re-append left duplicate
+    (id, term) posting rows behind (ADVICE r12), though such an
+    index still needs a rebuild for its df/dup statistics."""
     meta = index["meta"]
     mode = getattr(meta, "token_mode", None) or "word"
     if mode != "ngram":
@@ -396,8 +402,8 @@ def text_index_gram_probe(index: dict, bench_grams: DataFrame,
     p = index["postings"].where(F.col("tb").isin(buckets))
     hits = p.join(F.broadcast(bench), "term")
     out = hits.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_contaminated"),
-        F.first("dl").cast("bigint").alias("n_grams"))
+        F.count_distinct("term").alias("n_contaminated"),
+        F.max("dl").cast("bigint").alias("n_grams"))
     contamination = F.round(
         F.col("n_contaminated").cast("double") / F.col("n_grams"), 6)
     return (out.withColumn("contamination", contamination)
@@ -442,8 +448,8 @@ def text_index_gram_probe_many(index: dict, bench_grams: DataFrame,
     p = index["postings"].where(F.col("tb").isin(buckets))
     hits = p.join(F.broadcast(bench), "term")
     out = hits.groupBy(suite_col, "id").agg(
-        F.count(F.lit(1)).alias("n_contaminated"),
-        F.first("dl").cast("bigint").alias("n_grams"))
+        F.count_distinct("term").alias("n_contaminated"),
+        F.max("dl").cast("bigint").alias("n_grams"))
     contamination = F.round(
         F.col("n_contaminated").cast("double") / F.col("n_grams"), 6)
     return (out.withColumn("contamination", contamination)
@@ -548,8 +554,13 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     df/tf/dl of the new docs take effect immediately — the
     bounded-staleness contract of the ANN cell caps, erased at the
     next :func:`text_index_rebuild`. Re-appending a doc id double-
-    counts its tf; idempotency is the caller's concern, as with every
-    append-only tier."""
+    counts its tf (word tier) and leaves duplicate (id, term) rows
+    with possibly divergent dl behind (gram tier) — updating an
+    already-indexed doc requires :func:`text_index_delete` first, as
+    with every append-only tier; the gram PROBES stay deterministic
+    under such duplicates (distinct-gram counting, max-dl
+    denominator — ADVICE r12) but :func:`text_index_dup_stats` and
+    the df statistics need the rebuild to be trustworthy again."""
     index = text_index_load(spark, path)
     _check_id_col(index["meta"], id_col, "append")
     meta = index["meta"]

@@ -1039,29 +1039,36 @@ def q_stream_text_probe_refresh(spark: SparkSession,
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out)
+    # the sink is at-least-once across epoch retries; .distinct()
+    # makes the read retry-proof like the LSH twin's (ADVICE r12)
+    return spark.read.parquet(out).distinct()
 
 
 @query("stream_contamination_screen", f"""
 WITH toks AS (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                           '\\s+') AS w
               FROM documents),
 grams AS (
   SELECT DISTINCT doc_id,
          md5(array_to_string(w[i:i+4], ' ')) AS h
   FROM toks, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
 bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
-arr AS (SELECT doc_id, h FROM grams WHERE doc_id % 10 = 5),
+arr AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
 scr AS (SELECT a.doc_id,
-               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(g.h) AS BIGINT) AS n_grams,
                CAST(count(b.h) AS BIGINT) AS n_contaminated
-        FROM arr a LEFT JOIN bench b ON a.h = b.h
+        FROM arr a
+        LEFT JOIN grams g ON g.doc_id = a.doc_id
+        LEFT JOIN bench b ON g.h = b.h
         GROUP BY a.doc_id)
 SELECT doc_id, n_grams, n_contaminated,
-       round(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
-         AS contamination,
-       round(CAST(n_contaminated AS DOUBLE) / n_grams, 6) > 0.05
-         AS flagged
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE round(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
+            END AS contamination,
+       CASE WHEN n_grams = 0 THEN false
+            ELSE round(CAST(n_contaminated AS DOUBLE) / n_grams, 6)
+                 > 0.05 END AS flagged
 FROM scr
 """)
 def q_stream_contamination_screen(spark: SparkSession,
@@ -1080,9 +1087,12 @@ def q_stream_contamination_screen(spark: SparkSession,
     aggregation state or watermark is needed. Every arriving doc gets
     a ruling — clean docs report (n, 0, 0.0, false) — because an
     admission gate must rule on every candidate. The oracle replays
-    the screen over the bounded arrival set; the eval docs here hold
-    ≥5 words each, so the zero-gram guard arm stays a semantics test
-    (tests/test_text_index.py)."""
+    the screen SHAPE-ROBUSTLY (ADVICE r12): arrivals come from the
+    documents table itself with a LEFT JOIN to their grams and
+    NULL text coalesced like the shared normalizer, so gram-less or
+    NULL-text candidates are covered by the oracle, not by dataset
+    accident (the zero-gram arm also stays a semantics test in
+    tests/test_text_index.py)."""
     import os
     import tempfile
 

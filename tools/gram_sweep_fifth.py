@@ -62,14 +62,17 @@ def bench_grams(docs, k):
 
 def fused_audit(docs, k):
     """The contamination_ngram_overlap shape against eval slice k:
-    full-corpus shingle per run (the r11 baseline)."""
+    full-corpus shingle per run (the r11 baseline). The train side
+    excludes ALL eval slices — the same corpus the saved index is
+    built on — so the fused hit set and the probe hit set compare
+    identical corpora (ADVICE r12)."""
     grams = (docs.select("doc_id",
                          F.explode(word_ngrams("text", N)).alias("g"))
              .select("doc_id", F.md5("g").alias("h"))
              .distinct())
     bench = (grams.where(F.col("doc_id") % 1000 == k)
              .select("h").distinct().withColumn("m", F.lit(1)))
-    train = grams.where(F.col("doc_id") % 1000 != k)
+    train = grams.where(F.col("doc_id") % 1000 >= len(SLICES))
     probed = train.join(F.broadcast(bench), "h", "left")
     out = probed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
