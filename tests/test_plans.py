@@ -743,3 +743,34 @@ def test_decontaminate_accounting_scan_prunes_text(spark):
         "the accounting scan must column-prune text; only the eval "
         "gram pipeline may read it")
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_rebuilt_serve_reads_postings_v2_only(spark):
+    """Round 13 (VERDICT r12 missing #1): after the gram tier's
+    build → append → delete → rebuild arc, the contamination serve
+    reads the REBUILT ``postings_v2`` (tombstones dropped physically)
+    and never the stale v1 — the manifest-pointer discipline the word
+    tier is gated on — still as ONE pruned postings scan with the
+    eval set's gram pipeline the only documents scan, and the gram
+    membership a broadcast join. (The bucket PartitionFilter's
+    presence is asserted for plumbing; at realistic eval sizes grams
+    hash into every bucket, so the scale win is the absent corpus
+    tokenize, not pruned I/O — PLANS.md r12.)"""
+    plan = plan_of(spark, "contamination_rebuilt_saved")
+    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    lines = main.splitlines()
+    v2 = [ln for ln in lines
+          if "FileScan" in ln and "postings_v2" in ln]
+    assert len(v2) == 1, (
+        f"rebuilt probe must plan ONE postings_v2 scan, found "
+        f"{len(v2)}")
+    assert not any("postings_v1" in ln for ln in plan.splitlines()), (
+        "serve leaked the pre-rebuild postings version")
+    assert any("PartitionFilters" in ln and "tb#" in ln
+               for ln in lines)
+    doc_scans = [ln for ln in lines
+                 if "FileScan" in ln and "documents" in ln]
+    assert len(doc_scans) == 1, (
+        "only the eval side may scan documents")
+    assert "BroadcastHashJoin" in main
+    assert "CartesianProduct" not in plan
