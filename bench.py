@@ -168,17 +168,28 @@ _R12_ADDITIONS = [
 ]
 HEADLINE += _R12_ADDITIONS
 
-# The previous round's headline set (BENCH_r11.json — 102 queries),
+# Round-13 additions: the gram tier's full maintenance arc + ingest
+# stream, the decontamination loop closed into the indexes, and the
+# end-to-end curation capstone.
+_R13_ADDITIONS = [
+    "contamination_rebuilt_saved",
+    "stream_gram_index_append",
+    "decontaminate_indexes_saved",
+    "curation_pipeline_e2e",
+]
+HEADLINE += _R13_ADDITIONS
+
+# The previous round's headline set (BENCH_r12.json — 110 queries),
 # derived by content: this round's additions removed from the full
 # list. The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query
 # sets, not the headline total, which grows whenever new queries join
 # the set (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = [n for n in HEADLINE if n not in set(_R12_ADDITIONS)]
-assert len(PREV_HEADLINE) == 102, (
-    "PREV_HEADLINE must be exactly the r11 bench set; update "
-    "_R12_ADDITIONS when the headline list changes")
+PREV_HEADLINE = [n for n in HEADLINE if n not in set(_R13_ADDITIONS)]
+assert len(PREV_HEADLINE) == 110, (
+    "PREV_HEADLINE must be exactly the r12 bench set; update "
+    "_R13_ADDITIONS when the headline list changes")
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:

@@ -384,26 +384,24 @@ EXTRA_ORACLE: dict[str, str] = {
 # ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
 # section -- every already-green name whose operator or oracle was
 # touched this round re-adjudicates now, so a semantics change never
-# ships with only local test coverage.  Round 12 order:
-#   1-8    NEW queries (contamination audit served from the saved
-#          n-gram index; the dup-mass audit from the same gram tier;
-#          the hybrid sweep fusing both saved tiers per query; the
-#          text tier's refreshing read stream; the text tier's full
-#          rebuild lifecycle);
-#   9-18   sentinels: every query whose path round 12 touched -- the
-#          fused BM25 arm's normalization (bm25_scores + both its
-#          oracles), the text_index build/append/rebuild signature
-#          extension (every saved-text name), rrf_fuse's group_cols
-#          extension (both hybrid names), refreshing_probe's text-tier
-#          dispatch (both existing refresh streams), and the
-#          eager-contract/probe-cap work in similarity/srp_index
-#          (both margin-mining names);
-#   19-34  the staleness rotation: the 16 remaining age-6 r6 names --
-#          the r6 vintage FINISHES this round, re-adjudicating the
-#          FLAGSHIP timeout_left_join and the tws/timer tier whose
-#          driver evidence was 5 rounds old (VERDICT r11 missing #4);
-#   35-50  the oldest 16 of the 45 r7 names alphabetically; the
-#          remaining 29 carry to r13.
+# ships with only local test coverage.  Round 13 order:
+#   1-4    NEW queries (the gram tier's full maintenance arc; the
+#          gram ingest write stream; the decontamination loop closed
+#          into the standing indexes; the end-to-end curation
+#          capstone);
+#   5-12   sentinels: every query whose path round 13 touched -- the
+#          gram probes' determinism rework (distinct-gram hits +
+#          max-dl denominators feed all four saved-audit names), the
+#          ingest screen's shape-robust oracle, the text refresh
+#          stream's retry-proof sink read, and _corpus_stats'
+#          deterministic dl pick (both saved-BM25 lifecycle names
+#          re-adjudicate for it);
+#   13-34  the staleness rotation: ALL 22 remaining age-6 r7 names --
+#          the r7 vintage FINISHES this round, re-adjudicating the
+#          O8/O12/O14 driver evidence (kafka_sink_encode,
+#          multi_match_cardinality, key_partition_hist);
+#   35-50  the oldest 16 of the r8 names alphabetically; the rest
+#          carry to r14.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -411,56 +409,56 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    "contamination_suites_saved",  # NEW (K suites, one postings pass)
-    "contamination_sweep_saved",  # NEW
-    "crossdoc_dup_saved",  # NEW (dup-mass audit from the saved grams)
-    "decontaminate_corpus_saved",  # NEW (the audit family's action arm)
-    "hybrid_search_sweep_saved",  # NEW
-    "stream_contamination_screen",  # NEW (ingest admission gate)
-    "stream_text_probe_refresh",  # NEW
-    "text_bm25_rebuilt_saved",  # NEW
-    "bitext_margin_mine",  # r11 SENTINEL
-    "bitext_margin_mine_saved",  # r11 SENTINEL
-    "hybrid_search_rrf",  # r11 SENTINEL
-    "hybrid_search_rrf_saved",  # r11 SENTINEL
-    "stream_ann_probe_refresh",  # r11 SENTINEL
-    "stream_lsh_probe_refresh",  # r11 SENTINEL
-    "stream_text_index_append",  # r11 SENTINEL
-    "text_bm25_saved",  # r11 SENTINEL
-    "text_bm25_sweep",  # r11 SENTINEL
-    "text_bm25_topk",  # r11 SENTINEL
-    "novelty_score_docs",  # r6
-    "ordered_funnel_sessions",  # r6
-    "pagerank_candidates",  # r6
-    "purchase_interarrival_stats",  # r6
-    "q1_pricing_summary",  # r6
-    "quantile_normalize_quality",  # r6
-    "stream_dedup_keys",  # r6
-    "stream_dynamic_timeout_left_join",  # r6
-    "stream_json_dead_letter",  # r6
-    "timeout_left_join",  # r6 (FLAGSHIP)
-    "timer_timeout_left_join",  # r6
-    "training_order_shuffle",  # r6
-    "tws_timeout_left_join",  # r6
-    "user_value_trend",  # r6
-    "weighted_sample_docs",  # r6
-    "zorder_layout_stats",  # r6
-    "analytic_order_moves",  # r7
-    "approx_sketches",  # r7
-    "crossdoc_dup_ngrams",  # r7
-    "cube_order_status",  # r7
-    "dedup_cc_clusters",  # r7
-    "dedup_edit_distance",  # r7
-    "dedup_lsh_jaccard",  # r7
-    "dedup_ngram_jaccard",  # r7
-    "dedup_simhash",  # r7
-    "dedup_simhash_hamming2",  # r7
-    "distinct_counts",  # r7
-    "embedding_near_dup",  # r7
-    "events_daily_resample",  # r7
-    "exact_median_prices",  # r7
-    "exists_semi_join",  # r7
-    "global_price_rank",  # r7
+    "contamination_rebuilt_saved",  # NEW (gram maintenance arc)
+    "curation_pipeline_e2e",  # NEW (end-to-end curation capstone)
+    "decontaminate_indexes_saved",  # NEW (loop closed into indexes)
+    "stream_gram_index_append",  # NEW (gram ingest write stream)
+    "contamination_suites_saved",  # r12 SENTINEL
+    "contamination_sweep_saved",  # r12 SENTINEL
+    "crossdoc_dup_saved",  # r12 SENTINEL
+    "decontaminate_corpus_saved",  # r12 SENTINEL
+    "stream_contamination_screen",  # r12 SENTINEL
+    "stream_text_probe_refresh",  # r12 SENTINEL
+    "text_bm25_rebuilt_saved",  # r12 SENTINEL
+    "text_bm25_saved",  # r12 SENTINEL
+    "incremental_agg_refresh",  # r7
+    "kafka_sink_encode",  # r7
+    "key_partition_hist",  # r7
+    "multi_format_roundtrip",  # r7
+    "multi_match_cardinality",  # r7
+    "multimodal_frame_sample",  # r7
+    "nested_array_types",  # r7
+    "pivot_event_types",  # r7
+    "profile_documents",  # r7
+    "props_map_explode",  # r7
+    "q13_customer_distribution",  # r7
+    "q17_small_qty_revenue",  # r7
+    "q21_waiting_suppliers",  # r7
+    "q2_min_cost_supplier",  # r7
+    "q3_shipping_priority",  # r7
+    "q4_order_priority",  # r7
+    "q5_local_supplier_volume",  # r7
+    "q6_revenue_delta",  # r7
+    "rollup_revenue",  # r7
+    "scalar_functions",  # r7
+    "session_window_stats",  # r7
+    "sessionization",  # r7
+    "set_ops_customers",  # r7
+    "sliding_window_events",  # r7
+    "top_k_orders",  # r7
+    "tumbling_window_events",  # r7
+    "union_all_keys",  # r7
+    "window_running_revenue",  # r7
+    "window_top3_per_customer",  # r7
+    "ann_recall_srp",  # r8
+    "ann_top1_ivfpq",  # r8
+    "cdc_latest_per_key",  # r8
+    "chunk_documents_windows",  # r8
+    "cohort_retention_weekly",  # r8
+    "contamination_ngram_overlap",  # r8
+    "dedup_keep_canonical",  # r8
+    "funnel_conversion_daily",  # r8
+    "grouping_sets_revenue",  # r8
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
