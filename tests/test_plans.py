@@ -609,7 +609,16 @@ def test_contamination_sweep_serve_is_probe_only(spark):
     (the eval set's own gram pipeline — the training corpus never
     re-tokenizes), and the membership test is a broadcast join, not a
     corpus-sized shuffle. Counts are taken on the main plan section
-    (dynamic-pruning subqueries re-print probe subtrees)."""
+    (dynamic-pruning subqueries re-print probe subtrees).
+
+    NOTE (VERDICT r12 wrong #2): the PartitionFilter assertion checks
+    PLUMBING, not the win — at realistic eval sizes (~250 k grams)
+    the eval set hashes into every tb bucket and the filter prunes
+    nothing; the scale win is the ABSENT corpus tokenize (the single
+    postings scan + single documents scan assertions). Bucket pruning
+    earns its keep only on small term-query probes
+    (tools/text_index_fifth.py); don't mistake the filter for the
+    win in a refactor."""
     plan = plan_of(spark, "contamination_sweep_saved")
     main = plan.split("SubqueryAdaptiveBroadcast")[0]
     lines = main.splitlines()
