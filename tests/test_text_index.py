@@ -645,3 +645,64 @@ def test_decontamination_loop_closes_across_tiers(spark, tmp_path):
         probe, ivf2_index_load(spark, vpath)).collect()}
     assert neigh and not (neigh & {0, 1}), (
         "IVF2 still serves flagged docs' embeddings")
+
+
+def test_decontamination_closed_loop_under_ingest_stream(spark, tmp_path):
+    """Round 13 — the decontamination loop closed UNDER A LIVE INGEST
+    STREAM (the operability shape a production corpus runs): docs
+    arrive through the foreachBatch gram-append sink; a contaminated
+    arrival slips in (no ingest screen on this path — exactly the gap
+    a recurring audit exists to catch); the audit flags it
+    IMMEDIATELY (appends are probe-live), the flagged set tombstones
+    the index mid-stream, the post-delete audit is clean, and the
+    ingest stream keeps appending across the delete (tombstones don't
+    move the manifest pointer, and the appender re-resolves the
+    manifest per batch) — with a final rebuild staying clean and
+    keeping every later arrival served."""
+    from left_join_on_timeout_spark.operators.text_index import (
+        text_index_gram_probe,
+    )
+
+    path, src, ckpt = (str(tmp_path / d) for d in ("gix", "src", "ck"))
+    text_index_build(_gram_docs(spark).where(F.col("doc_id") == 2),
+                     path, token_mode="ngram", ngram_n=5)
+    bench = _bench(spark, "a b c d e")
+    schema = "doc_id LONG, text STRING"
+
+    def _append(batch_df, epoch_id):
+        text_index_append(batch_df, spark, path)
+
+    # batch 1: one clean + one CONTAMINATED arrival
+    spark.createDataFrame([(20, "p q r s t u"), (21, "a b c d e x")],
+                          schema).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", ckpt).start())
+    try:
+        stream.processAllAvailable()
+        index = text_index_load(spark, path)
+        flagged = (text_index_gram_probe(index, bench)
+                   .where(F.col("flagged")).select("doc_id"))
+        assert {r.doc_id for r in flagged.collect()} == {21}, (
+            "the streamed contaminated arrival must audit immediately")
+        # close the loop mid-stream: tombstone the flagged set
+        text_index_delete(spark, path, flagged)
+        assert text_index_gram_probe(
+            text_index_load(spark, path), bench) \
+            .where(F.col("flagged")).count() == 0
+        # the stream survives the delete: a later batch still appends
+        spark.createDataFrame([(22, "h i j k l m")], schema) \
+            .write.mode("append").parquet(src)
+        stream.processAllAvailable()
+    finally:
+        stream.stop()
+    text_index_rebuild(spark, path)
+    after = text_index_load(spark, path)
+    assert int(after["meta"].seq) == 2
+    live = {r.id for r in after["postings"]
+            .select("id").distinct().collect()}
+    assert 21 not in live, "rebuild must drop the flagged doc physically"
+    assert {2, 20, 22} <= live, "clean arrivals must keep serving"
+    assert text_index_gram_probe(after, bench) \
+        .where(F.col("flagged")).count() == 0
