@@ -1410,9 +1410,13 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     docs = load_table(spark, sf_dir, "documents")
+    # the eval gram set gates BOTH the ingest screen and the
+    # decontamination audit — MB-sized by the benchmark contract, so
+    # persist one materialization across the stages
     bench = (docs.where(F.col("doc_id") % 20 == 0)
              .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+             .select(F.md5("g").alias("h")).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     # The candidate batch carries a CONTAMINATED SPIKE: eval docs
     # re-keyed as new candidates (the leak a screen exists to stop —
     # and the canary that guarantees the screen arm FIRES at every
@@ -1421,9 +1425,12 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     spike = (docs.where(F.col("doc_id") % 100 == 0)
              .select((F.col("doc_id") + F.lit(10000000))
                      .alias("doc_id"), "source", "text"))
+    # the arrival batch feeds the screen, the dedup probe, and three
+    # per-source accounting joins — batch-sized, persist it once
     arrivals = (docs.where(F.col("doc_id") % 10 == 5)
                 .select("doc_id", "source", "text")
-                .unionByName(spike))
+                .unionByName(spike)
+                .persist(StorageLevel.MEMORY_AND_DISK))
     standing = docs.where((F.col("doc_id") % 20 != 0)
                           & (F.col("doc_id") % 10 != 5))
 
