@@ -1549,9 +1549,18 @@ def index_stats(spark: SparkSession, path: str,
             # the dl-DENOMINATOR drift (the stored per-doc
             # distinct-gram counts' average vs the manifest's — the
             # contamination denominator's staleness), so the signals
-            # carry the tier's own names.
+            # carry the tier's own names. The backlog counts RAW
+            # (pre-tombstone) ids: deletes leave rows until rebuild,
+            # so raw_n − base_n is exactly the appended-doc count and
+            # a concurrent delete can never mask the append backlog
+            # (a live-count net delta would read 0 after equal-sized
+            # delete+append — the staleness this signal exists to
+            # catch). A delete-then-re-append of the SAME id is the
+            # one undercount, and that flow is a rebuild-requiring
+            # contract violation anyway (delete-first update).
+            raw_n = postings.select("id").distinct().count()
             out["appended_docs_frac"] = (
-                max(live_n - base_n, 0) / max(base_n, 1))
+                max(raw_n - base_n, 0) / max(base_n, 1))
             out["dl_drift_frac"] = (
                 abs(live_avgdl - base_avgdl) / base_avgdl
                 if base_avgdl > 0 else 0.0)

@@ -348,7 +348,10 @@ def _check_seed_id_dtype(emb: DataFrame, id_col: str, fn: str) -> None:
     dtype guards (VERDICT r12 wrong #1). Fail loud at build/encode
     entry; string-keyed corpora belong on the IVF2 tier, whose
     rank-based seed rule is id-dtype-agnostic."""
-    dt = dict(emb.select(id_col).dtypes)[id_col]
+    # alias before reading dtypes: Spark resolves id_col
+    # case-insensitively but dtypes reports the schema's spelling, so
+    # a bare dict lookup by the caller's spelling could KeyError
+    dt = emb.select(F.col(id_col).alias("_sid")).dtypes[0][1]
     if dt not in _SEED_ID_TYPES:
         raise ValueError(
             f"{fn} seeds anchors/codebooks via the id<n rule, which "

@@ -385,8 +385,12 @@ def text_index_gram_probe(index: dict, bench_grams: DataFrame,
     doc stops appearing in audits at the next load. Hit counting is
     DISTINCT on the gram and the denominator read is ``F.max`` —
     deterministic even if a same-id re-append left duplicate
-    (id, term) posting rows behind (ADVICE r12), though such an
-    index still needs a rebuild for its df/dup statistics."""
+    (id, term) posting rows behind (ADVICE r12). Boundedness is a
+    weaker promise: a VERBATIM re-append keeps contamination ≤ 1,
+    but a re-append with CHANGED text merges two gram sets over one
+    version's denominator and the ratio can exceed 1 — such updates
+    require delete-first (the append contract), and df/dup stats
+    need the rebuild either way."""
     meta = index["meta"]
     mode = getattr(meta, "token_mode", None) or "word"
     if mode != "ngram":

@@ -396,12 +396,12 @@ EXTRA_ORACLE: dict[str, str] = {
 #          stream's retry-proof sink read, and _corpus_stats'
 #          deterministic dl pick (both saved-BM25 lifecycle names
 #          re-adjudicate for it);
-#   13-34  the staleness rotation: ALL 22 remaining age-6 r7 names --
+#   13-41  the staleness rotation: ALL 29 remaining age-6 r7 names --
 #          the r7 vintage FINISHES this round, re-adjudicating the
 #          O8/O12/O14 driver evidence (kafka_sink_encode,
 #          multi_match_cardinality, key_partition_hist);
-#   35-50  the oldest 16 of the r8 names alphabetically; the rest
-#          carry to r14.
+#   42-50  the oldest 9 of the 36 r8 names alphabetically; the
+#          remaining 27 carry to r14.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after

@@ -1215,7 +1215,8 @@ arr AS (SELECT doc_id, source, doc_id AS gid FROM documents
         WHERE doc_id % 10 = 5
         UNION ALL
         SELECT doc_id + 10000000 AS doc_id, source, doc_id AS gid
-        FROM documents WHERE doc_id % 100 = 0),
+        FROM documents WHERE doc_id % 100 = 0
+          AND doc_id IN (SELECT doc_id FROM grams)),
 scr AS (SELECT a.doc_id, count(g.h) AS n_g, count(b.h) AS n_hit
         FROM arr a
         LEFT JOIN grams g ON g.doc_id = a.gid
@@ -1422,7 +1423,13 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the canary that guarantees the screen arm FIRES at every
     # SF; the testdata's organic near-dups never straddle the
     # arrival/bench slices at sf0.01).
+    # gram-BEARING eval docs only: a <5-word eval doc has no grams,
+    # its spike would pass the screen clean and reach the later
+    # stages, where the oracle's re-keyed id (absent from documents)
+    # and the Spark side's carried text diverge — the spike must be
+    # contaminated by construction (contamination = 1.0, screened)
     spike = (docs.where(F.col("doc_id") % 100 == 0)
+             .where(F.size(word_ngrams("text", 5)) > 0)
              .select((F.col("doc_id") + F.lit(10000000))
                      .alias("doc_id"), "source", "text"))
     # the arrival batch feeds the screen, the dedup probe, and three

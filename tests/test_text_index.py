@@ -527,12 +527,12 @@ def test_text_maintenance_closed_loop_with_stream(spark, tmp_path):
 def test_gram_probe_deterministic_under_same_id_reappend(spark, tmp_path):
     """ADVICE r12: a same-id re-append leaves duplicate (id, term)
     posting rows behind (the documented delete-first contract), but
-    the gram PROBES must stay deterministic and bounded anyway —
-    distinct-gram hit counting and a max-dl denominator keep
-    contamination ≤ 1 and run-stable; a rebuild then compacts the
-    duplicates away (the postings re-publish is a row-identity pass,
-    so dup rows persist until delete-first — the probe just can't be
-    poisoned by them)."""
+    the gram PROBES must stay DETERMINISTIC anyway — distinct-gram
+    hit counting and a max-dl denominator are run-stable, and for a
+    VERBATIM re-append (this case) contamination also stays ≤ 1.
+    (A re-append with CHANGED text merges two gram sets over one
+    version's denominator and can exceed 1 — that update flow
+    requires delete-first, per the append contract.)"""
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_gram_probe,
     )
@@ -584,6 +584,14 @@ def test_gram_stats_drift_uses_gram_tier_naming(spark, tmp_path):
     # 3 gram-bearing docs at build, 2 appended
     assert abs(s1["appended_docs_frac"] - 2 / 3) < 1e-12
     assert index_maintenance_due(s1), "append backlog must trigger"
+    # a tombstone-delete must NOT mask the append backlog: the signal
+    # counts raw (pre-tombstone) ids, so deleting two docs leaves the
+    # two appended docs' backlog fully visible (a live-count net
+    # delta would read 0 here)
+    text_index_delete(spark, path, [0, 1])
+    s1d = index_stats(spark, path, stats_drift=True)
+    assert abs(s1d["appended_docs_frac"] - 2 / 3) < 1e-12, (
+        "deletes masked the append backlog")
     text_index_rebuild(spark, path)
     s2 = index_stats(spark, path, stats_drift=True)
     assert s2["appended_docs_frac"] == 0.0

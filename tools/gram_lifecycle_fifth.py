@@ -68,10 +68,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     res: dict = {"corpus": DENSE, "index": WORK, "n": N}
 
-    if not os.path.exists(os.path.join(WORK, "latest")):
-        t0 = time.time()
-        shutil.copytree(SRC, WORK, dirs_exist_ok=True)
-        res["copy_sec"] = round(time.time() - t0, 1)
+    if os.path.exists(os.path.join(WORK, "latest")):
+        # a prior run already appended/deleted/rebuilt this copy — a
+        # re-run would measure a double-appended seq-2 index and
+        # present polluted numbers as scale evidence; fail loud
+        raise SystemExit(
+            f"{WORK} already holds a mutated lifecycle index; delete "
+            f"it (rm -rf) to re-measure from a fresh copy of {SRC}")
+    t0 = time.time()
+    shutil.copytree(SRC, WORK, dirs_exist_ok=True)
+    res["copy_sec"] = round(time.time() - t0, 1)
 
     docs = spark.read.parquet(os.path.join(DENSE, "documents.parquet"))
     batch = docs.where(F.col("doc_id") % 1000 == 3) \

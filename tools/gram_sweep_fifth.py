@@ -72,7 +72,7 @@ def fused_audit(docs, k):
              .distinct())
     bench = (grams.where(F.col("doc_id") % 1000 == k)
              .select("h").distinct().withColumn("m", F.lit(1)))
-    train = grams.where(F.col("doc_id") % 1000 >= len(SLICES))
+    train = grams.where(~(F.col("doc_id") % 1000).isin(SLICES))
     probed = train.join(F.broadcast(bench), "h", "left")
     out = probed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -84,7 +84,7 @@ def main() -> None:
     spark = get_spark(app_name="gram_sweep_fifth")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(DENSE, "documents.parquet"))
-    train = docs.where(F.col("doc_id") % 1000 >= len(SLICES))
+    train = docs.where(~(F.col("doc_id") % 1000).isin(SLICES))
     res: dict = {"corpus": DENSE, "n": N, "slices": SLICES}
 
     t0 = time.time()
