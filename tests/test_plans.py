@@ -122,6 +122,31 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def strip_cached(plan: str) -> str:
+    """Drop InMemoryRelation subtrees from a plan string. A cache hit
+    (CacheManager dedups by logical plan ACROSS queries in a session —
+    the ann_top1_ivf2_sampled note) re-prints the cached relation's
+    full child plan under the InMemoryTableScan line, so naive line
+    counting sees FileScans that never run; scan-count gates must look
+    at the live plan only. The cached subtree is exactly the lines
+    more indented than the InMemoryRelation header."""
+    import re
+
+    out, skip = [], None
+    for ln in plan.splitlines():
+        m = re.search(r"[A-Za-z*]", ln)
+        ind = m.start() if m else 0
+        if skip is not None:
+            if ind > skip:
+                continue
+            skip = None
+        if "InMemoryRelation" in ln:
+            skip = ind
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_no_cartesian_or_stray_nlj(spark, name):
     plan = plan_of(spark, name)
@@ -620,7 +645,7 @@ def test_contamination_sweep_serve_is_probe_only(spark):
     (tools/text_index_fifth.py); don't mistake the filter for the
     win in a refactor."""
     plan = plan_of(spark, "contamination_sweep_saved")
-    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    main = strip_cached(plan.split("SubqueryAdaptiveBroadcast")[0])
     lines = main.splitlines()
     postings = [ln for ln in lines
                 if "FileScan" in ln and "postings_v1" in ln]
@@ -632,9 +657,17 @@ def test_contamination_sweep_serve_is_probe_only(spark):
         "the gram-bucket partition filter must prune the scan")
     doc_scans = [ln for ln in lines
                  if "FileScan" in ln and "documents" in ln]
-    assert len(doc_scans) == 1, (
+    # an earlier query in the session may have PERSISTED the same
+    # eval-gram logical plan (CacheManager dedups across queries);
+    # the eval side then serves from InMemoryTableScan — zero live
+    # documents scans is the even-better shape
+    assert len(doc_scans) <= 1, (
         f"only the eval side may scan documents, found "
         f"{len(doc_scans)}")
+    if not doc_scans:
+        assert "InMemoryTableScan" in main, (
+            "no documents scan and no cached eval grams — where did "
+            "the eval side come from?")
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
 
@@ -736,21 +769,25 @@ def test_decontaminate_accounting_scan_prunes_text(spark):
     text. At 100 TB the text column IS the table — an accounting
     pass that drags it along re-reads the corpus."""
     plan = plan_of(spark, "decontaminate_corpus_saved")
-    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    main = strip_cached(plan.split("SubqueryAdaptiveBroadcast")[0])
     lines = main.splitlines()
     postings = [ln for ln in lines
                 if "FileScan" in ln and "postings_v1" in ln]
     assert len(postings) == 1, "audit side must probe the saved index"
     doc_scans = [ln for ln in lines
                  if "FileScan" in ln and "documents" in ln]
-    assert len(doc_scans) == 2, (
-        f"expected the eval gram scan + the accounting scan, found "
-        f"{len(doc_scans)}")
-    text_reading = [ln for ln in doc_scans
-                    if "text" in ln.split("ReadSchema")[-1]]
-    assert len(text_reading) == 1, (
-        "the accounting scan must column-prune text; only the eval "
-        "gram pipeline may read it")
+    accounting = [ln for ln in doc_scans
+                  if "text" not in ln.split("ReadSchema")[-1]]
+    assert len(accounting) == 1, (
+        f"expected ONE text-pruned accounting scan, found "
+        f"{len(accounting)} of {len(doc_scans)} documents scans")
+    text_reading = [ln for ln in doc_scans if ln not in accounting]
+    # the eval gram side either scans documents (text) itself or
+    # serves from a cache an earlier query persisted (see strip_cached)
+    assert len(text_reading) <= 1, (
+        "only the eval gram pipeline may read text")
+    if not text_reading:
+        assert "InMemoryTableScan" in main
     assert "CartesianProduct" not in plan
 
 
@@ -766,7 +803,7 @@ def test_contamination_rebuilt_serve_reads_postings_v2_only(spark):
     hash into every bucket, so the scale win is the absent corpus
     tokenize, not pruned I/O — PLANS.md r12.)"""
     plan = plan_of(spark, "contamination_rebuilt_saved")
-    main = plan.split("SubqueryAdaptiveBroadcast")[0]
+    main = strip_cached(plan.split("SubqueryAdaptiveBroadcast")[0])
     lines = main.splitlines()
     v2 = [ln for ln in lines
           if "FileScan" in ln and "postings_v2" in ln]
@@ -779,8 +816,12 @@ def test_contamination_rebuilt_serve_reads_postings_v2_only(spark):
                for ln in lines)
     doc_scans = [ln for ln in lines
                  if "FileScan" in ln and "documents" in ln]
-    assert len(doc_scans) == 1, (
+    # eval side: one live scan, or zero when served from a cache an
+    # earlier query persisted (see strip_cached)
+    assert len(doc_scans) <= 1, (
         "only the eval side may scan documents")
+    if not doc_scans:
+        assert "InMemoryTableScan" in main
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
 
