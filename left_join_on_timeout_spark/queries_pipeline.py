@@ -1193,6 +1193,28 @@ def q_events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stages reuse the canonical SQL twins (sql_lsh fragments, the gram
 # pipeline, the cluster-split gate, the packing window) so each stage's
 # arithmetic is the exact fragment its standalone oracle pins.
+# The capstone's contaminated-spike re-key offset. A fixed constant
+# aliases silently once a corpus carries doc_ids at or past it
+# (ADVICE r13) — ``_check_spike_offset`` makes the scale assumption
+# fail LOUD at query entry instead; a bigger corpus raises the offset
+# here and the oracle follows (the SQL embeds the same constant).
+SPIKE_OFFSET = 10_000_000
+
+
+def _check_spike_offset(docs: DataFrame) -> None:
+    """Refuse to re-key spike docs into an id range the corpus already
+    occupies: one column-pruned max() over doc_id (stat-read class — a
+    lake table answers it from footer metadata). Raises ValueError so
+    a 10 M+-doc corpus stops the capstone instead of silently aliasing
+    spike ids onto real documents and diverging from the oracle."""
+    mx = docs.agg(F.max("doc_id").alias("mx")).first()["mx"]
+    if mx is not None and int(mx) >= SPIKE_OFFSET:
+        raise ValueError(
+            f"max(doc_id) = {mx} >= spike re-key offset {SPIKE_OFFSET}"
+            f" — re-keyed eval spikes would collide with real doc_ids;"
+            f" raise SPIKE_OFFSET past the corpus id range")
+
+
 def _curation_capstone_sql() -> str:
     from left_join_on_timeout_spark.functions.text import BPE_TOKEN_RE
     from left_join_on_timeout_spark.operators.dedup import (
@@ -1201,12 +1223,15 @@ def _curation_capstone_sql() -> str:
     from left_join_on_timeout_spark.sql_lsh import (
         BAND_SELECTS,
         DIGEST_COLS,
-        SHINGLES_CTE,
+        NULLSAFE_SHINGLES_CTE,
         SIG_COLS,
     )
 
+    # NULLSAFE tokenizer (ADVICE r13): the Spark side's normalize()
+    # maps NULL text to '', so the oracle's toks/grams CTEs must too —
+    # a NULL-text document otherwise diverges the two sides.
     return f"""
-WITH RECURSIVE {SHINGLES_CTE},
+WITH RECURSIVE {NULLSAFE_SHINGLES_CTE},
 grams AS (
   SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
   FROM toks, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
@@ -1214,7 +1239,7 @@ bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 20 = 0),
 arr AS (SELECT doc_id, source, doc_id AS gid FROM documents
         WHERE doc_id % 10 = 5
         UNION ALL
-        SELECT doc_id + 10000000 AS doc_id, source, doc_id AS gid
+        SELECT doc_id + {SPIKE_OFFSET} AS doc_id, source, doc_id AS gid
         FROM documents WHERE doc_id % 100 = 0
           AND doc_id IN (SELECT doc_id FROM grams)),
 scr AS (SELECT a.doc_id, count(g.h) AS n_g, count(b.h) AS n_hit
@@ -1428,9 +1453,10 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages, where the oracle's re-keyed id (absent from documents)
     # and the Spark side's carried text diverge — the spike must be
     # contaminated by construction (contamination = 1.0, screened)
+    _check_spike_offset(docs)
     spike = (docs.where(F.col("doc_id") % 100 == 0)
              .where(F.size(word_ngrams("text", 5)) > 0)
-             .select((F.col("doc_id") + F.lit(10000000))
+             .select((F.col("doc_id") + F.lit(SPIKE_OFFSET))
                      .alias("doc_id"), "source", "text"))
     # the arrival batch feeds the screen, the dedup probe, and three
     # per-source accounting joins — batch-sized, persist it once

@@ -2335,23 +2335,23 @@ hits AS (SELECT t.doc_id, count(*) AS n_contaminated
          FROM train t JOIN bench b ON t.h = b.h GROUP BY t.doc_id),
 fl AS (SELECT hits.doc_id FROM hits JOIN tot ON hits.doc_id = tot.doc_id
        WHERE round(CAST(hits.n_contaminated AS DOUBLE)
-                   / tot.n_grams, 6) > 0.05),
-post AS (SELECT hits.doc_id
-         FROM hits JOIN tot ON hits.doc_id = tot.doc_id
-         WHERE round(CAST(hits.n_contaminated AS DOUBLE)
-                     / tot.n_grams, 6) > 0.05
-           AND hits.doc_id NOT IN (SELECT doc_id FROM fl))
+                   / tot.n_grams, 6) > 0.05)
+-- n_flagged_after is PINNED at 0: deleting exactly the flagged set
+-- makes a replayed post-delete audit empty by construction (flagged
+-- minus flagged), so the pin and a replay are the same value — the
+-- Spark side is the one that computes the second audit LIVE against
+-- the reloaded index, and this pin is what catches it serving any
+-- still-flagged doc (ADVICE r13: an earlier tautological replay CTE
+-- here dressed the pin up as a computation).
 SELECT d.source AS source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
          AS n_dropped,
        CAST(count(*) - sum(CASE WHEN fl.doc_id IS NULL THEN 0 ELSE 1 END)
             AS BIGINT) AS n_live,
-       CAST(sum(CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_flagged_after
+       CAST(0 AS BIGINT) AS n_flagged_after
 FROM documents d
 LEFT JOIN fl ON d.doc_id = fl.doc_id
-LEFT JOIN post p ON d.doc_id = p.doc_id
 WHERE d.doc_id % 20 <> 0
 GROUP BY d.source
 """)
@@ -2367,10 +2367,13 @@ def q_decontaminate_indexes_saved(spark: SparkSession,
     re-load, and run the POST-DELETE audit — which must flag nothing,
     because every doc over the threshold is now tombstoned. Output is
     the per-source accounting carried through the whole loop:
-    ``(source, n_docs, n_dropped, n_live, n_flagged_after)`` with
-    ``n_flagged_after`` pinned at 0 per source by an oracle that
-    REPLAYS the post-delete audit (flagged docs minus the deleted
-    set) rather than hardcoding it. The flagged set is audit-hit
+    ``(source, n_docs, n_dropped, n_live, n_flagged_after)``. The
+    ORACLE pins ``n_flagged_after`` at 0 — the invariant, not a
+    replay: deleting exactly the flagged set makes any replayed
+    post-delete audit empty by construction, so the honest oracle is
+    the pin itself (ADVICE r13). The SPARK side is what computes the
+    second audit LIVE against the reloaded index; the pin catches it
+    serving any still-flagged doc. The flagged set is audit-hit
     bounded (MB-sized against any corpus), so both the delete and the
     accounting joins broadcast; the second audit pays one more pruned
     postings scan, never a corpus pass. The same loop closes the

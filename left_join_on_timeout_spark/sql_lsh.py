@@ -14,6 +14,17 @@ from left_join_on_timeout_spark.operators.dedup import (
 
 WORDS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 
+# The exact SQL twin of ``functions.text.normalize`` (NULL → '') — the
+# Spark side tokenizes NULL text to an empty string everywhere, so any
+# oracle that must stay shape-robust against NULL-text documents uses
+# this variant (ADVICE r13: the capstone's toks/grams CTEs diverged on
+# a hypothetical NULL-text doc). The legacy ``WORDS_SQL`` is kept
+# verbatim for the established oracle family — flipping it would
+# re-adjudicate ~20 green names for a value-identical change on the
+# NULL-free testdata.
+NULLSAFE_WORDS_SQL = (
+    r"regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')")
+
 # word-3-gram shingles; docs under 3 words contribute one whole-text shingle
 SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
@@ -23,6 +34,10 @@ sh AS (
               ELSE array_to_string(w, ' ') END AS shingle
   FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
 )"""
+
+# the NULL-robust twin (same text, null-safe tokenizer)
+NULLSAFE_SHINGLES_CTE = SHINGLES_CTE.replace(WORDS_SQL, NULLSAFE_WORDS_SQL)
+assert NULLSAFE_SHINGLES_CTE != SHINGLES_CTE
 
 _PLAN = minhash_digest_plan(DEFAULT_K)
 _N_DIGESTS = max(d for d, _ in _PLAN) + 1

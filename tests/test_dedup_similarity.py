@@ -210,3 +210,22 @@ def test_ivfpq_rerank_recovers_recall(spark):
     assert row.n_sample > 0
     assert row.recall_rerank >= row.recall_sdc
     assert row.recall_rerank >= 0.10, row  # ceiling ~0.198, sample noise slack
+
+
+def test_capstone_spike_offset_guard(spark):
+    """ADVICE r13: the capstone re-keys its contaminated spike as
+    doc_id + SPIKE_OFFSET; a corpus whose ids reach the offset must
+    stop the query LOUD at entry (a silent collision would corrupt
+    the arrival batch and diverge from the oracle, which assumes the
+    re-keyed range is disjoint)."""
+    from left_join_on_timeout_spark import queries  # noqa: F401 — registry init order
+    from left_join_on_timeout_spark.queries_pipeline import (
+        SPIKE_OFFSET,
+        _check_spike_offset,
+    )
+
+    _check_spike_offset(spark.range(5).select(F.col("id").alias("doc_id")))
+    _check_spike_offset(spark.range(0).select(F.col("id").alias("doc_id")))
+    bad = spark.createDataFrame([(3,), (SPIKE_OFFSET,)], ["doc_id"])
+    with pytest.raises(ValueError, match="spike re-key offset"):
+        _check_spike_offset(bad)

@@ -147,6 +147,41 @@ def strip_cached(plan: str) -> str:
     return "\n".join(out)
 
 
+def cached_subtrees(plan: str) -> list[str]:
+    """The InMemoryRelation subtrees of a plan string — exactly the
+    lines ``strip_cached`` drops, grouped per cached relation."""
+    import re
+
+    subs: list[list[str]] = []
+    skip = None
+    for ln in plan.splitlines():
+        m = re.search(r"[A-Za-z*]", ln)
+        ind = m.start() if m else 0
+        if skip is not None:
+            if ind > skip:
+                subs[-1].append(ln)
+                continue
+            skip = None
+        if "InMemoryRelation" in ln:
+            skip = ind
+            subs.append([ln])
+    return ["\n".join(s) for s in subs]
+
+
+def assert_cached_eval_grams(plan: str) -> None:
+    """A gram-audit gate that found ZERO documents FileScans must pin
+    that the cache serving the eval side really IS the eval-gram
+    relation (ADVICE r13: accepting any InMemoryTableScan would let a
+    regression that drops the eval-gram side entirely hide behind an
+    unrelated cached relation): some cached subtree carries the
+    eval-slice filter and the md5 gram projection."""
+    subs = cached_subtrees(plan)
+    assert any("% 20) = 0" in s and "md5" in s for s in subs), (
+        "no documents scan and no cached EVAL-GRAM relation "
+        "(eval-slice filter + md5 projection) — where did the eval "
+        "side come from?")
+
+
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_no_cartesian_or_stray_nlj(spark, name):
     plan = plan_of(spark, name)
@@ -665,9 +700,7 @@ def test_contamination_sweep_serve_is_probe_only(spark):
         f"only the eval side may scan documents, found "
         f"{len(doc_scans)}")
     if not doc_scans:
-        assert "InMemoryTableScan" in main, (
-            "no documents scan and no cached eval grams — where did "
-            "the eval side come from?")
+        assert_cached_eval_grams(plan.split("SubqueryAdaptiveBroadcast")[0])
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
 
@@ -787,7 +820,7 @@ def test_decontaminate_accounting_scan_prunes_text(spark):
     assert len(text_reading) <= 1, (
         "only the eval gram pipeline may read text")
     if not text_reading:
-        assert "InMemoryTableScan" in main
+        assert_cached_eval_grams(plan.split("SubqueryAdaptiveBroadcast")[0])
     assert "CartesianProduct" not in plan
 
 
@@ -821,7 +854,7 @@ def test_contamination_rebuilt_serve_reads_postings_v2_only(spark):
     assert len(doc_scans) <= 1, (
         "only the eval side may scan documents")
     if not doc_scans:
-        assert "InMemoryTableScan" in main
+        assert_cached_eval_grams(plan.split("SubqueryAdaptiveBroadcast")[0])
     assert "BroadcastHashJoin" in main
     assert "CartesianProduct" not in plan
 
