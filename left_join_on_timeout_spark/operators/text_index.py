@@ -549,7 +549,8 @@ def text_index_dup_stats(index: dict) -> DataFrame:
 def text_index_append(new_docs: DataFrame, spark: SparkSession,
                       path: str,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> None:
+                      text_col: str = "text",
+                      on_existing: str = "error") -> None:
     """APPEND a new batch's postings to the saved index — tokenize
     through the SAME shared normalizer and bucket layout, one
     batch-sized pass. The manifest's (n_docs, avgdl) are NOT updated
@@ -557,17 +558,53 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     rebuilds searches score with the build-time corpus stats while
     df/tf/dl of the new docs take effect immediately — the
     bounded-staleness contract of the ANN cell caps, erased at the
-    next :func:`text_index_rebuild`. Re-appending a doc id double-
-    counts its tf (word tier) and leaves duplicate (id, term) rows
-    with possibly divergent dl behind (gram tier) — updating an
-    already-indexed doc requires :func:`text_index_delete` first, as
-    with every append-only tier; the gram PROBES stay deterministic
-    under such duplicates (distinct-gram counting, max-dl
-    denominator — ADVICE r12) but :func:`text_index_dup_stats` and
-    the df statistics need the rebuild to be trustworthy again."""
+    next :func:`text_index_rebuild`.
+
+    Re-appending a doc id double-counts its tf (word tier) and leaves
+    duplicate (id, term) rows with possibly divergent dl behind (gram
+    tier) — the gram PROBES stay deterministic under such duplicates
+    (distinct-gram counting, max-dl denominator — ADVICE r12) but
+    :func:`text_index_dup_stats` and the df statistics need a rebuild
+    to be trustworthy again. The append therefore ENFORCES the
+    delete-first contract (VERDICT r13 item 4 — previously it lived
+    only in this docstring): with the default ``on_existing='error'``
+    the batch semi-joins the LIVE postings ids (one column-pruned
+    postings scan, output bounded by the batch — the broadcast side)
+    and raises if any batch id is already serving. The update recipe
+    stays explicit: :func:`text_index_delete` the ids, then
+    :func:`text_index_rebuild` (drops the rows physically and clears
+    the tombstones), then append the fresh text. An AUTOMATIC
+    delete-first is deliberately NOT offered — tombstones are id-keyed
+    and a delete wins over any append of the same id until the next
+    rebuild (see :func:`ann_index._index_delete`), so delete+append in
+    one call would hide the fresh rows too and the next rebuild would
+    drop them with the stale ones; the doc would vanish, not update.
+    ``on_existing='unchecked'`` skips the scan for callers whose ids
+    are provably fresh (an exactly-once keyed ingest stream that wants
+    the per-batch scan back)."""
+    if on_existing not in ("error", "unchecked"):
+        raise ValueError(
+            f"on_existing must be 'error' or 'unchecked', "
+            f"got {on_existing!r}")
     index = text_index_load(spark, path)
     _check_id_col(index["meta"], id_col, "append")
     meta = index["meta"]
+    if on_existing == "error":
+        batch_ids = (new_docs.select(F.col(id_col).alias("id"))
+                     .distinct())
+        clash = (index["postings"].select("id")
+                 .join(F.broadcast(batch_ids), "id", "left_semi")
+                 .distinct().limit(3).collect())
+        if clash:
+            raise ValueError(
+                f"append batch re-inserts already-indexed ids "
+                f"{sorted(r.id for r in clash)}… at {path} — a "
+                f"same-id re-append double-counts tf (word tier) and "
+                f"leaves duplicate postings behind (gram tier). To "
+                f"UPDATE a doc: text_index_delete(ids) → "
+                f"text_index_rebuild() → append the fresh text; or "
+                f"pass on_existing='unchecked' if this batch's ids "
+                f"are provably fresh")
     batch_id_type = dict(
         new_docs.select(F.col(id_col).alias("id")).dtypes)["id"]
     meta_id_type = getattr(meta, "id_type", None) or "bigint"

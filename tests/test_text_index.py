@@ -541,9 +541,11 @@ def test_gram_probe_deterministic_under_same_id_reappend(spark, tmp_path):
     text_index_build(_gram_docs(spark), path, token_mode="ngram",
                      ngram_n=5)
     # re-append doc 1 verbatim: duplicate ("a b c d e") posting rows
+    # (bypassing the r14 delete-first enforcement — this test pins
+    # probe determinism UNDER the duplicates the contract forbids)
     dup = spark.createDataFrame([(1, "a b c d e")],
                                 "doc_id LONG, text STRING")
-    text_index_append(dup, spark, path)
+    text_index_append(dup, spark, path, on_existing="unchecked")
     index = text_index_load(spark, path)
     for _ in range(3):  # run-stable, not F.first-nondeterministic
         got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
@@ -714,3 +716,47 @@ def test_decontamination_closed_loop_under_ingest_stream(spark, tmp_path):
     assert {2, 20, 22} <= live, "clean arrivals must keep serving"
     assert text_index_gram_probe(after, bench) \
         .where(F.col("flagged")).count() == 0
+
+
+def test_reappend_refuses_loud_and_update_recipe_serves_fresh(
+        spark, tmp_path):
+    """VERDICT r13 item 4: the delete-first contract is ENFORCED, not
+    just documented. (a) A same-id re-append raises, naming the ids —
+    no stale duplicate postings ever land; (b) a provably-fresh batch
+    appends clean under the default check; (c) the documented update
+    recipe (delete → rebuild → append fresh text) leaves the doc
+    serving its NEW text only; (d) a tombstoned-but-not-yet-rebuilt id
+    re-appends without tripping the check (it is not LIVE) but stays
+    hidden until the rebuild — the delete-wins ordering contract."""
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+
+    dup = spark.createDataFrame([(1, "changed text"), (9, "fresh")],
+                                "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match=r"already-indexed ids \[1\]"):
+        text_index_append(dup, spark, path)
+
+    fresh = spark.createDataFrame([(9, "fresh doc")],
+                                  "doc_id LONG, text STRING")
+    text_index_append(fresh, spark, path)  # default check passes
+
+    # the update recipe: delete -> rebuild -> append the new text
+    text_index_delete(spark, path, [1])
+    text_index_rebuild(spark, path)
+    upd = spark.createDataFrame([(1, "replacement words")],
+                                "doc_id LONG, text STRING")
+    text_index_append(upd, spark, path)
+    index = text_index_load(spark, path)
+    assert 1 in {r.doc_id for r in
+                 text_index_search(index, ["replacement"]).collect()}
+    assert 1 not in {r.doc_id for r in
+                     text_index_search(index, ["quick"]).collect()}, (
+        "stale postings of the replaced doc still serve")
+
+    # delete-wins: a tombstoned id re-appends (not live, so no clash)
+    # but serves nothing until the rebuild clears the tombstone
+    text_index_delete(spark, path, [9])
+    text_index_append(fresh, spark, path)
+    hidden = text_index_load(spark, path)
+    assert 9 not in {r.doc_id for r in
+                     text_index_search(hidden, ["fresh"]).collect()}
