@@ -1600,8 +1600,12 @@ SEM_SPIKE_OFFSET = 2 * SPIKE_OFFSET
 SEM_DUP_THRESHOLD = 0.95
 
 
-def _curation_semantic_sql() -> str:
-    """Oracle for the lexical+semantic chain. The SRP stage replays
+def _curation_semantic_ctes() -> str:
+    """Shared WITH-chain of the lexical+semantic ingest oracle — from
+    tokenization through the per-source accounting CTEs (`srcs` last,
+    no trailing comma); `_curation_semantic_sql` appends the batch
+    report tail and the streaming twin appends its own (with the
+    post-stream index-membership column). The SRP stage replays
     the saved index's banding bit-for-bit (the deterministic plane
     literals of `functions.vectors.srp_planes` — the proven
     `bitext_margin_mine` twin) over the standing slice, probe-caps the
@@ -1746,7 +1750,11 @@ asem AS (SELECT a.source, count(*) AS n FROM semdup u
          JOIN arr a ON a.doc_id = u.doc_id GROUP BY a.source),
 aadm AS (SELECT a.source, count(*) AS n FROM fin f
          JOIN arr a ON a.doc_id = f.doc_id GROUP BY a.source),
-srcs AS (SELECT DISTINCT source FROM arr)
+srcs AS (SELECT DISTINCT source FROM arr)"""
+
+
+def _curation_semantic_sql() -> str:
+    return f"""{_curation_semantic_ctes()}
 SELECT s.source AS source,
        CAST(coalesce(ac.n, 0) AS BIGINT) AS n_candidates,
        CAST(coalesce(sc.n, 0) AS BIGINT) AS n_screened_out,
@@ -1760,6 +1768,53 @@ LEFT JOIN adup du ON du.source = s.source
 LEFT JOIN asem se2 ON se2.source = s.source
 LEFT JOIN aadm am ON am.source = s.source
 """
+
+
+def _curation_fixtures(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared fixtures of the lexical+semantic ingest chain (batch and
+    streaming twins): the persisted eval gram set, the arrival batch
+    (organic + contaminated gram spike + semantic vector spike, each
+    carrying its ``gid`` source-doc mapping), and the standing
+    corpus/vector slices. ``bench`` and ``arrivals`` come back
+    PERSISTED (each feeds several stages)."""
+    from left_join_on_timeout_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _check_spike_offset(docs)
+    bench = (docs.where(F.col("doc_id") % 20 == 0)
+             .select(F.explode(word_ngrams("text", 5)).alias("g"))
+             .select(F.md5("g").alias("h")).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    organic = (docs.where(F.col("doc_id") % 10 == 5)
+               .select("doc_id", "source", "text",
+                       F.col("doc_id").alias("gid")))
+    gram_spike = (docs.where(F.col("doc_id") % 100 == 0)
+                  .where(F.size(word_ngrams("text", 5)) > 0)
+                  .select((F.col("doc_id") + F.lit(SPIKE_OFFSET))
+                          .alias("doc_id"), "source", "text",
+                          F.col("doc_id").alias("gid")))
+    sem_spike = (docs.where((F.col("doc_id") % 100 == 7)
+                            & (F.col("doc_id") % 20 != 0)
+                            & (F.col("doc_id") % 10 != 5))
+                 .select((F.col("doc_id") + F.lit(SEM_SPIKE_OFFSET))
+                         .alias("doc_id"), "source",
+                         F.concat(F.lit("pp-"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("text"),
+                         F.col("doc_id").alias("gid")))
+    arrivals = (organic.unionByName(gram_spike).unionByName(sem_spike)
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    return {
+        "docs": docs,
+        "emb": emb,
+        "bench": bench,
+        "arrivals": arrivals,
+        "standing": docs.where((F.col("doc_id") % 20 != 0)
+                               & (F.col("doc_id") % 10 != 5)),
+        "emb_standing": emb.where((F.col("vec_id") % 20 != 0)
+                                  & (F.col("vec_id") % 10 != 5)),
+    }
 
 
 @query("curation_pipeline_semantic", _curation_semantic_sql())
@@ -1823,36 +1878,10 @@ def q_curation_pipeline_semantic(spark: SparkSession,
         contamination_screen,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    _check_spike_offset(docs)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct()
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    organic = (docs.where(F.col("doc_id") % 10 == 5)
-               .select("doc_id", "source", "text",
-                       F.col("doc_id").alias("gid")))
-    gram_spike = (docs.where(F.col("doc_id") % 100 == 0)
-                  .where(F.size(word_ngrams("text", 5)) > 0)
-                  .select((F.col("doc_id") + F.lit(SPIKE_OFFSET))
-                          .alias("doc_id"), "source", "text",
-                          F.col("doc_id").alias("gid")))
-    sem_spike = (docs.where((F.col("doc_id") % 100 == 7)
-                            & (F.col("doc_id") % 20 != 0)
-                            & (F.col("doc_id") % 10 != 5))
-                 .select((F.col("doc_id") + F.lit(SEM_SPIKE_OFFSET))
-                         .alias("doc_id"), "source",
-                         F.concat(F.lit("pp-"),
-                                  F.col("doc_id").cast("string"))
-                         .alias("text"),
-                         F.col("doc_id").alias("gid")))
-    arrivals = (organic.unionByName(gram_spike).unionByName(sem_spike)
-                .persist(StorageLevel.MEMORY_AND_DISK))
-    standing = docs.where((F.col("doc_id") % 20 != 0)
-                          & (F.col("doc_id") % 10 != 5))
-    emb_standing = emb.where((F.col("vec_id") % 20 != 0)
-                             & (F.col("vec_id") % 10 != 5))
+    fx = _curation_fixtures(spark, sf_dir)
+    bench, arrivals = fx["bench"], fx["arrivals"]
+    emb, standing = fx["emb"], fx["standing"]
+    emb_standing = fx["emb_standing"]
 
     # stage 1 — gram screen
     scr = contamination_screen(arrivals.select("doc_id", "text"),

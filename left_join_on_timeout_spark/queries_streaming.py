@@ -1123,3 +1123,232 @@ def q_stream_contamination_screen(spark: SparkSession,
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation ingest loop (round 14)
+# ---------------------------------------------------------------------------
+
+def _stream_curation_sql() -> str:
+    """The streaming twin's oracle = the batch chain's shared CTEs
+    plus the post-stream INDEX-MEMBERSHIP column: every admitted doc
+    with at least one gram must be serving from the standing gram
+    index after the stream (the per-batch append landed), so
+    ``n_indexed`` replays as "admitted ∧ gram-bearing"."""
+    from left_join_on_timeout_spark.queries_pipeline import (
+        _curation_semantic_ctes,
+    )
+
+    return f"""{_curation_semantic_ctes()},
+anidx AS (SELECT a.source, count(*) AS n
+          FROM fin f JOIN arr a ON a.doc_id = f.doc_id
+          WHERE a.kind <> 'sem'
+            AND a.gid IN (SELECT doc_id FROM grams)
+          GROUP BY a.source)
+SELECT s.source AS source,
+       CAST(coalesce(ac.n, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sc.n, 0) AS BIGINT) AS n_screened_out,
+       CAST(coalesce(du.n, 0) AS BIGINT) AS n_dup_dropped,
+       CAST(coalesce(se2.n, 0) AS BIGINT) AS n_semdup_dropped,
+       CAST(coalesce(am.n, 0) AS BIGINT) AS n_admitted,
+       CAST(coalesce(ai.n, 0) AS BIGINT) AS n_indexed
+FROM srcs s
+LEFT JOIN acand ac ON ac.source = s.source
+LEFT JOIN ascr sc ON sc.source = s.source
+LEFT JOIN adup du ON du.source = s.source
+LEFT JOIN asem se2 ON se2.source = s.source
+LEFT JOIN aadm am ON am.source = s.source
+LEFT JOIN anidx ai ON ai.source = s.source
+"""
+
+
+@query("stream_curation_ingest", _stream_curation_sql())
+def q_stream_curation_ingest(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The CONTINUOUS curation ingest loop (round 14 — VERDICT r13
+    item 5, pairing the semantic chain): ONE ``foreachBatch`` body
+    composes the whole admission pipeline per micro-batch — gram
+    screen → saved-LSH lexical dedup (exact-Jaccard) → saved-SRP
+    semantic dedup (exact-cosine) → ADMIT → gram-index APPEND — over
+    a real ``readStream`` of the same arrival batch the batch twin
+    (`curation_pipeline_semantic`) adjudicates, plus the append half
+    the batch twin stops short of: admitted docs enter the standing
+    AUDIT index immediately (`text_index_append` through the saved
+    manifest's token mode), so the post-stream index serves them with
+    their append-time denominators.
+
+    Per-batch decisions land in an at-least-once parquet sink (read
+    back through ``.distinct()`` — the retry-proof pattern), and the
+    report joins them with the INDEX-MEMBERSHIP check: ``n_indexed``
+    counts admitted docs actually serving from the reloaded gram
+    index (gram-bearing admitted docs — a doc the append lost would
+    drop the count off the oracle's replay). The r14 append
+    enforcement doubles as the epoch-retry guard: a replayed batch's
+    ids are already live, so the append refuses and the batch is
+    already-done — no epoch directory needed. Every stage is
+    batch-bounded (broadcast eval grams, saved-index probes with both
+    sides capped, candidate-pair-only verifies, batch-sized appends),
+    so the loop's steady-state cost scales with arrival rate, never
+    corpus size; results are batch-split independent because probes
+    only ever face the STANDING indexes, so the oracle replays the
+    union regardless of how the stream chopped the arrivals."""
+    import os
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from left_join_on_timeout_spark.functions.vectors import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from left_join_on_timeout_spark.operators.ann_index import (
+        default_index_root,
+    )
+    from left_join_on_timeout_spark.operators.dedup import shingle_sets
+    from left_join_on_timeout_spark.operators.lsh_index import (
+        lsh_index_build,
+        lsh_index_load,
+        lsh_index_probe,
+    )
+    from left_join_on_timeout_spark.operators.srp_index import (
+        srp_index_build,
+        srp_index_load,
+        srp_index_probe,
+    )
+    from left_join_on_timeout_spark.operators.text_index import (
+        contamination_screen,
+        text_index_append,
+        text_index_build,
+        text_index_load,
+    )
+    from left_join_on_timeout_spark.queries_pipeline import (
+        SEM_DUP_THRESHOLD,
+        _curation_fixtures,
+    )
+
+    fx = _curation_fixtures(spark, sf_dir)
+    bench, arrivals = fx["bench"], fx["arrivals"]
+    emb, standing = fx["emb"], fx["standing"]
+    emb_standing = fx["emb_standing"]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = default_index_root()
+    lpath = os.path.join(root, "strlsh_" + base)
+    spath = os.path.join(root, "strsrp_" + base)
+    gpath = os.path.join(root, "strgix_" + base)
+    lsh_index_build(standing, lpath)
+    srp_index_build(emb_standing, spath, dim=64)
+    text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
+    lidx = lsh_index_load(spark, lpath)
+    sidx = srp_index_load(spark, spath)
+    isets = (shingle_sets(standing, "doc_id", "text")
+             .select(F.col("doc_id").alias("index_id"),
+                     F.col("sh_set").alias("set_b"),
+                     F.size("sh_set").alias("n_b"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    iv = emb_standing.select(F.col("vec_id").alias("index_id"),
+                             as_double("embedding").alias("vb"))
+    iv = (iv.select("index_id", "vb", l2_norm(F.col("vb")).alias("nb"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    emb_by_gid = emb.select(F.col("vec_id").alias("gid"), "embedding")
+
+    stage = tempfile.mkdtemp(prefix="ljot_strcur_")
+    src, out, ckpt = (os.path.join(stage, d) for d in ("in", "out", "ck"))
+    arrivals.write.mode("overwrite").parquet(src)
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        scr = contamination_screen(batch_df.select("doc_id", "text"),
+                                   bench, ngram_n=5)
+        screened = scr.where(F.col("flagged")).select("doc_id")
+        adm1 = batch_df.join(F.broadcast(screened), "doc_id",
+                             "left_anti")
+        cand = lsh_index_probe(adm1.select("doc_id", "text"), lidx)
+        psets = (shingle_sets(adm1, "doc_id", "text")
+                 .select(F.col("doc_id").alias("probe_id"),
+                         F.col("sh_set").alias("set_a"),
+                         F.size("sh_set").alias("n_a")))
+        jac = (cand.join(psets, "probe_id").join(isets, "index_id")
+               .withColumn("inter",
+                           F.size(F.array_intersect("set_a", "set_b")))
+               .where(F.col("inter")
+                      / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                      >= 0.5))
+        dup = jac.select(F.col("probe_id").alias("doc_id")).distinct()
+        uniq = adm1.join(F.broadcast(dup), "doc_id", "left_anti")
+        qvec = (uniq.select("doc_id", "gid").join(emb_by_gid, "gid")
+                .select(F.col("doc_id").alias("vec_id"), "embedding"))
+        scand = srp_index_probe(qvec, sidx)
+        qv = qvec.select(F.col("vec_id").alias("probe_id"),
+                         as_double("embedding").alias("va"))
+        qv = qv.select("probe_id", "va",
+                       l2_norm(F.col("va")).alias("na"))
+        scos = (scand.join(qv, "probe_id").join(iv, "index_id")
+                .select("probe_id",
+                        F.round(dot(F.col("va"), F.col("vb"))
+                                / (F.col("na") * F.col("nb")), 6)
+                        .alias("cos_sim")))
+        semdup = (scos.where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
+                  .select(F.col("probe_id").alias("doc_id"))
+                  .distinct())
+        admitted = uniq.join(F.broadcast(semdup), "doc_id", "left_anti")
+        try:
+            text_index_append(admitted.select("doc_id", "text"),
+                              spark, gpath)
+        except ValueError:
+            # an epoch RETRY re-offers ids the first attempt already
+            # appended — the r14 duplicate enforcement refuses, which
+            # is exactly the wanted retry semantics (already-done)
+            pass
+        dec = (screened.select("doc_id",
+                               F.lit("screened").alias("decision"))
+               .unionByName(dup.select(
+                   "doc_id", F.lit("dup").alias("decision")))
+               .unionByName(semdup.select(
+                   "doc_id", F.lit("semdup").alias("decision")))
+               .unionByName(admitted.select(
+                   "doc_id", F.lit("admitted").alias("decision"))))
+        dec.write.mode("append").parquet(out)
+
+    q = (spark.readStream.schema(arrivals.schema).parquet(src)
+         .writeStream.foreachBatch(_ingest)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the at-least-once sink reads retry-proof; all accounting joins
+    # are bounded by the arrival batch
+    dec = F.broadcast(spark.read.parquet(out).distinct())
+    index = text_index_load(spark, gpath)
+    adm_ids = dec.where(F.col("decision") == "admitted") \
+        .select("doc_id")
+    indexed = (index["postings"].select(F.col("id").alias("doc_id"))
+               .join(F.broadcast(adm_ids), "doc_id", "left_semi")
+               .distinct())
+    asrc = arrivals.select("doc_id", "source")
+    per = (dec.join(asrc, "doc_id").groupBy("source").pivot(
+        "decision", ["screened", "dup", "semdup", "admitted"]).count())
+    aidx = (indexed.join(asrc, "doc_id").groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_indexed")))
+    acand = arrivals.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    srcs = arrivals.select("source").distinct()
+    z = F.lit(0)
+    return (srcs
+            .join(F.broadcast(acand), "source", "left")
+            .join(F.broadcast(per), "source", "left")
+            .join(F.broadcast(aidx), "source", "left")
+            .select("source",
+                    F.coalesce("n_candidates", z).cast("bigint")
+                    .alias("n_candidates"),
+                    F.coalesce("screened", z).cast("bigint")
+                    .alias("n_screened_out"),
+                    F.coalesce("dup", z).cast("bigint")
+                    .alias("n_dup_dropped"),
+                    F.coalesce("semdup", z).cast("bigint")
+                    .alias("n_semdup_dropped"),
+                    F.coalesce("admitted", z).cast("bigint")
+                    .alias("n_admitted"),
+                    F.coalesce("n_indexed", z).cast("bigint")
+                    .alias("n_indexed")))
