@@ -1513,6 +1513,9 @@ def index_stats(spark: SparkSession, path: str,
         "tombstone_rows": n_tomb,
         "tombstone_frac": n_tomb / max(n_rows, 1),
     }
+    if tier == "text":
+        # word vs gram pick different maintenance budgets (r14)
+        out["token_mode"] = getattr(meta, "token_mode", None) or "word"
     if cap_pressure:
         if cap is None:
             raise ValueError(
@@ -1602,10 +1605,88 @@ def index_version_diff(spark: SparkSession, path: str,
                 .select("id", F.lit("added").alias("change"))))
 
 
+# Fifth-decade compaction economics, measured in PLANS.md (rebuild
+# wall / warm serve wall, same host and index): how many serves one
+# rebuild costs, per tier. These are the VALUE-PINNED inputs of
+# `maintenance_budgets` (the `auto_knobs` discipline — measured
+# scaling rules as code, VERDICT r13 wrong #2):
+#   text[ngram]  138.4 s rebuild / 19.8 s warm audit probe   (r13)
+#   text[word]   36.1 s rebuild / 0.94 s warm 3-term serve
+#                at 5 M docs (r14, tools/word_rebuild_fifth.py)
+#   lsh          72.4 s rebuild / 19.2 s warm probe at 20 M  (r9)
+#   ivf2         25.9 s rebuild / 13.7 s warm pruned serve   (r10)
+# srp shares lsh's ratio (same banded-digest postings, same re-cap
+# compaction); pq shares ivf2's (same cell-keyed postings rewrite).
+REBUILD_OVER_SERVE = {
+    "text[ngram]": 7.0,
+    "text[word]": 38.0,
+    "lsh": 3.8,
+    "srp": 3.8,
+    "ivf2": 1.9,
+    "pq": 1.9,
+}
+
+# Stats drift IS relative scoring error (idf scale ≈ n_docs drift,
+# contamination denominator ≈ dl drift, appended mass bounds the idf
+# error of every standing doc), so its budget is a SCORE-ERROR
+# tolerance, not a cost tradeoff: 1% by default. The r13 lifecycle's
+# single 0.1% append batch correctly does NOT trigger (0.1% score
+# error is noise); ~10 such batches do.
+SCORE_DRIFT_BUDGET = 0.01
+
+# Tombstones must stay broadcast-small (every load anti-joins them),
+# whatever the amortization says — the hard ceiling on the derived
+# tombstone budget.
+TOMBSTONE_BROADCAST_CEILING = 0.05
+
+
+def maintenance_budgets(tier: str,
+                        serves_per_cycle: int = 100) -> dict:
+    """PER-TIER maintenance thresholds derived from the measured
+    compaction economics (VERDICT r13 wrong #2: one 10% default for
+    every tier effectively never fired for append-staleness at
+    realistic batch sizes, and ignored that a cheap-to-rebuild tier
+    should compact sooner than an expensive one).
+
+    * ``max_tombstone_frac`` — the LSM amortization rule: carry
+      garbage until the serve tax paid since the last rebuild matches
+      the rebuild's cost. With tax ≈ proportional to tombstone mass
+      and mass growing roughly linearly between compactions, the
+      break-even trigger is ``2·(R/S)/serves_per_cycle`` — a tier
+      whose rebuild costs few serve-equivalents (ivf2: 1.9) compacts
+      at a lower garbage mass than one whose rebuild is expensive
+      (gram: 7.0). Clamped to [0.005, TOMBSTONE_BROADCAST_CEILING]:
+      the broadcast-tombstone contract caps it above, and below 0.5%
+      a rebuild churns for noise.
+    * ``max_stats_drift_frac`` — SCORE_DRIFT_BUDGET: drift fracs
+      bound relative scoring error, so the budget is an accuracy
+      tolerance independent of serve economics.
+    * ``max_over_cap_frac`` — 10%, unchanged: cap overflow is a
+      recall-contract violation, not a cost tradeoff.
+
+    ``serves_per_cycle`` is the deployment's expected serve count per
+    maintenance window (default 100 — a daily-compacted index serving
+    ~4/hour); a hot serving tier (1000+/cycle) derives a much tighter
+    tombstone budget, which is the point."""
+    if tier not in REBUILD_OVER_SERVE:
+        raise ValueError(
+            f"unknown tier {tier!r}; expected one of "
+            f"{sorted(REBUILD_OVER_SERVE)}")
+    rs = REBUILD_OVER_SERVE[tier]
+    tomb = min(TOMBSTONE_BROADCAST_CEILING,
+               max(0.005, 2.0 * rs / max(serves_per_cycle, 1)))
+    return {
+        "max_tombstone_frac": tomb,
+        "max_over_cap_frac": 0.10,
+        "max_stats_drift_frac": SCORE_DRIFT_BUDGET,
+    }
+
+
 def index_maintenance_due(stats: dict,
-                          max_tombstone_frac: float = 0.02,
-                          max_over_cap_frac: float = 0.10,
-                          max_stats_drift_frac: float = 0.10) -> bool:
+                          max_tombstone_frac: float | None = None,
+                          max_over_cap_frac: float | None = None,
+                          max_stats_drift_frac: float | None = None,
+                          serves_per_cycle: int = 100) -> bool:
     """The rebuild decision over :func:`index_stats` output — pure
     policy, no I/O, so a scheduler can log WHY it rebuilt. True when
     the tombstone mass (every search pays the anti-join on it), the
@@ -1614,12 +1695,32 @@ def index_maintenance_due(stats: dict,
     contract), or the text tier's corpus-stats drift (appends moved
     the live (n_docs, avgdl) away from the manifest's build-time
     scalars, so BM25 scores with a stale idf scale — VERDICT r11
-    wrong #2) crosses its threshold. Thresholds are deployment knobs:
-    the defaults say "compact at 2% deletes, 10% cap overflow, or 10%
-    stats drift". The stats-drift arm consumes the WORD tier's
-    (n_docs, avgdl) drift and the GRAM tier's own signal pair —
-    appended-docs fraction and dl-denominator drift (VERDICT r12
-    wrong #3) — whichever the telemetry carries."""
+    wrong #2) crosses its threshold.
+
+    Thresholds default to the PER-TIER derivation of
+    :func:`maintenance_budgets` (VERDICT r13 wrong #2) using the
+    ``tier``/``token_mode`` the telemetry carries; explicit keyword
+    thresholds override per-arm (they remain the deployment's knobs).
+    A hand-built stats dict without a ``tier`` key falls back to the
+    pre-r14 literals (2% / 10% / 10%). The stats-drift arm consumes
+    the WORD tier's (n_docs, avgdl) drift and the GRAM tier's own
+    signal pair — appended-docs fraction and dl-denominator drift
+    (VERDICT r12 wrong #3) — whichever the telemetry carries."""
+    tier = stats.get("tier")
+    if tier == "text":
+        tier = f"text[{stats.get('token_mode') or 'word'}]"
+    if tier in REBUILD_OVER_SERVE:
+        budgets = maintenance_budgets(tier, serves_per_cycle)
+    else:
+        budgets = {"max_tombstone_frac": 0.02,
+                   "max_over_cap_frac": 0.10,
+                   "max_stats_drift_frac": 0.10}
+    if max_tombstone_frac is None:
+        max_tombstone_frac = budgets["max_tombstone_frac"]
+    if max_over_cap_frac is None:
+        max_over_cap_frac = budgets["max_over_cap_frac"]
+    if max_stats_drift_frac is None:
+        max_stats_drift_frac = budgets["max_stats_drift_frac"]
     if stats.get("tombstone_frac", 0.0) > max_tombstone_frac:
         return True
     if stats.get("over_cap_frac", 0.0) > max_over_cap_frac:
