@@ -379,29 +379,25 @@ EXTRA_ORACLE: dict[str, str] = {
 #
 # The driver's per-round correctness gate adjudicates roughly the FIRST 50
 # entries of this registry (dict insertion order).  Union driver coverage
-# is total (209/209 across r1..r10), so the window rotates by EVIDENCE
-# STALENESS (VERDICT r6 item 4) with one refinement from ADVICE r7:
-# ahead of the staleness rotation sits a CHANGED-CODE-PATH SENTINEL
-# section -- every already-green name whose operator or oracle was
-# touched this round re-adjudicates now, so a semantics change never
-# ships with only local test coverage.  Round 13 order:
-#   1-4    NEW queries (the gram tier's full maintenance arc; the
-#          gram ingest write stream; the decontamination loop closed
-#          into the standing indexes; the end-to-end curation
-#          capstone);
-#   5-12   sentinels: every query whose path round 13 touched -- the
-#          gram probes' determinism rework (distinct-gram hits +
-#          max-dl denominators feed all four saved-audit names), the
-#          ingest screen's shape-robust oracle, the text refresh
-#          stream's retry-proof sink read, and _corpus_stats'
-#          deterministic dl pick (both saved-BM25 lifecycle names
-#          re-adjudicate for it);
-#   13-41  the staleness rotation: ALL 29 remaining age-6 r7 names --
-#          the r7 vintage FINISHES this round, re-adjudicating the
-#          O8/O12/O14 driver evidence (kafka_sink_encode,
-#          multi_match_cardinality, key_partition_hist);
-#   42-50  the oldest 9 of the 36 r8 names alphabetically; the
-#          remaining 27 carry to r14.
+# is total (224/224 ever-adjudicated across r1..r13), so the window
+# rotates by EVIDENCE STALENESS (VERDICT r6 item 4) with the ADVICE r7
+# refinement: a CHANGED-CODE-PATH SENTINEL section sits ahead of the
+# staleness rotation — every already-green name whose operator or oracle
+# was touched this round re-adjudicates now, so a semantics change never
+# ships with only local test coverage.  Round 14 order:
+#   1-3    NEW queries (the unified cross-tier decontamination loop;
+#          the lexical+semantic curation chain; the continuous
+#          streaming curation ingest loop);
+#   4-9    sentinels: the append-contract enforcement touches every
+#          query that appends through text_index_append (the two
+#          ingest write streams and both rebuild arcs), and the r13
+#          advice fixes changed the capstone's oracle (null-safe
+#          tokenizer, derived spike guard) and the decontamination
+#          loop's oracle (honest n_flagged_after pin);
+#   10-36  the staleness rotation: ALL 27 remaining age-6 r8 names --
+#          the r8 vintage FINISHES this round;
+#   37-50  the oldest 14 of the 35 r9 names alphabetically; the
+#          remaining 21 carry to r15.
 # The selection is mechanical -- regenerate with
 #   python tools/evidence_age.py 50 --sentinel <changed names>
 # after each round's CORRECTNESS_r{N}.json lands.  Everything after
@@ -409,56 +405,56 @@ EXTRA_ORACLE: dict[str, str] = {
 # (tools/check_oracle.py, tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _PRIORITY: list[str] = [
-    "contamination_rebuilt_saved",  # NEW (gram maintenance arc)
-    "curation_pipeline_e2e",  # NEW (end-to-end curation capstone)
-    "decontaminate_indexes_saved",  # NEW (loop closed into indexes)
-    "stream_gram_index_append",  # NEW (gram ingest write stream)
-    "contamination_suites_saved",  # r12 SENTINEL
-    "contamination_sweep_saved",  # r12 SENTINEL
-    "crossdoc_dup_saved",  # r12 SENTINEL
-    "decontaminate_corpus_saved",  # r12 SENTINEL
-    "stream_contamination_screen",  # r12 SENTINEL
-    "stream_text_probe_refresh",  # r12 SENTINEL
-    "text_bm25_rebuilt_saved",  # r12 SENTINEL
-    "text_bm25_saved",  # r12 SENTINEL
-    "incremental_agg_refresh",  # r7
-    "kafka_sink_encode",  # r7
-    "key_partition_hist",  # r7
-    "multi_format_roundtrip",  # r7
-    "multi_match_cardinality",  # r7
-    "multimodal_frame_sample",  # r7
-    "nested_array_types",  # r7
-    "pivot_event_types",  # r7
-    "profile_documents",  # r7
-    "props_map_explode",  # r7
-    "q13_customer_distribution",  # r7
-    "q17_small_qty_revenue",  # r7
-    "q21_waiting_suppliers",  # r7
-    "q2_min_cost_supplier",  # r7
-    "q3_shipping_priority",  # r7
-    "q4_order_priority",  # r7
-    "q5_local_supplier_volume",  # r7
-    "q6_revenue_delta",  # r7
-    "rollup_revenue",  # r7
-    "scalar_functions",  # r7
-    "session_window_stats",  # r7
-    "sessionization",  # r7
-    "set_ops_customers",  # r7
-    "sliding_window_events",  # r7
-    "top_k_orders",  # r7
-    "tumbling_window_events",  # r7
-    "union_all_keys",  # r7
-    "window_running_revenue",  # r7
-    "window_top3_per_customer",  # r7
-    "ann_recall_srp",  # r8
-    "ann_top1_ivfpq",  # r8
-    "cdc_latest_per_key",  # r8
-    "chunk_documents_windows",  # r8
-    "cohort_retention_weekly",  # r8
-    "contamination_ngram_overlap",  # r8
-    "dedup_keep_canonical",  # r8
-    "funnel_conversion_daily",  # r8
-    "grouping_sets_revenue",  # r8
+    "curation_pipeline_semantic",  # NEW
+    "decontaminate_all_tiers_saved",  # NEW
+    "stream_curation_ingest",  # NEW
+    "stream_text_index_append",  # r12 SENTINEL
+    "contamination_rebuilt_saved",  # r13 SENTINEL
+    "curation_pipeline_e2e",  # r13 SENTINEL
+    "decontaminate_indexes_saved",  # r13 SENTINEL
+    "stream_gram_index_append",  # r13 SENTINEL
+    "text_bm25_rebuilt_saved",  # r13 SENTINEL
+    "json_extract_props",  # r8
+    "knn_brute_cosine",  # r8
+    "label_centroids",  # r8
+    "merge_upsert_orders",  # r8
+    "multimodal_features",  # r8
+    "q10_returned_items",  # r8
+    "q11_important_parts",  # r8
+    "q12_late_lines_by_flag",  # r8
+    "q14_promo_revenue",  # r8
+    "q15_top_supplier",  # r8
+    "q16_part_supplier_cnt",  # r8
+    "q18_large_volume_customer",  # r8
+    "q19_discounted_revenue",  # r8
+    "q20_heavy_gear_suppliers",  # r8
+    "q22_idle_rich_customers",  # r8
+    "q7_nation_volume",  # r8
+    "q9_product_profit",  # r8
+    "salted_join_revenue",  # r8
+    "sample_stratified_docs",  # r8
+    "stream_session_windows",  # r8
+    "stream_static_enrich",  # r8
+    "stream_timeout_only",  # r8
+    "text_fingerprint_stats",  # r8
+    "text_lang_dist",  # r8
+    "tfidf_top_terms",  # r8
+    "window_rolling_7d",  # r8
+    "zscore_anomalies",  # r8
+    "ann_recall_ivf",  # r9
+    "ann_recall_ivfpq",  # r9
+    "ann_top1_ivf",  # r9
+    "ann_top1_ivf_probe2",  # r9
+    "ann_topk_ivf",  # r9
+    "cluster_aware_split",  # r9
+    "cms_heavy_hitters",  # r9
+    "corpus_health_dashboard",  # r9
+    "daily_forward_fill",  # r9
+    "dedup_prefix_jaccard",  # r9
+    "doc_lm2_score",  # r9
+    "doc_lm_score",  # r9
+    "dow_seasonal_residuals",  # r9
+    "dup_span_removal_stats",  # r9
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
