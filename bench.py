@@ -179,17 +179,26 @@ _R13_ADDITIONS = [
 ]
 HEADLINE += _R13_ADDITIONS
 
-# The previous round's headline set (BENCH_r12.json — 110 queries),
+# Round-14 additions: the unified cross-tier decontamination loop, the
+# lexical+semantic curation chain, and its continuous streaming twin.
+_R14_ADDITIONS = [
+    "decontaminate_all_tiers_saved",
+    "curation_pipeline_semantic",
+    "stream_curation_ingest",
+]
+HEADLINE += _R14_ADDITIONS
+
+# The previous round's headline set (BENCH_r13.json — 114 queries),
 # derived by content: this round's additions removed from the full
 # list. The shared-subset total below makes cross-round comparison
 # composition-proof: the driver's regression gate should read
 # shared_with_prev_total_sec, which is summed over identical query
 # sets, not the headline total, which grows whenever new queries join
 # the set (VERDICT r4 "What's wrong" #3).
-PREV_HEADLINE = [n for n in HEADLINE if n not in set(_R13_ADDITIONS)]
-assert len(PREV_HEADLINE) == 110, (
-    "PREV_HEADLINE must be exactly the r12 bench set; update "
-    "_R13_ADDITIONS when the headline list changes")
+PREV_HEADLINE = [n for n in HEADLINE if n not in set(_R14_ADDITIONS)]
+assert len(PREV_HEADLINE) == 114, (
+    "PREV_HEADLINE must be exactly the r13 bench set; update "
+    "_R14_ADDITIONS when the headline list changes")
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
