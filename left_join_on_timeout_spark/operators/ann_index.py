@@ -160,7 +160,7 @@ def _gc_versions(spark: SparkSession, path: str, live_seq: int,
     (VERDICT r9 item 2)."""
     keep = max(1, int(keep))
     for name in fsio.list_names(spark, path):
-        m = re.fullmatch(r"(?:postings|tombstones|meta)_v(\d+)", name)
+        m = re.fullmatch(r"(?:postings|tombstones|meta|ids)_v(\d+)", name)
         if m and int(m.group(1)) <= int(live_seq) - keep:
             fsio.delete(spark, os.path.join(path, name))
 
@@ -426,7 +426,7 @@ def _reset_maintenance_state(spark: SparkSession, path: str) -> None:
     to a full rebuild-from-scratch — the documented overwrite
     semantics. FS ops route through :mod:`fsio` (VERDICT r9 item 2)."""
     for name in fsio.list_names(spark, path):
-        m = re.fullmatch(r"(?:postings|tombstones|meta)_v(\d+)", name)
+        m = re.fullmatch(r"(?:postings|tombstones|meta|ids)_v(\d+)", name)
         if (m and int(m.group(1)) != 1) or name == "tombstones_v1":
             fsio.delete(spark, os.path.join(path, name))
     # legacy directories, if this path held an older-format index

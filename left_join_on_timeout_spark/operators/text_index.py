@@ -50,11 +50,13 @@ extension mandated by the build spec.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.functions.text import word_ngrams, words
+from left_join_on_timeout_spark import fsio
 from left_join_on_timeout_spark.operators.ann_index import (
     INDEX_FORMAT_VERSION,
     _apply_tombstones,
@@ -177,6 +179,38 @@ def _corpus_stats(postings: DataFrame):
     return int(row.n), float(row.a if row.a is not None else 0.0)
 
 
+def _ids_dir(path: str, seq: int) -> str:
+    """The text tier's DOC-ID SIDECAR, versioned like the postings
+    (round 14): ``ids_v{seq}`` holds the distinct indexed ids of that
+    version, appended per ingest batch — so the delete-first append
+    enforcement semi-joins a doc-count-sized relation instead of
+    scanning the postings id column (measured at the fifth decade:
+    the postings-column check cost +7.7 s per append at ~5×10⁸
+    posting rows; the sidecar is ~100× smaller). Rebuilds regenerate
+    it from the live postings; GC reaps old versions with the rest."""
+    return os.path.join(path, f"ids_v{int(seq)}")
+
+
+def _write_ids(ids: DataFrame, path: str, seq: int,
+               append: bool = False) -> None:
+    (ids.select("id").distinct().write
+     .mode("append" if append else "overwrite")
+     .parquet(_ids_dir(path, seq)))
+
+
+def _known_ids(spark: SparkSession, index: dict):
+    """The LIVE indexed-id relation the append check compares against:
+    the ids sidecar minus tombstones when the sidecar exists, else the
+    postings id column (legacy indexes built before round 14)."""
+    meta = index["meta"]
+    idir = _ids_dir(index["path"], meta.seq)
+    if any(f.endswith(".parquet") for f in fsio.list_names(spark, idir)):
+        return _apply_tombstones(
+            spark.read.parquet(idir),
+            _load_tombstones(spark, index["path"], meta.seq))
+    return index["postings"].select("id")
+
+
 def text_index_build(docs: DataFrame, path: str,
                      id_col: str = "doc_id",
                      text_col: str = "text",
@@ -209,6 +243,7 @@ def text_index_build(docs: DataFrame, path: str,
     spark = docs.sparkSession
     n_docs, avgdl = _corpus_stats(
         spark.read.parquet(_postings_dir(path, 1)))
+    _write_ids(spark.read.parquet(_postings_dir(path, 1)), path, 1)
     id_type = dict(rows.dtypes)["id"]
     meta = spark.createDataFrame(
         [(INDEX_FORMAT_VERSION, id_col, id_type, int(n_buckets),
@@ -592,7 +627,7 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     if on_existing == "error":
         batch_ids = (new_docs.select(F.col(id_col).alias("id"))
                      .distinct())
-        clash = (index["postings"].select("id")
+        clash = (_known_ids(spark, index)
                  .join(F.broadcast(batch_ids), "id", "left_semi")
                  .distinct().limit(3).collect())
         if clash:
@@ -619,6 +654,19 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
                          int(getattr(meta, "ngram_n", 0) or 0))
     (rows.write.mode("append").partitionBy("tb")
      .parquet(_postings_dir(path, meta.seq)))
+    # the sidecar records the batch AFTER the postings land (a crash
+    # between the two writes re-opens the at-least-once dup window for
+    # that one batch — the probes stay deterministic under it, r13 —
+    # whereas the reverse order could refuse a batch whose postings
+    # never landed: data loss beats duplicate rows, so postings first).
+    # A LEGACY index (built before the sidecar existed) must NOT get a
+    # partial sidecar started by an append — it would hide every
+    # pre-sidecar id from the check; it stays on the postings-scan
+    # fallback until a rebuild writes the full sidecar.
+    if any(f.endswith(".parquet")
+           for f in fsio.list_names(spark, _ids_dir(path, meta.seq))):
+        _write_ids(new_docs.select(F.col(id_col).alias("id")),
+                   path, meta.seq, append=True)
 
 
 def text_index_delete(spark: SparkSession, path: str, ids) -> None:
@@ -651,5 +699,9 @@ def text_index_rebuild(spark: SparkSession, path: str,
           getattr(meta, "token_mode", None) or "word",
           int(getattr(meta, "ngram_n", 0) or 0), new_seq)],
         _META_SCHEMA)
+    # the new version's id sidecar FIRST (from the live relation the
+    # publish is about to materialize — same tombstone-filtered rows),
+    # so no load can see a published pointer without its sidecar
+    _write_ids(live, path, new_seq)
     _publish_postings(spark, path, live, "tb", meta_df, new_seq,
                       keep_versions)

@@ -760,3 +760,62 @@ def test_reappend_refuses_loud_and_update_recipe_serves_fresh(
     hidden = text_index_load(spark, path)
     assert 9 not in {r.doc_id for r in
                      text_index_search(hidden, ["fresh"]).collect()}
+
+
+def test_ids_sidecar_serves_the_append_check(spark, tmp_path):
+    """Round 14: the doc-id SIDECAR (`ids_v{seq}`) makes the
+    delete-first enforcement doc-count-sized instead of a postings
+    id-column scan. Pins: (a) the build writes it and the check reads
+    it; (b) per-batch appends extend it; (c) the rebuild regenerates
+    it for the new version (tombstoned ids drop out, so the update
+    recipe still re-admits); (d) a LEGACY index without a sidecar
+    keeps enforcing through the postings fallback and an append must
+    NOT start a partial sidecar that would hide pre-sidecar ids."""
+    import shutil
+
+    from left_join_on_timeout_spark.operators.text_index import (
+        _ids_dir,
+        _known_ids,
+    )
+
+    path = str(tmp_path / "tix")
+    text_index_build(_docs(spark), path)
+    assert {r.id for r in
+            spark.read.parquet(_ids_dir(path, 1)).collect()} \
+        == {0, 1, 2, 3}
+    fresh = spark.createDataFrame([(9, "fresh doc")],
+                                  "doc_id LONG, text STRING")
+    text_index_append(fresh, spark, path)
+    assert {r.id for r in
+            spark.read.parquet(_ids_dir(path, 1)).collect()} \
+        == {0, 1, 2, 3, 9}
+    with pytest.raises(ValueError, match=r"already-indexed ids \[9\]"):
+        text_index_append(fresh, spark, path)
+    # rebuild regenerates the sidecar for v2 minus tombstones
+    text_index_delete(spark, path, [1])
+    text_index_rebuild(spark, path)
+    assert {r.id for r in
+            spark.read.parquet(_ids_dir(path, 2)).collect()} \
+        == {0, 2, 3, 9}
+    upd = spark.createDataFrame([(1, "replacement")],
+                                "doc_id LONG, text STRING")
+    text_index_append(upd, spark, path)  # re-admitted post-rebuild
+
+    # legacy index: no sidecar — fallback enforces via postings, and
+    # an append must not start a partial sidecar
+    lpath = str(tmp_path / "legacy")
+    text_index_build(_docs(spark), lpath)
+    shutil.rmtree(_ids_dir(lpath, 1))
+    text_index_append(fresh, spark, lpath)
+    assert not any(
+        f.endswith(".parquet")
+        for f in __import__("os").listdir(_ids_dir(lpath, 1))
+        ) if __import__("os").path.isdir(_ids_dir(lpath, 1)) else True
+    with pytest.raises(ValueError, match="already-indexed"):
+        text_index_append(
+            spark.createDataFrame([(0, "again")],
+                                  "doc_id LONG, text STRING"),
+            spark, lpath)
+    idx = text_index_load(spark, lpath)
+    known = {r.id for r in _known_ids(spark, idx).collect()}
+    assert known == {0, 1, 2, 3, 9}, "fallback must see every live id"
