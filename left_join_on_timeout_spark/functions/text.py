@@ -127,13 +127,63 @@ def lang_id(text: Column | str) -> Column:
 def word_ngrams(text: Column | str, n: int) -> Column:
     """All word ``n``-grams (space-joined) of the normalized text, in
     order. Guarded to an empty array below ``n`` words — ``sequence(1,
-    size-k)`` with a negative stop would *descend*, not stay empty."""
-    w = words(text)
+    size-k)`` with a negative stop would *descend*, not stay empty.
+
+    PERFORMANCE: higher-order-function lambdas are interpreted (no
+    whole-stage codegen, no subexpression elimination), so the
+    ``slice`` inside the transform re-evaluates its captured words
+    expression — the regex split of the WHOLE text — once per gram.
+    Keep this form only for one-shot scalar uses (a size gate over a
+    tiny slice); every per-row gram RELATION must go through
+    :func:`gram_rows` / :func:`ngrams_of`, which bind the words array
+    to a materialized column first (the dedup family's ``shingles_of``
+    discipline — that same inlining was 85% of the r1 minhash cost,
+    and the r14 A/B measured 3.55 s → 0.61 s on the sf0.1 gram
+    explode)."""
+    return ngrams_of(words(text), n)
+
+
+def ngrams_of(w: Column, n: int) -> Column:
+    """All word ``n``-grams of a words-array column, empty below ``n``
+    words. Pass a *materialized* column reference (`F.col("_w")`), not
+    the tokenizer expression, so the split evaluates once per row —
+    see :func:`word_ngrams`."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, n)))
     return F.when(F.size(w) >= n, grams) \
             .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def gram_rows(df, text_col: str, n: int, *, id_col: str | None = None,
+              gram_alias: str = "g", outer: bool = False,
+              extra_cols: list[str] | None = None):
+    """Exploded ``(id_col?, *extra_cols, gram_alias)`` word-n-gram rows
+    of ``df`` — the ONE place the gram relation shape is built.
+
+    Two projections on purpose: the first materializes the normalized
+    words array as a column, the second explodes the n-grams of that
+    column. CollapseProject keeps them separate (the array is
+    referenced by several non-cheap expressions), so the regex split
+    runs once per row instead of once per gram — the 5.8× tokenize win
+    measured in PLANS.md r14. ``outer=True`` keeps zero-gram docs as a
+    NULL gram row (the admission-gate shape)."""
+    keep = ([F.col(id_col)] if id_col else []) + \
+        [F.col(c) for c in (extra_cols or [])]
+    ex = F.explode_outer if outer else F.explode
+    return (df.select(*keep, words(text_col).alias("_w"))
+            .select(*keep, ex(ngrams_of(F.col("_w"), n))
+                    .alias(gram_alias)))
+
+
+def gram_digest_set(df, text_col: str = "text", n: int = 5,
+                    alias: str = "h"):
+    """The distinct md5 word-n-gram digests of ``df`` — the eval/bench
+    gram-set shape every contamination query builds (grams travel as
+    16-byte digests, never strings). Routed through :func:`gram_rows`
+    so the tokenizer splits once per row, not once per gram."""
+    return (gram_rows(df, text_col, n)
+            .select(F.md5("g").alias(alias)).distinct())
 
 
 def fingerprint(text: Column | str) -> Column:

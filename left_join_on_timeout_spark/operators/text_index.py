@@ -55,7 +55,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from left_join_on_timeout_spark.functions.text import word_ngrams, words
+from left_join_on_timeout_spark.functions.text import gram_rows, words
 from left_join_on_timeout_spark import fsio
 from left_join_on_timeout_spark.operators.ann_index import (
     INDEX_FORMAT_VERSION,
@@ -64,7 +64,7 @@ from left_join_on_timeout_spark.operators.ann_index import (
     _index_delete,
     _load_tombstones,
     _postings_dir,
-    _publish_postings,
+    _gc_versions,
     _read_meta,
     _read_postings,
     _reset_maintenance_state,
@@ -142,10 +142,9 @@ def _posting_rows(docs: DataFrame, id_col: str, text_col: str,
     Docs with fewer than ``ngram_n`` words have no grams and no
     postings (they can never be contaminated)."""
     if token_mode == "ngram":
-        grams = (docs.select(F.col(id_col).alias("id"),
-                             F.explode(word_ngrams(text_col, ngram_n))
-                             .alias("g"))
-                 .select("id", F.md5("g").alias("term")))
+        grams = (gram_rows(docs, text_col, ngram_n, id_col=id_col)
+                 .select(F.col(id_col).alias("id"),
+                         F.md5("g").alias("term")))
         tf = grams.groupBy("id", "term").agg(
             F.count("*").cast("double").alias("tf"))
         from pyspark.sql import Window
@@ -153,15 +152,29 @@ def _posting_rows(docs: DataFrame, id_col: str, text_col: str,
             "dl", F.count("*").over(Window.partitionBy("id"))
             .cast("double"))
     else:
-        w = words(text_col)
-        toks = docs.select(F.col(id_col).alias("id"),
-                           F.explode(w).alias("term"),
-                           F.size(w).cast("double").alias("dl"))
+        # materialize the words array first so the regex split runs
+        # once per row (explode + size would re-evaluate it otherwise
+        # — the gram_rows discipline)
+        toks = (docs.select(F.col(id_col).alias("id"),
+                            words(text_col).alias("_w"))
+                .select("id", F.explode("_w").alias("term"),
+                        F.size("_w").cast("double").alias("dl")))
         tf = toks.groupBy("id", "term").agg(
             F.count("*").cast("double").alias("tf"),
             F.first("dl").alias("dl"))
     return tf.withColumn("tb", _term_bucket_col(F.col("term"),
                                                 n_buckets))
+
+
+def _per_doc(postings: DataFrame) -> DataFrame:
+    """(id, dl): one row per live doc — the doc-count-sized relation
+    BOTH post-build artifacts derive from (corpus stats and the ids
+    sidecar), computed in ONE column-pruned pass over the postings
+    (r14: stats and sidecar used to scan the postings once each).
+    ``F.max`` (not ``F.first``) picks the per-doc dl so the aggregate
+    stays deterministic even over duplicate (id, term) rows a same-id
+    re-append left behind (ADVICE r12)."""
+    return postings.groupBy("id").agg(F.max("dl").alias("dl"))
 
 
 def _corpus_stats(postings: DataFrame):
@@ -170,13 +183,32 @@ def _corpus_stats(postings: DataFrame):
     text splits to the single empty-string token, so no doc is lost).
     dl values are integer counts held in doubles, so the sums are
     exact and the resulting avgdl is bit-identical across engines and
-    summation orders. ``F.max`` (not ``F.first``) picks the per-doc
-    dl so the aggregate stays deterministic even over duplicate
-    (id, term) rows a same-id re-append left behind (ADVICE r12)."""
-    per_doc = postings.groupBy("id").agg(F.max("dl").alias("dl"))
-    row = per_doc.agg(F.count("*").alias("n"),
-                      F.avg("dl").alias("a")).collect()[0]
+    summation orders."""
+    row = _per_doc(postings).agg(F.count("*").alias("n"),
+                                 F.avg("dl").alias("a")).collect()[0]
     return int(row.n), float(row.a if row.a is not None else 0.0)
+
+
+def _stats_and_ids(spark: SparkSession, path: str,
+                   seq: int) -> tuple[int, float]:
+    """Write the ``ids_v{seq}`` sidecar and return (n_docs, avgdl) —
+    both from ONE :func:`_per_doc` pass over the written postings
+    version (column-pruned to (id, dl)), instead of the two separate
+    postings scans the pre-r14 build paid. The tiny per-doc relation
+    is persisted for the duration so the sidecar write and the stats
+    collect share its single materialization."""
+    from pyspark import StorageLevel
+
+    per_doc = _per_doc(
+        spark.read.parquet(_postings_dir(path, seq)).select("id", "dl")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _write_ids(per_doc, path, seq)
+        row = per_doc.agg(F.count("*").alias("n"),
+                          F.avg("dl").alias("a")).collect()[0]
+        return int(row.n), float(row.a if row.a is not None else 0.0)
+    finally:
+        per_doc.unpersist()
 
 
 def _ids_dir(path: str, seq: int) -> str:
@@ -241,9 +273,9 @@ def text_index_build(docs: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("tb")
      .parquet(_postings_dir(path, 1)))
     spark = docs.sparkSession
-    n_docs, avgdl = _corpus_stats(
-        spark.read.parquet(_postings_dir(path, 1)))
-    _write_ids(spark.read.parquet(_postings_dir(path, 1)), path, 1)
+    # stats + ids sidecar from ONE pruned read-back of the written
+    # postings (was two full scans — r14)
+    n_docs, avgdl = _stats_and_ids(spark, path, 1)
     id_type = dict(rows.dtypes)["id"]
     meta = spark.createDataFrame(
         [(INDEX_FORMAT_VERSION, id_col, id_type, int(n_buckets),
@@ -522,14 +554,10 @@ def contamination_screen(new_docs: DataFrame, bench_grams: DataFrame,
     fewer than ``ngram_n`` words have zero grams and report
     (0, 0, 0.0, false). Same per-doc arithmetic as the audit
     probes."""
-    from left_join_on_timeout_spark.functions.text import word_ngrams
-
     bench = (bench_grams.select(F.col(gram_col).alias("h"))
              .distinct().withColumn("m", F.lit(1)))
-    grams = (new_docs
-             .select(F.col(id_col),
-                     F.explode_outer(word_ngrams(text_col, ngram_n))
-                     .alias("g"))
+    grams = (gram_rows(new_docs, text_col, ngram_n, id_col=id_col,
+                       outer=True)
              .select(id_col, F.md5("g").alias("h"))
              .distinct())
     probed = grams.join(F.broadcast(bench), "h", "left")
@@ -617,6 +645,8 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     ``on_existing='unchecked'`` skips the scan for callers whose ids
     are provably fresh (an exactly-once keyed ingest stream that wants
     the per-batch scan back)."""
+    from pyspark import StorageLevel
+
     if on_existing not in ("error", "unchecked"):
         raise ValueError(
             f"on_existing must be 'error' or 'unchecked', "
@@ -624,49 +654,63 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     index = text_index_load(spark, path)
     _check_id_col(index["meta"], id_col, "append")
     meta = index["meta"]
-    if on_existing == "error":
+    # the batch is evaluated up to three times below (clash check,
+    # postings write, ids sidecar) and its lineage may be an entire
+    # per-batch admission pipeline (the streaming ingest loop) —
+    # persist it for the duration so the pipeline runs ONCE (r14:
+    # measured 13.6 s → batch-sized on the stream's append)
+    we_persisted = False
+    if new_docs.storageLevel == StorageLevel.NONE:
+        new_docs = new_docs.persist(StorageLevel.MEMORY_AND_DISK)
+        we_persisted = True
+    try:
         batch_ids = (new_docs.select(F.col(id_col).alias("id"))
                      .distinct())
-        clash = (_known_ids(spark, index)
-                 .join(F.broadcast(batch_ids), "id", "left_semi")
-                 .distinct().limit(3).collect())
-        if clash:
+        if on_existing == "error":
+            clash = (_known_ids(spark, index)
+                     .join(F.broadcast(batch_ids), "id", "left_semi")
+                     .distinct().limit(3).collect())
+            if clash:
+                raise ValueError(
+                    f"append batch re-inserts already-indexed ids "
+                    f"{sorted(r.id for r in clash)}… at {path} — a "
+                    f"same-id re-append double-counts tf (word tier) "
+                    f"and leaves duplicate postings behind (gram "
+                    f"tier). To UPDATE a doc: text_index_delete(ids) "
+                    f"→ text_index_rebuild() → append the fresh text; "
+                    f"or pass on_existing='unchecked' if this batch's "
+                    f"ids are provably fresh")
+        batch_id_type = dict(
+            new_docs.select(F.col(id_col).alias("id")).dtypes)["id"]
+        meta_id_type = getattr(meta, "id_type", None) or "bigint"
+        if batch_id_type != meta_id_type:
+            # fail loud at append time, not at the NEXT load's schema-
+            # drift check (ADVICE r11 — the srp/text append blind spot)
             raise ValueError(
-                f"append batch re-inserts already-indexed ids "
-                f"{sorted(r.id for r in clash)}… at {path} — a "
-                f"same-id re-append double-counts tf (word tier) and "
-                f"leaves duplicate postings behind (gram tier). To "
-                f"UPDATE a doc: text_index_delete(ids) → "
-                f"text_index_rebuild() → append the fresh text; or "
-                f"pass on_existing='unchecked' if this batch's ids "
-                f"are provably fresh")
-    batch_id_type = dict(
-        new_docs.select(F.col(id_col).alias("id")).dtypes)["id"]
-    meta_id_type = getattr(meta, "id_type", None) or "bigint"
-    if batch_id_type != meta_id_type:
-        # fail loud at append time, not at the NEXT load's schema-
-        # drift check (ADVICE r11 — the srp/text append blind spot)
-        raise ValueError(
-            f"append id dtype {batch_id_type!r} != index id_type "
-            f"{meta_id_type!r} at {path}")
-    rows = _posting_rows(new_docs, id_col, text_col, meta.n_buckets,
-                         getattr(meta, "token_mode", None) or "word",
-                         int(getattr(meta, "ngram_n", 0) or 0))
-    (rows.write.mode("append").partitionBy("tb")
-     .parquet(_postings_dir(path, meta.seq)))
-    # the sidecar records the batch AFTER the postings land (a crash
-    # between the two writes re-opens the at-least-once dup window for
-    # that one batch — the probes stay deterministic under it, r13 —
-    # whereas the reverse order could refuse a batch whose postings
-    # never landed: data loss beats duplicate rows, so postings first).
-    # A LEGACY index (built before the sidecar existed) must NOT get a
-    # partial sidecar started by an append — it would hide every
-    # pre-sidecar id from the check; it stays on the postings-scan
-    # fallback until a rebuild writes the full sidecar.
-    if any(f.endswith(".parquet")
-           for f in fsio.list_names(spark, _ids_dir(path, meta.seq))):
-        _write_ids(new_docs.select(F.col(id_col).alias("id")),
-                   path, meta.seq, append=True)
+                f"append id dtype {batch_id_type!r} != index id_type "
+                f"{meta_id_type!r} at {path}")
+        rows = _posting_rows(new_docs, id_col, text_col,
+                             meta.n_buckets,
+                             getattr(meta, "token_mode", None) or "word",
+                             int(getattr(meta, "ngram_n", 0) or 0))
+        (rows.write.mode("append").partitionBy("tb")
+         .parquet(_postings_dir(path, meta.seq)))
+        # the sidecar records the batch AFTER the postings land (a
+        # crash between the two writes re-opens the at-least-once dup
+        # window for that one batch — the probes stay deterministic
+        # under it, r13 — whereas the reverse order could refuse a
+        # batch whose postings never landed: data loss beats duplicate
+        # rows, so postings first). A LEGACY index (built before the
+        # sidecar existed) must NOT get a partial sidecar started by
+        # an append — it would hide every pre-sidecar id from the
+        # check; it stays on the postings-scan fallback until a
+        # rebuild writes the full sidecar.
+        if any(f.endswith(".parquet")
+               for f in fsio.list_names(spark, _ids_dir(path, meta.seq))):
+            _write_ids(batch_ids, path, meta.seq, append=True)
+    finally:
+        if we_persisted:
+            new_docs.unpersist()
 
 
 def text_index_delete(spark: SparkSession, path: str, ids) -> None:
@@ -690,8 +734,19 @@ def text_index_rebuild(spark: SparkSession, path: str,
     index = text_index_load(spark, path)
     meta = index["meta"]
     live = index["postings"]
-    n_docs, avgdl = _corpus_stats(live)
     new_seq = int(getattr(meta, "seq", 1) or 1) + 1
+    # ONE pass over the live (tombstone-filtered) postings: write the
+    # new version first, then derive the stats AND the ids sidecar
+    # from a pruned read-back of what was just written — the pre-r14
+    # path scanned the live relation three times (stats, sidecar,
+    # publish). The pointer flips LAST (inside _write_meta), so no
+    # load can see a published pointer without its sidecar; a crash
+    # before the flip leaves the old version fully live and the stray
+    # v{new} dirs are overwritten by the next rebuild.
+    (live.repartition(F.col("tb"))
+     .write.mode("overwrite").partitionBy("tb")
+     .parquet(_postings_dir(path, new_seq)))
+    n_docs, avgdl = _stats_and_ids(spark, path, new_seq)
     meta_df = spark.createDataFrame(
         [(meta.version, meta.id_col,
           getattr(meta, "id_type", None) or "bigint",
@@ -699,9 +754,5 @@ def text_index_rebuild(spark: SparkSession, path: str,
           getattr(meta, "token_mode", None) or "word",
           int(getattr(meta, "ngram_n", 0) or 0), new_seq)],
         _META_SCHEMA)
-    # the new version's id sidecar FIRST (from the live relation the
-    # publish is about to materialize — same tombstone-filtered rows),
-    # so no load can see a published pointer without its sidecar
-    _write_ids(live, path, new_seq)
-    _publish_postings(spark, path, live, "tb", meta_df, new_seq,
-                      keep_versions)
+    _write_meta(meta_df, path, new_seq)
+    _gc_versions(spark, path, new_seq, keep_versions)

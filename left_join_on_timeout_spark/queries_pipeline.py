@@ -1097,11 +1097,10 @@ def q_doc_lm2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle digest-sized keys, never the corpus. Determinism is the
     ``doc_lm_score`` recipe: per-gram -ln p rounded to 6 dp as DECIMAL,
     exact decimal·int sums, one final IEEE divide + round per row."""
-    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.functions.text import gram_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    bi = fan_out(docs).select(
-        "doc_id", F.explode(word_ngrams("text", 2)).alias("g"))
+    bi = gram_rows(fan_out(docs), "text", 2, id_col="doc_id")
     tf2 = (bi.groupBy("doc_id", "g")
            .agg(F.count(F.lit(1)).alias("tf"))
            .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1408,8 +1407,9 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from left_join_on_timeout_spark.functions.text import (
+        gram_digest_set,
         token_count,
-        word_ngrams,
+        words,
     )
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
@@ -1439,9 +1439,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the eval gram set gates BOTH the ingest screen and the
     # decontamination audit — MB-sized by the benchmark contract, so
     # persist one materialization across the stages
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct()
+    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
     # The candidate batch carries a CONTAMINATED SPIKE: eval docs
     # re-keyed as new candidates (the leak a screen exists to stop —
@@ -1455,7 +1453,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contaminated by construction (contamination = 1.0, screened)
     _check_spike_offset(docs)
     spike = (docs.where(F.col("doc_id") % 100 == 0)
-             .where(F.size(word_ngrams("text", 5)) > 0)
+             .where(F.size(words("text")) >= 5)
              .select((F.col("doc_id") + F.lit(SPIKE_OFFSET))
                      .alias("doc_id"), "source", "text"))
     # the arrival batch feeds the screen, the dedup probe, and three
@@ -1777,20 +1775,21 @@ def _curation_fixtures(spark: SparkSession, sf_dir: str) -> dict:
     carrying its ``gid`` source-doc mapping), and the standing
     corpus/vector slices. ``bench`` and ``arrivals`` come back
     PERSISTED (each feeds several stages)."""
-    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.functions.text import (
+        gram_digest_set,
+        words,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     _check_spike_offset(docs)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct()
+    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
     organic = (docs.where(F.col("doc_id") % 10 == 5)
                .select("doc_id", "source", "text",
                        F.col("doc_id").alias("gid")))
     gram_spike = (docs.where(F.col("doc_id") % 100 == 0)
-                  .where(F.size(word_ngrams("text", 5)) > 0)
+                  .where(F.size(words("text")) >= 5)
                   .select((F.col("doc_id") + F.lit(SPIKE_OFFSET))
                           .alias("doc_id"), "source", "text",
                           F.col("doc_id").alias("gid")))
@@ -1854,7 +1853,6 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     is the banded tier's job."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.functions.vectors import (
         as_double,
         dot,

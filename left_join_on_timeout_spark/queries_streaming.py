@@ -1096,15 +1096,13 @@ def q_stream_contamination_screen(spark: SparkSession,
     import os
     import tempfile
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
+    from left_join_on_timeout_spark.functions.text import gram_digest_set
     from left_join_on_timeout_spark.operators.text_index import (
         contamination_screen,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+    bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     arrivals = (docs.where(F.col("doc_id") % 10 == 5)
                 .select("doc_id", "text"))
     base = tempfile.mkdtemp(prefix="ljot_screen_")

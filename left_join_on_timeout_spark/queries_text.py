@@ -23,7 +23,8 @@ from left_join_on_timeout_spark.functions.text import (
     n_words,
     quality_score,
     token_count,
-    word_ngrams,
+    gram_digest_set,
+    gram_rows,
     words,
 )
 from left_join_on_timeout_spark.queries import query
@@ -272,9 +273,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (fan_out(docs)
-             .select("doc_id",
-                     F.explode(word_ngrams("text", 5)).alias("g"))
+    grams = (gram_rows(fan_out(docs), "text", 5, id_col="doc_id")
              .select("doc_id", F.md5("g").alias("h"))
              .distinct())
     bench = (grams.where(F.col("doc_id") % 20 == 0)
@@ -337,8 +336,7 @@ def q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("tf").alias("top_tf"))
-    bi = (docs.select("doc_id",
-                      F.explode(word_ngrams("text", 2)).alias("g"))
+    bi = (gram_rows(docs, "text", 2, id_col="doc_id")
           .select("doc_id", F.md5("g").alias("h"))
           .groupBy("doc_id").agg(
               F.count(F.lit(1)).alias("n_bi"),
@@ -383,9 +381,7 @@ def q_crossdoc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (fan_out(docs)
-             .select("doc_id",
-                     F.explode(word_ngrams("text", 8)).alias("g"))
+    grams = (gram_rows(fan_out(docs), "text", 8, id_col="doc_id")
              .select("doc_id", F.md5("g").alias("h"))
              .distinct())
     nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
@@ -518,8 +514,7 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = fan_out(docs).select(F.explode(words("text")).alias("term"))
     uni = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
            .persist(StorageLevel.MEMORY_AND_DISK))
-    grams = fan_out(docs).select(
-        F.explode(word_ngrams("text", 2)).alias("gram"))
+    grams = gram_rows(fan_out(docs), "text", 2, gram_alias="gram")
     # bigram counts persist: consumed by the supported set AND the
     # all-bigrams total (tb must count every bigram, not just c >= 5)
     bigc = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
@@ -917,13 +912,10 @@ def q_novelty_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair or per-position state exists anywhere."""
     from pyspark.sql import Window
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.partitioning import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (fan_out(docs)
-             .select("doc_id",
-                     F.explode(word_ngrams("text", 8)).alias("g"))
+    grams = (gram_rows(fan_out(docs), "text", 8, id_col="doc_id")
              .select("doc_id", F.md5("g").alias("h"))
              .distinct())
     first_doc = F.min("doc_id").over(Window.partitionBy("h"))
@@ -1784,7 +1776,6 @@ def q_contamination_sweep_saved(spark: SparkSession,
     arithmetic as ``contamination_ngram_overlap``."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -1801,9 +1792,7 @@ def q_contamination_sweep_saved(spark: SparkSession,
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
     text_index_build(train, path, token_mode="ngram", ngram_n=5)
     index = text_index_load(spark, path)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+    bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     return text_index_gram_probe(index, bench, threshold=0.05)
 
 
@@ -2078,7 +2067,6 @@ def q_contamination_suites_saved(spark: SparkSession,
     ``contamination_sweep_saved``'s."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -2095,10 +2083,10 @@ def q_contamination_suites_saved(spark: SparkSession,
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
     text_index_build(train, path, token_mode="ngram", ngram_n=5)
     index = text_index_load(spark, path)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(((F.col("doc_id") % 40) / 20).cast("bigint")
-                     .alias("suite"),
-                     F.explode(word_ngrams("text", 5)).alias("g"))
+    bench = (gram_rows(docs.where(F.col("doc_id") % 20 == 0)
+                       .select((((F.col("doc_id") % 40) / 20)
+                                .cast("bigint")).alias("suite"), "text"),
+                       "text", 5, id_col="suite")
              .select("suite", F.md5("g").alias("h")).distinct())
     return text_index_gram_probe_many(index, bench, threshold=0.05)
 
@@ -2141,7 +2129,6 @@ def q_decontaminate_corpus_saved(spark: SparkSession,
     but must appear in the denominator)."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -2158,9 +2145,7 @@ def q_decontaminate_corpus_saved(spark: SparkSession,
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
     text_index_build(train, path, token_mode="ngram", ngram_n=5)
     index = text_index_load(spark, path)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+    bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     flagged = (text_index_gram_probe(index, bench, threshold=0.05)
                .where(F.col("flagged"))
                .select("doc_id").withColumn("fl", F.lit(1)))
@@ -2218,7 +2203,6 @@ def q_contamination_rebuilt_saved(spark: SparkSession,
     the same arc ``text_bm25_rebuilt_saved`` pins for the word tier."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -2245,9 +2229,7 @@ def q_contamination_rebuilt_saved(spark: SparkSession,
     text_index_delete(spark, path, dead)
     text_index_rebuild(spark, path)
     index = text_index_load(spark, path)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+    bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     return text_index_gram_probe(index, bench, threshold=0.05)
 
 
@@ -2285,7 +2267,6 @@ def q_stream_gram_index_append(spark: SparkSession,
     import os
     import tempfile
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -2320,9 +2301,7 @@ def q_stream_gram_index_append(spark: SparkSession,
     finally:
         q.stop()
     index = text_index_load(spark, path)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct())
+    bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     return text_index_gram_probe(index, bench, threshold=0.05)
 
 
@@ -2381,7 +2360,6 @@ def q_decontaminate_indexes_saved(spark: SparkSession,
     BM25 search and IVF2 neighbors at the next load)."""
     import os
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
     )
@@ -2405,9 +2383,7 @@ def q_decontaminate_indexes_saved(spark: SparkSession,
     # audits probe with it — persist it once (a recurring real audit
     # would hold it resident); same for the audit-hit-bounded flagged
     # set, which the delete consumes eagerly and the accounting reuses
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct()
+    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
     flagged = (text_index_gram_probe(index, bench, threshold=0.05)
                .where(F.col("flagged"))
@@ -2577,7 +2553,6 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
 
     from pyspark import StorageLevel
 
-    from left_join_on_timeout_spark.functions.text import word_ngrams
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
@@ -2604,9 +2579,7 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
     text_index_build(train, gx, token_mode="ngram", ngram_n=5)
     text_index_build(train, wx)
     ivf2_index_build(emb_train, vx, n_super=8, k2=8)
-    bench = (docs.where(F.col("doc_id") % 20 == 0)
-             .select(F.explode(word_ngrams("text", 5)).alias("g"))
-             .select(F.md5("g").alias("h")).distinct()
+    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
     flagged = (text_index_gram_probe(text_index_load(spark, gx), bench,
                                      threshold=0.05)
