@@ -1465,37 +1465,50 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = docs.where((F.col("doc_id") % 20 != 0)
                           & (F.col("doc_id") % 10 != 5))
 
-    # stage 1 — ingest screen: flagged candidates never enter
+    # stage 1 — ingest screen: flagged candidates never enter. Each
+    # stage's drop set is batch/hit-bounded and consumed twice (the
+    # next stage's anti-join and its accounting column) — persist
+    # them so no accounting column replays the upstream chain (r14).
     scr = contamination_screen(arrivals.select("doc_id", "text"),
                                bench, ngram_n=5)
-    screened = scr.where(F.col("flagged")).select("doc_id")
+    screened = (scr.where(F.col("flagged")).select("doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK))
     admitted = arrivals.join(F.broadcast(screened), "doc_id",
                              "left_anti")
 
-    # stage 2 — saved-LSH dedup probe + exact-Jaccard verify
+    # stage 2 — saved-LSH dedup probe + exact-Jaccard verify; the
+    # verify shingles only docs that appear in candidate pairs (one
+    # broadcast semi-join per pair side), never the %20-slice corpus
+    # (r14 — results unchanged: jac joins on cand anyway)
     base = os.path.basename(os.path.normpath(sf_dir))
     root = default_index_root()
     lpath = os.path.join(root, "caplsh_" + base)
     lsh_index_build(standing, lpath)
-    cand = lsh_index_probe(admitted, lsh_index_load(spark, lpath))
-    sets = shingle_sets(docs.where(F.col("doc_id") % 20 != 0),
-                        "doc_id", "text") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    sized = sets.select("doc_id", "sh_set",
-                        F.size("sh_set").alias("n_sh"))
-    a = sized.select(F.col("doc_id").alias("probe_id"),
-                     F.col("sh_set").alias("set_a"),
-                     F.col("n_sh").alias("n_a"))
-    b = sized.select(F.col("doc_id").alias("index_id"),
-                     F.col("sh_set").alias("set_b"),
-                     F.col("n_sh").alias("n_b"))
+    cand = (lsh_index_probe(admitted, lsh_index_load(spark, lpath))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    probed_docs = docs.where(F.col("doc_id") % 20 != 0)
+    cand_pids = cand.select(F.col("probe_id").alias("doc_id")).distinct()
+    cand_iids = cand.select(F.col("index_id").alias("doc_id")).distinct()
+    a = (shingle_sets(
+        probed_docs.join(F.broadcast(cand_pids), "doc_id", "left_semi"),
+        "doc_id", "text")
+         .select(F.col("doc_id").alias("probe_id"),
+                 F.col("sh_set").alias("set_a"),
+                 F.size("sh_set").alias("n_a")))
+    b = (shingle_sets(
+        probed_docs.join(F.broadcast(cand_iids), "doc_id", "left_semi"),
+        "doc_id", "text")
+         .select(F.col("doc_id").alias("index_id"),
+                 F.col("sh_set").alias("set_b"),
+                 F.size("sh_set").alias("n_b")))
     jac = (cand.join(a, "probe_id").join(b, "index_id")
            .withColumn("inter",
                        F.size(F.array_intersect("set_a", "set_b")))
            .where(F.col("inter")
                   / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                   >= 0.5))
-    dup = jac.select(F.col("probe_id").alias("doc_id")).distinct()
+    dup = (jac.select(F.col("probe_id").alias("doc_id")).distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
     uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
 
     # stage 3 — decontaminate the standing corpus via the saved grams
@@ -1503,7 +1516,8 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
     flagged = (text_index_gram_probe(
         text_index_load(spark, gpath), bench, threshold=0.05)
-        .where(F.col("flagged")).select("doc_id"))
+        .where(F.col("flagged")).select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK))
     clean = standing.join(F.broadcast(flagged), "doc_id", "left_anti")
 
     # stage 4 — cluster-aware split over the final corpus
@@ -1881,25 +1895,39 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     emb, standing = fx["emb"], fx["standing"]
     emb_standing = fx["emb_standing"]
 
-    # stage 1 — gram screen
+    # stage 1 — gram screen. The flagged set is batch-bounded and
+    # consumed twice (the admission anti-join and the per-source
+    # accounting) — persist it so the screen chain runs once; same
+    # for each later stage's drop set (r14: the unpersisted sets made
+    # every accounting column replay the whole upstream chain).
     scr = contamination_screen(arrivals.select("doc_id", "text"),
                                bench, ngram_n=5)
-    screened = scr.where(F.col("flagged")).select("doc_id")
+    screened = (scr.where(F.col("flagged")).select("doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK))
     admitted = arrivals.join(F.broadcast(screened), "doc_id",
                              "left_anti")
 
-    # stage 2 — saved-LSH lexical dedup (exact-Jaccard verified)
+    # stage 2 — saved-LSH lexical dedup (exact-Jaccard verified).
+    # The exact verify shingles only the docs that appear in candidate
+    # pairs (a broadcast semi-join on each side of the pair relation),
+    # never the whole standing corpus — candidate-bounded like the
+    # probe itself (r14; results unchanged: jac joins on cand anyway).
     base = os.path.basename(os.path.normpath(sf_dir))
     root = default_index_root()
     lpath = os.path.join(root, "semlsh_" + base)
     lsh_index_build(standing, lpath)
-    cand = lsh_index_probe(admitted.select("doc_id", "text"),
-                           lsh_index_load(spark, lpath))
+    cand = (lsh_index_probe(admitted.select("doc_id", "text"),
+                            lsh_index_load(spark, lpath))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     psets = (shingle_sets(admitted, "doc_id", "text")
              .select(F.col("doc_id").alias("probe_id"),
                      F.col("sh_set").alias("set_a"),
                      F.size("sh_set").alias("n_a")))
-    isets = (shingle_sets(standing, "doc_id", "text")
+    cand_iids = (cand.select(F.col("index_id").alias("doc_id"))
+                 .distinct())
+    isets = (shingle_sets(
+        standing.join(F.broadcast(cand_iids), "doc_id", "left_semi"),
+        "doc_id", "text")
              .select(F.col("doc_id").alias("index_id"),
                      F.col("sh_set").alias("set_b"),
                      F.size("sh_set").alias("n_b")))
@@ -1909,10 +1937,13 @@ def q_curation_pipeline_semantic(spark: SparkSession,
            .where(F.col("inter")
                   / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                   >= 0.5))
-    dup = jac.select(F.col("probe_id").alias("doc_id")).distinct()
+    dup = (jac.select(F.col("probe_id").alias("doc_id")).distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
     uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
 
-    # stage 3 — saved-SRP semantic dedup (exact-cosine verified)
+    # stage 3 — saved-SRP semantic dedup (exact-cosine verified; the
+    # index-side norms are computed for candidate vectors only — the
+    # same bounding as the lexical verify)
     spath = os.path.join(root, "semsrp_" + base)
     srp_index_build(emb_standing, spath, dim=64)
     qvec = (uniq.select("doc_id", "gid")
@@ -1920,12 +1951,17 @@ def q_curation_pipeline_semantic(spark: SparkSession,
                   "gid")
             .select(F.col("doc_id").alias("vec_id"), "embedding")
             .persist(StorageLevel.MEMORY_AND_DISK))
-    scand = srp_index_probe(qvec, srp_index_load(spark, spath))
+    scand = (srp_index_probe(qvec, srp_index_load(spark, spath))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     qv = qvec.select(F.col("vec_id").alias("probe_id"),
                      as_double("embedding").alias("va"))
     qv = qv.select("probe_id", "va", l2_norm(F.col("va")).alias("na"))
-    iv = emb_standing.select(F.col("vec_id").alias("index_id"),
-                             as_double("embedding").alias("vb"))
+    scand_iids = (scand.select(F.col("index_id").alias("vec_id"))
+                  .distinct())
+    iv = (emb_standing
+          .join(F.broadcast(scand_iids), "vec_id", "left_semi")
+          .select(F.col("vec_id").alias("index_id"),
+                  as_double("embedding").alias("vb")))
     iv = iv.select("index_id", "vb", l2_norm(F.col("vb")).alias("nb"))
     scos = (scand.join(qv, "probe_id").join(iv, "index_id")
             .select("probe_id",
@@ -1933,7 +1969,8 @@ def q_curation_pipeline_semantic(spark: SparkSession,
                             / (F.col("na") * F.col("nb")), 6)
                     .alias("cos_sim")))
     semdup = (scos.where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
-              .select(F.col("probe_id").alias("doc_id")).distinct())
+              .select(F.col("probe_id").alias("doc_id")).distinct()
+              .persist(StorageLevel.MEMORY_AND_DISK))
     fin = uniq.join(F.broadcast(semdup), "doc_id", "left_anti")
 
     # per-source lineage report, driven from every arriving source

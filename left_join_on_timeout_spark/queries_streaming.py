@@ -1239,15 +1239,6 @@ def q_stream_curation_ingest(spark: SparkSession,
     text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
     lidx = lsh_index_load(spark, lpath)
     sidx = srp_index_load(spark, spath)
-    isets = (shingle_sets(standing, "doc_id", "text")
-             .select(F.col("doc_id").alias("index_id"),
-                     F.col("sh_set").alias("set_b"),
-                     F.size("sh_set").alias("n_b"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    iv = emb_standing.select(F.col("vec_id").alias("index_id"),
-                             as_double("embedding").alias("vb"))
-    iv = (iv.select("index_id", "vb", l2_norm(F.col("vb")).alias("nb"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
     emb_by_gid = emb.select(F.col("vec_id").alias("gid"), "embedding")
 
     stage = tempfile.mkdtemp(prefix="ljot_strcur_")
@@ -1255,31 +1246,63 @@ def q_stream_curation_ingest(spark: SparkSession,
     arrivals.write.mode("overwrite").parquet(src)
 
     def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        # Each stage's drop set is consumed by the next stage's
+        # anti-join AND the decision sink — persist the batch and the
+        # batch-bounded sets for the batch's duration so the admission
+        # chain runs once per micro-batch, not once per consumer
+        # (r14). The exact verifies shingle / parse only the docs and
+        # vectors that appear in candidate pairs — candidate-bounded
+        # per batch, so the loop holds NO corpus-sized standing
+        # persist (the pre-r14 isets/iv cached the whole standing
+        # corpus's shingle sets and vector norms for the stream's
+        # lifetime).
+        batch_df = batch_df.persist(StorageLevel.MEMORY_AND_DISK)
         scr = contamination_screen(batch_df.select("doc_id", "text"),
                                    bench, ngram_n=5)
-        screened = scr.where(F.col("flagged")).select("doc_id")
+        screened = (scr.where(F.col("flagged")).select("doc_id")
+                    .persist(StorageLevel.MEMORY_AND_DISK))
         adm1 = batch_df.join(F.broadcast(screened), "doc_id",
                              "left_anti")
-        cand = lsh_index_probe(adm1.select("doc_id", "text"), lidx)
+        cand = (lsh_index_probe(adm1.select("doc_id", "text"), lidx)
+                .persist(StorageLevel.MEMORY_AND_DISK))
         psets = (shingle_sets(adm1, "doc_id", "text")
                  .select(F.col("doc_id").alias("probe_id"),
                          F.col("sh_set").alias("set_a"),
                          F.size("sh_set").alias("n_a")))
+        cand_iids = (cand.select(F.col("index_id").alias("doc_id"))
+                     .distinct())
+        isets = (shingle_sets(
+            standing.join(F.broadcast(cand_iids), "doc_id",
+                          "left_semi"), "doc_id", "text")
+                 .select(F.col("doc_id").alias("index_id"),
+                         F.col("sh_set").alias("set_b"),
+                         F.size("sh_set").alias("n_b")))
         jac = (cand.join(psets, "probe_id").join(isets, "index_id")
                .withColumn("inter",
                            F.size(F.array_intersect("set_a", "set_b")))
                .where(F.col("inter")
                       / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                       >= 0.5))
-        dup = jac.select(F.col("probe_id").alias("doc_id")).distinct()
+        dup = (jac.select(F.col("probe_id").alias("doc_id")).distinct()
+               .persist(StorageLevel.MEMORY_AND_DISK))
         uniq = adm1.join(F.broadcast(dup), "doc_id", "left_anti")
         qvec = (uniq.select("doc_id", "gid").join(emb_by_gid, "gid")
-                .select(F.col("doc_id").alias("vec_id"), "embedding"))
-        scand = srp_index_probe(qvec, sidx)
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+        scand = (srp_index_probe(qvec, sidx)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         qv = qvec.select(F.col("vec_id").alias("probe_id"),
                          as_double("embedding").alias("va"))
         qv = qv.select("probe_id", "va",
                        l2_norm(F.col("va")).alias("na"))
+        scand_iids = (scand.select(F.col("index_id").alias("vec_id"))
+                      .distinct())
+        iv = (emb_standing
+              .join(F.broadcast(scand_iids), "vec_id", "left_semi")
+              .select(F.col("vec_id").alias("index_id"),
+                      as_double("embedding").alias("vb")))
+        iv = iv.select("index_id", "vb",
+                       l2_norm(F.col("vb")).alias("nb"))
         scos = (scand.join(qv, "probe_id").join(iv, "index_id")
                 .select("probe_id",
                         F.round(dot(F.col("va"), F.col("vb"))
@@ -1287,25 +1310,32 @@ def q_stream_curation_ingest(spark: SparkSession,
                         .alias("cos_sim")))
         semdup = (scos.where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
                   .select(F.col("probe_id").alias("doc_id"))
-                  .distinct())
+                  .distinct()
+                  .persist(StorageLevel.MEMORY_AND_DISK))
         admitted = uniq.join(F.broadcast(semdup), "doc_id", "left_anti")
         try:
-            text_index_append(admitted.select("doc_id", "text"),
-                              spark, gpath)
-        except ValueError:
-            # an epoch RETRY re-offers ids the first attempt already
-            # appended — the r14 duplicate enforcement refuses, which
-            # is exactly the wanted retry semantics (already-done)
-            pass
-        dec = (screened.select("doc_id",
-                               F.lit("screened").alias("decision"))
-               .unionByName(dup.select(
-                   "doc_id", F.lit("dup").alias("decision")))
-               .unionByName(semdup.select(
-                   "doc_id", F.lit("semdup").alias("decision")))
-               .unionByName(admitted.select(
-                   "doc_id", F.lit("admitted").alias("decision"))))
-        dec.write.mode("append").parquet(out)
+            try:
+                text_index_append(admitted.select("doc_id", "text"),
+                                  spark, gpath)
+            except ValueError:
+                # an epoch RETRY re-offers ids the first attempt
+                # already appended — the r14 duplicate enforcement
+                # refuses, which is exactly the wanted retry
+                # semantics (already-done)
+                pass
+            dec = (screened.select("doc_id",
+                                   F.lit("screened").alias("decision"))
+                   .unionByName(dup.select(
+                       "doc_id", F.lit("dup").alias("decision")))
+                   .unionByName(semdup.select(
+                       "doc_id", F.lit("semdup").alias("decision")))
+                   .unionByName(admitted.select(
+                       "doc_id", F.lit("admitted").alias("decision"))))
+            dec.write.mode("append").parquet(out)
+        finally:
+            for df in (batch_df, screened, cand, dup, qvec, scand,
+                       semdup):
+                df.unpersist()
 
     q = (spark.readStream.schema(arrivals.schema).parquet(src)
          .writeStream.foreachBatch(_ingest)
