@@ -375,28 +375,32 @@ def ivf2_index_build(emb: DataFrame, path: str,
         assigned = _assign_to_subs(sup, sub_anchors, id_col) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(assigned)
+        # partitioned by super-cell: a probe's scan prunes to its own
+        # sid directory — the file-layout analog of inverted-list
+        # sharding (the pruned-search path proves the filter fires).
+        # ONE exchange serves the whole write path: hash-partitioning
+        # on sid satisfies the cap window's (sid, sub) clustering AND
+        # aligns the write with the directory key (without it every
+        # write task touches every sid directory — files ≈ tasks ×
+        # dirs, the 20 M tree build measured 5 728 files for 179
+        # dirs, PLANS.md r9); placing the repartition BEFORE the
+        # window replaces the window's implicit exchange (guide §2.4)
         w = Window.partitionBy("sid", "sub")
-        capped = (assigned.withColumn("csz", F.count("*").over(w))
+        capped = (assigned.repartition(F.col("sid"))
+                  .withColumn("csz", F.count("*").over(w))
                   .where(F.col("csz") <= cell_cap).drop("csz"))
         posting_cols = [F.col(id_col).alias("id"), "sid", "sub",
                         "v", "nrm"]
         if attr_cols:
+            # the attribute join re-distributes by id — restore the
+            # sid clustering for the partitioned write
             attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
             capped = (capped.select(*posting_cols)
-                      .join(attrs, "id"))
+                      .join(attrs, "id")
+                      .repartition(F.col("sid")))
         else:
             capped = capped.select(*posting_cols)
-        # partitioned by super-cell: a probe's scan prunes to its own
-        # sid directory — the file-layout analog of inverted-list
-        # sharding (the pruned-search path proves the filter fires).
-        # Align the write partitioning with the directory key first:
-        # without it every write task touches every sid directory
-        # (files ≈ tasks × dirs — the 20 M tree build measured 5 728
-        # files for 179 dirs, PLANS.md r9); hash-clustering by sid
-        # bounds it to ~one file per directory, which is also what the
-        # pruned serve then reads
-        (capped.repartition(F.col("sid"))
-         .write.mode("overwrite").partitionBy("sid")
+        (capped.write.mode("overwrite").partitionBy("sid")
          .parquet(_postings_dir(path, 1)))
         # the postings id TYPE is part of the meta contract (VERDICT
         # r10 wrong #3): load validates against it instead of
@@ -1330,7 +1334,8 @@ def pq_index_append(new_vectors: DataFrame, spark: SparkSession,
 def _publish_postings(spark: SparkSession, path: str,
                       recapped: DataFrame, partition_by: str | None,
                       meta_df, new_seq: int,
-                      keep_versions: int = 2) -> None:
+                      keep_versions: int = 2,
+                      already_clustered: bool = False) -> None:
     """Publish a rebuild as a NEW postings version (VERDICT r8 item 3
     — the versioned-manifest pattern, replacing the r7 rename-in-place
     swap that was neither object-store-portable nor safe for in-flight
@@ -1362,9 +1367,12 @@ def _publish_postings(spark: SparkSession, path: str,
     write, a single-object pointer publish, or a delete of a
     no-longer-referenced directory — the operations an object store
     does natively (all routed through :mod:`fsio`)."""
-    if partition_by:
+    if partition_by and not already_clustered:
         # cluster by the directory key so the rewritten version keeps
-        # ~one file per directory (files ≈ tasks × dirs otherwise)
+        # ~one file per directory (files ≈ tasks × dirs otherwise);
+        # a caller that already repartitioned by the key upstream (to
+        # share the exchange with its cap window — guide §2.4) passes
+        # already_clustered=True and skips this second shuffle
         recapped = recapped.repartition(F.col(partition_by))
     w = recapped.write.mode("overwrite")
     if partition_by:
@@ -1398,8 +1406,11 @@ def ivf2_index_rebuild(spark: SparkSession, path: str,
     index = ivf2_index_load(spark, path)
     meta = index["meta"]
     cap = meta.cell_cap
+    # hash-partitioning on sid satisfies the (sid, sub) cap window's
+    # clustering AND the partitionBy(sid) publish — one exchange for
+    # both (guide §2.4)
     w = Window.partitionBy("sid", "sub")
-    recapped = (index["postings"]
+    recapped = (index["postings"].repartition(F.col("sid"))
                 .withColumn("csz", F.count("*").over(w))
                 .where(F.col("csz") <= cap).drop("csz"))
     new_seq = int(getattr(meta, "seq", 1) or 1) + 1
@@ -1411,7 +1422,7 @@ def ivf2_index_rebuild(spark: SparkSession, path: str,
         "train_frac DOUBLE, train_seed STRING, id_col STRING, "
         "id_type STRING, seq INT")
     _publish_postings(spark, path, recapped, "sid", meta_df, new_seq,
-                      keep_versions)
+                      keep_versions, already_clustered=True)
 
 
 def pq_index_rebuild(spark: SparkSession, path: str,

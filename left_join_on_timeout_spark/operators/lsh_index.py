@@ -87,17 +87,20 @@ def lsh_index_build(docs: DataFrame, path: str,
     shuffle is the cap's (band, h) window — the pass a daily build
     amortizes over every subsequent probe."""
     banded = _banded(docs, id_col, text_col, k, bands, shingle_n)
+    # ONE exchange: hash-partitioning on band satisfies the cap
+    # window's (band, h) clustering AND clusters the partitionBy(band)
+    # write (files ≈ tasks × dirs otherwise — the ann builders' note),
+    # so the explicit repartition placed BEFORE the window replaces
+    # the window's implicit exchange plus the pre-write one (guide
+    # §2.4). repartition(col) keeps the session's shuffle-partition
+    # parallelism, so the 100 TB write is not serialized into |bands|
+    # tasks.
+    banded = banded.repartition(F.col("band"))
     w = Window.partitionBy("band", "h")
     capped = (banded.withColumn("bsz", F.count("*").over(w))
               .where(F.col("bsz") <= bucket_cap).drop("bsz")
               .select(F.col(id_col).alias("id"), "band", "h"))
-    # cluster by band before the write (files ≈ tasks × dirs
-    # otherwise — the ann builders' note); repartition(col) keeps the
-    # session's shuffle-partition parallelism, it only co-locates rows
-    # of a band, so the 100 TB write is not serialized into |bands|
-    # tasks
-    (capped.repartition(F.col("band"))
-     .write.mode("overwrite").partitionBy("band")
+    (capped.write.mode("overwrite").partitionBy("band")
      .parquet(_postings_dir(path, 1)))
     meta = docs.sparkSession.createDataFrame(
         [(INDEX_FORMAT_VERSION, k, bands, shingle_n, bucket_cap,
@@ -202,8 +205,11 @@ def lsh_index_rebuild(spark: SparkSession, path: str,
     versioned-manifest publish with the snapshot-retention knob."""
     index = lsh_index_load(spark, path)
     meta = index["meta"]
+    # hash-partitioning on band satisfies the (band, h) cap window's
+    # clustering AND the partitionBy(band) publish — one exchange for
+    # both (guide §2.4)
     w = Window.partitionBy("band", "h")
-    recapped = (index["postings"]
+    recapped = (index["postings"].repartition(F.col("band"))
                 .withColumn("bsz", F.count("*").over(w))
                 .where(F.col("bsz") <= meta.bucket_cap).drop("bsz"))
     new_seq = int(getattr(meta, "seq", 1) or 1) + 1
@@ -213,4 +219,4 @@ def lsh_index_rebuild(spark: SparkSession, path: str,
         "version INT, k INT, bands INT, shingle_n INT, bucket_cap INT, "
         "id_col STRING, seq INT")
     _publish_postings(spark, path, recapped, "band", meta_df, new_seq,
-                      keep_versions)
+                      keep_versions, already_clustered=True)

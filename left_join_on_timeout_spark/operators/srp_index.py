@@ -114,15 +114,17 @@ def srp_index_build(emb: DataFrame, path: str,
     banding → (band, h) cap window → write; nothing is collected
     driver-side."""
     banded = _srp_rows(emb, id_col, vec_col, dim, bands, n_bits, seed)
+    # ONE exchange: hash-partitioning on band satisfies the cap
+    # window's (band, h) clustering and clusters the partitionBy(band)
+    # write (files ≈ tasks × dirs — the shared builders' note), so the
+    # repartition placed BEFORE the window replaces two exchanges
+    # (guide §2.4); repartition(col) keeps shuffle parallelism
+    banded = banded.repartition(F.col("band"))
     w = Window.partitionBy("band", "h")
     capped = (banded.withColumn("bsz", F.count("*").over(w))
               .where(F.col("bsz") <= bucket_cap).drop("bsz")
               .select(F.col(id_col).alias("id"), "band", "h"))
-    # cluster by band before the write (files ≈ tasks × dirs — the
-    # shared builders' note); repartition(col) keeps shuffle
-    # parallelism, it only co-locates a band's rows
-    (capped.repartition(F.col("band"))
-     .write.mode("overwrite").partitionBy("band")
+    (capped.write.mode("overwrite").partitionBy("band")
      .parquet(_postings_dir(path, 1)))
     spark = emb.sparkSession
     id_type = dict(
@@ -288,8 +290,10 @@ def srp_index_rebuild(spark: SparkSession, path: str,
     shared versioned-manifest publish."""
     index = srp_index_load(spark, path)
     meta = index["meta"]
+    # one exchange serves the cap window and the partitioned publish
+    # (hash on band satisfies the (band, h) clustering — guide §2.4)
     w = Window.partitionBy("band", "h")
-    recapped = (index["postings"]
+    recapped = (index["postings"].repartition(F.col("band"))
                 .withColumn("bsz", F.count("*").over(w))
                 .where(F.col("bsz") <= meta.bucket_cap).drop("bsz"))
     new_seq = int(getattr(meta, "seq", 1) or 1) + 1
@@ -299,4 +303,4 @@ def srp_index_rebuild(spark: SparkSession, path: str,
           getattr(meta, "id_type", None) or "bigint", new_seq)],
         _META_SCHEMA)
     _publish_postings(spark, path, recapped, "band", meta_df, new_seq,
-                      keep_versions)
+                      keep_versions, already_clustered=True)

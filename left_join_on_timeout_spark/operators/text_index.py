@@ -142,9 +142,20 @@ def _posting_rows(docs: DataFrame, id_col: str, text_col: str,
     Docs with fewer than ``ngram_n`` words have no grams and no
     postings (they can never be contaminated)."""
     if token_mode == "ngram":
-        grams = (gram_rows(docs, text_col, ngram_n, id_col=id_col)
+        from left_join_on_timeout_spark.partitioning import fan_out
+
+        grams = (gram_rows(fan_out(docs), text_col, ngram_n,
+                           id_col=id_col)
                  .select(F.col(id_col).alias("id"),
                          F.md5("g").alias("term")))
+        # ONE exchange serves both id-keyed steps: hash-partitioning
+        # on id satisfies the (id, term) aggregate's clustering AND
+        # the dl window's, so the explicit repartition replaces two
+        # implicit ones (guide §2.4; measured 1.55 s → 0.83 s at
+        # sf0.1, identical rows). Map-side partial aggregation loses
+        # little here: 5-gram digests are near-unique within a doc,
+        # so the raw gram relation is ~the aggregated size.
+        grams = grams.repartition(F.col("id"))
         tf = grams.groupBy("id", "term").agg(
             F.count("*").cast("double").alias("tf"))
         from pyspark.sql import Window
@@ -152,11 +163,15 @@ def _posting_rows(docs: DataFrame, id_col: str, text_col: str,
             "dl", F.count("*").over(Window.partitionBy("id"))
             .cast("double"))
     else:
+        from left_join_on_timeout_spark.partitioning import fan_out
+
         # materialize the words array first so the regex split runs
         # once per row (explode + size would re-evaluate it otherwise
-        # — the gram_rows discipline)
-        toks = (docs.select(F.col(id_col).alias("id"),
-                            words(text_col).alias("_w"))
+        # — the gram_rows discipline); fan_out spreads the tokenize
+        # off a few-partition scan (a no-op on inputs that already
+        # fan across the cluster)
+        toks = (fan_out(docs).select(F.col(id_col).alias("id"),
+                                     words(text_col).alias("_w"))
                 .select("id", F.explode("_w").alias("term"),
                         F.size("_w").cast("double").alias("dl")))
         tf = toks.groupBy("id", "term").agg(
