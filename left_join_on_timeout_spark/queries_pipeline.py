@@ -1465,6 +1465,22 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing = docs.where((F.col("doc_id") % 20 != 0)
                           & (F.col("doc_id") % 10 != 5))
 
+    # both standing indexes (the LSH dedup buckets and the gram audit
+    # postings) depend only on the standing slice — build them up
+    # front, overlapped from driver threads (disjoint roots;
+    # guide §2.6), instead of serializing one inside each stage
+    from left_join_on_timeout_spark.concurrency import overlap
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = default_index_root()
+    lpath = os.path.join(root, "caplsh_" + base)
+    gpath = os.path.join(root, "capgix_" + base)
+    overlap([
+        lambda: lsh_index_build(standing, lpath),
+        lambda: text_index_build(standing, gpath, token_mode="ngram",
+                                 ngram_n=5),
+    ])
+
     # stage 1 — ingest screen: flagged candidates never enter. Each
     # stage's drop set is batch/hit-bounded and consumed twice (the
     # next stage's anti-join and its accounting column) — persist
@@ -1480,10 +1496,6 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify shingles only docs that appear in candidate pairs (one
     # broadcast semi-join per pair side), never the %20-slice corpus
     # (r14 — results unchanged: jac joins on cand anyway)
-    base = os.path.basename(os.path.normpath(sf_dir))
-    root = default_index_root()
-    lpath = os.path.join(root, "caplsh_" + base)
-    lsh_index_build(standing, lpath)
     cand = (lsh_index_probe(admitted, lsh_index_load(spark, lpath))
             .persist(StorageLevel.MEMORY_AND_DISK))
     probed_docs = docs.where(F.col("doc_id") % 20 != 0)
@@ -1512,8 +1524,6 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
 
     # stage 3 — decontaminate the standing corpus via the saved grams
-    gpath = os.path.join(root, "capgix_" + base)
-    text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
     flagged = (text_index_gram_probe(
         text_index_load(spark, gpath), bench, threshold=0.05)
         .where(F.col("flagged")).select("doc_id")
@@ -1890,10 +1900,25 @@ def q_curation_pipeline_semantic(spark: SparkSession,
         contamination_screen,
     )
 
+    from left_join_on_timeout_spark.concurrency import overlap
+
     fx = _curation_fixtures(spark, sf_dir)
     bench, arrivals = fx["bench"], fx["arrivals"]
     emb, standing = fx["emb"], fx["standing"]
     emb_standing = fx["emb_standing"]
+
+    # both standing indexes depend only on the fixtures — build them
+    # up front, overlapped from driver threads (disjoint roots,
+    # different sources; guide §2.6), instead of serializing each
+    # build inside its stage
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = default_index_root()
+    lpath = os.path.join(root, "semlsh_" + base)
+    spath = os.path.join(root, "semsrp_" + base)
+    overlap([
+        lambda: lsh_index_build(standing, lpath),
+        lambda: srp_index_build(emb_standing, spath, dim=64),
+    ])
 
     # stage 1 — gram screen. The flagged set is batch-bounded and
     # consumed twice (the admission anti-join and the per-source
@@ -1912,10 +1937,6 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     # pairs (a broadcast semi-join on each side of the pair relation),
     # never the whole standing corpus — candidate-bounded like the
     # probe itself (r14; results unchanged: jac joins on cand anyway).
-    base = os.path.basename(os.path.normpath(sf_dir))
-    root = default_index_root()
-    lpath = os.path.join(root, "semlsh_" + base)
-    lsh_index_build(standing, lpath)
     cand = (lsh_index_probe(admitted.select("doc_id", "text"),
                             lsh_index_load(spark, lpath))
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1944,8 +1965,6 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     # stage 3 — saved-SRP semantic dedup (exact-cosine verified; the
     # index-side norms are computed for candidate vectors only — the
     # same bounding as the lexical verify)
-    spath = os.path.join(root, "semsrp_" + base)
-    srp_index_build(emb_standing, spath, dim=64)
     qvec = (uniq.select("doc_id", "gid")
             .join(emb.select(F.col("vec_id").alias("gid"), "embedding"),
                   "gid")

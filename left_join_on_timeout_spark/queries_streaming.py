@@ -1234,9 +1234,15 @@ def q_stream_curation_ingest(spark: SparkSession,
     lpath = os.path.join(root, "strlsh_" + base)
     spath = os.path.join(root, "strsrp_" + base)
     gpath = os.path.join(root, "strgix_" + base)
-    lsh_index_build(standing, lpath)
-    srp_index_build(emb_standing, spath, dim=64)
-    text_index_build(standing, gpath, token_mode="ngram", ngram_n=5)
+    # three independent standing-index builds (disjoint roots) —
+    # overlap them from driver threads (guide §2.6)
+    from left_join_on_timeout_spark.concurrency import overlap
+    overlap([
+        lambda: lsh_index_build(standing, lpath),
+        lambda: srp_index_build(emb_standing, spath, dim=64),
+        lambda: text_index_build(standing, gpath, token_mode="ngram",
+                                 ngram_n=5),
+    ])
     lidx = lsh_index_load(spark, lpath)
     sidx = srp_index_load(spark, spath)
     emb_by_gid = emb.select(F.col("vec_id").alias("gid"), "embedding")

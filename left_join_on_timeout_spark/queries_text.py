@@ -1523,18 +1523,24 @@ def q_hybrid_search_rrf_saved(spark: SparkSession,
         text_index_search,
     )
 
+    from left_join_on_timeout_spark.concurrency import overlap
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     root = default_index_root()
     base = os.path.basename(os.path.normpath(sf_dir))
     tpath = os.path.join(root, "textidx_" + base)
     vpath = os.path.join(root, "hybivf_" + base)
-    text_index_build(docs, tpath)
+    # the two arms' builds are independent (disjoint roots, different
+    # sources) — overlap them from driver threads (guide §2.6)
+    overlap([
+        lambda: text_index_build(docs, tpath),
+        lambda: ivf2_index_build(emb, vpath, n_super=8, k2=8),
+    ])
     text_arm = top_k_ranked(
         text_index_search(text_index_load(spark, tpath),
                           list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B),
         "bm25", "doc_id", 20)
-    ivf2_index_build(emb, vpath, n_super=8, k2=8)
     vec_arm = (ivf2_index_search(emb.where(F.col("vec_id") == 0),
                                  ivf2_index_load(spark, vpath), k=20)
                .select(F.col("neighbor_id").alias("doc_id"), "rank"))
@@ -1972,8 +1978,12 @@ def q_hybrid_search_sweep_saved(spark: SparkSession,
     base = os.path.basename(os.path.normpath(sf_dir))
     tpath = os.path.join(root, "textidx_" + base)
     vpath = os.path.join(root, "hybivf_" + base)
-    text_index_build(docs, tpath)
-    ivf2_index_build(emb, vpath, n_super=8, k2=8)
+    # independent builds, disjoint roots — overlap (guide §2.6)
+    from left_join_on_timeout_spark.concurrency import overlap
+    overlap([
+        lambda: text_index_build(docs, tpath),
+        lambda: ivf2_index_build(emb, vpath, n_super=8, k2=8),
+    ])
     qdf = spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in SWEEP_QUERIES],
         "query_id LONG, terms ARRAY<STRING>")
@@ -2559,6 +2569,7 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
         ivf2_index_load,
         ivf2_index_search,
     )
+    from left_join_on_timeout_spark.concurrency import overlap
     from left_join_on_timeout_spark.operators.index_admin import (
         delete_from_indexes,
     )
@@ -2576,9 +2587,16 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
     base = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(default_index_root(), "alltiers_" + base)
     gx, wx, vx = (os.path.join(root, d) for d in ("gram", "word", "ivf2"))
-    text_index_build(train, gx, token_mode="ngram", ngram_n=5)
-    text_index_build(train, wx)
-    ivf2_index_build(emb_train, vx, n_super=8, k2=8)
+    # the three builds are independent (disjoint roots, different
+    # sources) — submit them from driver threads so each build's
+    # straggler tail back-fills with the next build's tasks
+    # (guide §2.6); results are identical to the sequential order
+    overlap([
+        lambda: text_index_build(train, gx, token_mode="ngram",
+                                 ngram_n=5),
+        lambda: text_index_build(train, wx),
+        lambda: ivf2_index_build(emb_train, vx, n_super=8, k2=8),
+    ])
     bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
     flagged = (text_index_gram_probe(text_index_load(spark, gx), bench,
