@@ -620,7 +620,11 @@ def ivf2_index_append(new_vectors: DataFrame, spark: SparkSession,
     if extra:
         attrs = new_vectors.select(F.col(id_col).alias("id"), *extra)
         out = out.join(attrs, "id")
-    (out.write.mode("append").partitionBy("sid")
+    # cluster by the directory key so a batch writes ≈ one file per
+    # touched sid instead of tasks × dirs (the small-files field a
+    # steady ingest stream would otherwise leave for every search)
+    (out.repartition(F.col("sid"))
+     .write.mode("append").partitionBy("sid")
      .parquet(_postings_dir(path, index["meta"].seq)))
 
 
@@ -1327,7 +1331,11 @@ def pq_index_append(new_vectors: DataFrame, spark: SparkSession,
     if extra:
         attrs = new_vectors.select(F.col(id_col).alias("id"), *extra)
         codes = codes.join(attrs, "id")
-    (codes.write.mode("append").partitionBy("sid")
+    # cluster by the directory key before the write (same rationale
+    # as ivf2_index_append — batch files ≈ touched dirs, not tasks ×
+    # dirs)
+    (codes.repartition(F.col("sid"))
+     .write.mode("append").partitionBy("sid")
      .parquet(_postings_dir(path, index["meta"].seq)))
 
 

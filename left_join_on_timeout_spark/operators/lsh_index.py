@@ -183,7 +183,10 @@ def lsh_index_append(new_docs: DataFrame, spark: SparkSession, path: str,
     out = _banded(new_docs, id_col, text_col, meta.k, meta.bands,
                   meta.shingle_n).select(
         F.col(id_col).alias("id"), "band", "h")
-    (out.write.mode("append").partitionBy("band")
+    # cluster by the directory key before the write (the builders'
+    # files ≈ tasks × dirs note, applied to the per-batch append)
+    (out.repartition(F.col("band"))
+     .write.mode("append").partitionBy("band")
      .parquet(_postings_dir(path, meta.seq)))
 
 

@@ -271,7 +271,10 @@ def srp_index_append(new_vectors: DataFrame, spark: SparkSession,
     out = _srp_rows(new_vectors, id_col, vec_col, meta.dim,
                     meta.bands, meta.n_bits, meta.seed).select(
         F.col(id_col).alias("id"), "band", "h")
-    (out.write.mode("append").partitionBy("band")
+    # cluster by the directory key before the write (the builders'
+    # files ≈ tasks × dirs note, applied to the per-batch append)
+    (out.repartition(F.col("band"))
+     .write.mode("append").partitionBy("band")
      .parquet(_postings_dir(path, meta.seq)))
 
 

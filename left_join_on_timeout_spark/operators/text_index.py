@@ -708,7 +708,13 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
                              meta.n_buckets,
                              getattr(meta, "token_mode", None) or "word",
                              int(getattr(meta, "ngram_n", 0) or 0))
-        (rows.write.mode("append").partitionBy("tb")
+        # cluster the batch by the directory key before the write —
+        # without it every write task touches every live tb directory
+        # (files ≈ tasks × dirs PER BATCH — the builders' note), and a
+        # steady ingest stream turns the postings into a small-files
+        # field that every later probe pays to list and open
+        (rows.repartition(F.col("tb"))
+         .write.mode("append").partitionBy("tb")
          .parquet(_postings_dir(path, meta.seq)))
         # the sidecar records the batch AFTER the postings land (a
         # crash between the two writes re-opens the at-least-once dup
