@@ -78,7 +78,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark import fsio
@@ -94,7 +94,7 @@ from left_join_on_timeout_spark.operators.similarity import (
     _assign_to_anchors,
     _assign_to_subs,
     _bidir_top1,
-    _pq_cand_fn,
+    _pq_best,
     _score,
     _train_two_level,
     probe_assign_multi,
@@ -340,7 +340,7 @@ def ivf2_index_build(emb: DataFrame, path: str,
                      cell_cap: int = DEFAULT_CELL_CAP,
                      train_frac: float | None = None,
                      train_seed: str = "42",
-                     attr_cols: list[str] | None = None) -> None:
+                     attr_cols: list[str] | None = None) -> dict:
     """TRAIN the two-level quantizer and persist the index under
     ``path`` (overwrite semantics — a rebuild atomically replaces each
     relation). Training is the exact :func:`_train_two_level` recipe
@@ -361,8 +361,6 @@ def ivf2_index_build(emb: DataFrame, path: str,
     and it is one scan → assign → window-cap → write. Every relation
     the trainer persists is unpersisted before returning (ADVICE r7 —
     repeated builds in one session must not accumulate cache)."""
-    from pyspark import StorageLevel
-
     persisted: list = []
     try:
         v, sup_anchors, sup, sub_anchors = _train_two_level(
@@ -372,32 +370,40 @@ def ivf2_index_build(emb: DataFrame, path: str,
             os.path.join(path, "sup_anchors"))
         sub_anchors.write.mode("overwrite").parquet(
             os.path.join(path, "sub_anchors"))
-        assigned = _assign_to_subs(sup, sub_anchors, id_col) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(assigned)
+        # the final (sid, sub) assignment feeds exactly ONE action
+        # (the postings write) — the r14-era persist here materialized
+        # a corpus+vector-sized relation into the block store for a
+        # single consumer, pure overhead (round 15, guide §5: persist
+        # only what is reused); `sup` stays cached in the trainer, so
+        # the write recomputes only the O(k2) grouped argmax
+        assigned = _assign_to_subs(sup, sub_anchors, id_col)
         # partitioned by super-cell: a probe's scan prunes to its own
         # sid directory — the file-layout analog of inverted-list
         # sharding (the pruned-search path proves the filter fires).
-        # ONE exchange serves the whole write path: hash-partitioning
-        # on sid satisfies the cap window's (sid, sub) clustering AND
-        # aligns the write with the directory key (without it every
-        # write task touches every sid directory — files ≈ tasks ×
-        # dirs, the 20 M tree build measured 5 728 files for 179
-        # dirs, PLANS.md r9); placing the repartition BEFORE the
-        # window replaces the window's implicit exchange (guide §2.4)
+        # ONE exchange on the FULL (sid, sub) window key serves the
+        # whole write path. sid alone has only n_super distinct
+        # values (8 at the default), so keying the exchange on it
+        # capped the cap-window + write stage at n_super tasks at any
+        # scale (VERDICT r14 wrong #1); (sid, sub) has n_cells
+        # cardinality, runs at the session's shuffle parallelism, and
+        # still bounds files per sid directory (a directory receives
+        # files only from tasks holding its (sid, *) groups — ≤ k2
+        # of them, vs every write task without clustering: files ≈
+        # tasks × dirs, the 20 M tree build measured 5 728 files for
+        # 179 dirs, PLANS.md r9)
         w = Window.partitionBy("sid", "sub")
-        capped = (assigned.repartition(F.col("sid"))
+        capped = (assigned.repartition(F.col("sid"), F.col("sub"))
                   .withColumn("csz", F.count("*").over(w))
                   .where(F.col("csz") <= cell_cap).drop("csz"))
         posting_cols = [F.col(id_col).alias("id"), "sid", "sub",
                         "v", "nrm"]
         if attr_cols:
             # the attribute join re-distributes by id — restore the
-            # sid clustering for the partitioned write
+            # (sid, sub) clustering for the partitioned write
             attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
             capped = (capped.select(*posting_cols)
                       .join(attrs, "id")
-                      .repartition(F.col("sid")))
+                      .repartition(F.col("sid"), F.col("sub")))
         else:
             capped = capped.select(*posting_cols)
         (capped.write.mode("overwrite").partitionBy("sid")
@@ -407,7 +413,8 @@ def ivf2_index_build(emb: DataFrame, path: str,
         # hard-pinning bigint, so string-keyed vector corpora are
         # first-class on the saved tier (as they already are on LSH)
         id_type = dict(capped.dtypes)["id"]
-        meta = assigned.sparkSession.createDataFrame(
+        spark = assigned.sparkSession
+        meta = spark.createDataFrame(
             [(INDEX_FORMAT_VERSION, n_super, k2, iters, cell_cap,
               float(train_frac) if train_frac is not None else 1.0,
               train_seed, id_col, id_type, 1)],
@@ -415,7 +422,27 @@ def ivf2_index_build(emb: DataFrame, path: str,
             "train_frac DOUBLE, train_seed STRING, id_col STRING, "
             "id_type STRING, seq INT")
         _write_meta(meta, path, 1)
-        _reset_maintenance_state(meta.sparkSession, path)
+        _reset_maintenance_state(spark, path)
+        # the just-published version's handle (same dict as
+        # ivf2_index_load, no tombstones by construction) — a
+        # build-then-search caller skips the load's pointer read +
+        # meta collect (round 15, VERDICT r14 next #6)
+        return {
+            "meta": Row(version=INDEX_FORMAT_VERSION,
+                        n_super=int(n_super), k2=int(k2),
+                        iters=int(iters), cell_cap=int(cell_cap),
+                        train_frac=(float(train_frac)
+                                    if train_frac is not None else 1.0),
+                        train_seed=train_seed, id_col=id_col,
+                        id_type=id_type, seq=1),
+            "path": path,
+            "sup_anchors": spark.read.parquet(
+                os.path.join(path, "sup_anchors")),
+            "sub_anchors": spark.read.parquet(
+                os.path.join(path, "sub_anchors")),
+            "postings": _read_postings(spark, path, 1)
+            .withColumn("sid", F.col("sid").cast("long")),
+        }
     finally:
         for df in persisted:
             df.unpersist()
@@ -832,7 +859,7 @@ def pq_index_build(emb: DataFrame, path: str,
                    coarse: str = "flat",
                    n_super: int = DEFAULT_SUPER_CELLS,
                    k2: int = DEFAULT_SUB_CELLS,
-                   attr_cols: list[str] | None = None) -> None:
+                   attr_cols: list[str] | None = None) -> dict:
     """Persist an IVF-PQ index under ``path`` — the compressed-domain
     sibling of :func:`ivf2_index_build`, completing the lifecycle for
     every trained relation the ANN surface builds (VERDICT r6 item 1
@@ -967,21 +994,27 @@ def pq_index_build(emb: DataFrame, path: str,
                     F.col("sid")]
         for b in range(m):
             s = F.slice(F.col("vu"), b * sub + 1, sub)
-            best = F.element_at(
-                F.array_sort(F.transform(F.col("cb"),
-                                         _pq_cand_fn(s, b, sub))), 1)
+            best = _pq_best(F.col("cb"), s, b, sub)
             enc_cols.append(best["code"].alias(f"code{b}"))
         index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
         w = Window.partitionBy("cell")
         capped = (index.withColumn("csz", F.count("*").over(w))
                   .where(F.col("csz") <= cell_cap).drop("csz"))
         if attr_cols:
+            # the attribute join re-distributes by id — restore the
+            # cell clustering for the write (cell determines sid, so
+            # files per sid dir stay bounded by its cells)
             attrs = emb.select(F.col(id_col).alias("id"), *attr_cols)
-            capped = capped.join(attrs, "id")
-        # cluster by the shard key before the write (see the ivf2
-        # builder's note: files ≈ tasks × dirs otherwise)
-        (capped.repartition(F.col("sid"))
-         .write.mode("overwrite").partitionBy("sid")
+            capped = capped.join(attrs, "id").repartition(F.col("cell"))
+        # no extra write-clustering exchange: the cap window's own
+        # hashpartitioning(cell) already co-locates each cell's rows
+        # (cell determines sid in both coarse modes — flat: sid =
+        # cell; tree: sid = cell div k2), so files per sid directory
+        # are bounded by its ≤ k2 cells, while the write runs at the
+        # window's full shuffle parallelism. The previous explicit
+        # repartition(sid) here both ADDED an exchange and capped the
+        # tree-coarse write at n_super tasks (VERDICT r14 wrong #1).
+        (capped.write.mode("overwrite").partitionBy("sid")
          .parquet(_postings_dir(path, 1)))
         # meta.k is the EFFECTIVE codeword count (rows actually in the
         # codebook), which is what the LUT position arithmetic needs —
@@ -991,14 +1024,39 @@ def pq_index_build(emb: DataFrame, path: str,
         # codebook seeds (``id < k``), so this records rather than
         # widens; the IVF2 tier is the string-keyed path.
         id_type = dict(capped.dtypes)["id"]
-        meta = emb.sparkSession.createDataFrame(
+        spark = emb.sparkSession
+        meta = spark.createDataFrame(
             [(INDEX_FORMAT_VERSION, dim, m, k_eff, n_cells, cell_cap,
               id_col, id_type, 1, coarse, n_super, k2)],
             "version INT, dim INT, m INT, k INT, n_cells INT, "
             "cell_cap INT, id_col STRING, id_type STRING, seq INT, "
             "coarse STRING, n_super INT, k2 INT")
         _write_meta(meta, path, 1)
-        _reset_maintenance_state(meta.sparkSession, path)
+        _reset_maintenance_state(spark, path)
+        # the just-published version's handle (same dict as
+        # pq_index_load, no tombstones by construction) — round 15
+        out = {
+            "meta": Row(version=INDEX_FORMAT_VERSION, dim=int(dim),
+                        m=int(m), k=int(k_eff), n_cells=int(n_cells),
+                        cell_cap=int(cell_cap), id_col=id_col,
+                        id_type=id_type, seq=1, coarse=coarse,
+                        n_super=int(n_super), k2=int(k2)),
+            "path": path,
+            "codebook": spark.read.parquet(
+                os.path.join(path, "codebook")),
+            "lut": spark.read.parquet(os.path.join(path, "lut")),
+            "postings": _read_postings(spark, path, 1)
+            .withColumn("sid", F.col("sid").cast("long")),
+        }
+        if coarse == "tree":
+            out["sup_anchors"] = spark.read.parquet(
+                os.path.join(path, "sup_anchors"))
+            out["sub_anchors"] = spark.read.parquet(
+                os.path.join(path, "sub_anchors"))
+        else:
+            out["anchors"] = spark.read.parquet(
+                os.path.join(path, "anchors"))
+        return out
     finally:
         # a failed write mid-build must not leave the Lloyd relations
         # cached (ADVICE r8 — the ivf2 builder's existing discipline)
@@ -1103,9 +1161,7 @@ def _pq_encode_and_assign(queries: DataFrame, index: dict,
     enc_cols = [F.col(id_col), F.col("cell"), F.col("sid")]
     for b in range(meta.m):
         s = F.slice(F.col("vu"), b * sub + 1, sub)
-        best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"),
-                                     _pq_cand_fn(s, b, sub))), 1)
+        best = _pq_best(F.col("cb"), s, b, sub)
         enc_cols.append(best["code"].alias(f"code{b}"))
     return assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
 
@@ -1391,7 +1447,7 @@ def _publish_postings(spark: SparkSession, path: str,
 
 
 def ivf2_index_rebuild(spark: SparkSession, path: str,
-                       keep_versions: int = 2) -> None:
+                       keep_versions: int = 2) -> dict:
     """REBUILD/COMPACT a saved two-level index in place (VERDICT r7
     item 4 — the maintenance contract :func:`ivf2_index_append`
     documents): re-apply the build-time cell cap over the CURRENT
@@ -1414,11 +1470,11 @@ def ivf2_index_rebuild(spark: SparkSession, path: str,
     index = ivf2_index_load(spark, path)
     meta = index["meta"]
     cap = meta.cell_cap
-    # hash-partitioning on sid satisfies the (sid, sub) cap window's
-    # clustering AND the partitionBy(sid) publish — one exchange for
-    # both (guide §2.4)
+    # one exchange on the FULL (sid, sub) window key — sid alone
+    # (n_super values) would serialize the re-cap (VERDICT r14
+    # wrong #1); see ivf2_index_build for the file-count reasoning
     w = Window.partitionBy("sid", "sub")
-    recapped = (index["postings"].repartition(F.col("sid"))
+    recapped = (index["postings"].repartition(F.col("sid"), F.col("sub"))
                 .withColumn("csz", F.count("*").over(w))
                 .where(F.col("csz") <= cap).drop("csz"))
     new_seq = int(getattr(meta, "seq", 1) or 1) + 1
@@ -1431,10 +1487,28 @@ def ivf2_index_rebuild(spark: SparkSession, path: str,
         "id_type STRING, seq INT")
     _publish_postings(spark, path, recapped, "sid", meta_df, new_seq,
                       keep_versions, already_clustered=True)
+    # just-published version's handle (no tombstones by contract) —
+    # a rebuild-then-serve caller skips the manifest re-read (r15)
+    return {
+        "meta": Row(version=meta.version, n_super=int(meta.n_super),
+                    k2=int(meta.k2), iters=int(meta.iters),
+                    cell_cap=int(meta.cell_cap),
+                    train_frac=float(meta.train_frac),
+                    train_seed=meta.train_seed, id_col=meta.id_col,
+                    id_type=getattr(meta, "id_type", None) or "bigint",
+                    seq=new_seq),
+        "path": path,
+        "sup_anchors": spark.read.parquet(
+            os.path.join(path, "sup_anchors")),
+        "sub_anchors": spark.read.parquet(
+            os.path.join(path, "sub_anchors")),
+        "postings": _read_postings(spark, path, new_seq)
+        .withColumn("sid", F.col("sid").cast("long")),
+    }
 
 
 def pq_index_rebuild(spark: SparkSession, path: str,
-                     keep_versions: int = 2) -> None:
+                     keep_versions: int = 2) -> dict:
     """Compaction for the IVF-PQ tier: re-apply the build-time cell cap
     over the current coded postings (base + appended), drop tombstoned
     ids physically, and publish ``postings_v{seq+1}`` before flipping
@@ -1444,6 +1518,11 @@ def pq_index_rebuild(spark: SparkSession, path: str,
     reused (immutable between full builds)."""
     index = pq_index_load(spark, path)
     meta = index["meta"]
+    # the cap window's own hashpartitioning(cell) exchange already
+    # clusters the publish (cell determines sid — see pq_index_build),
+    # so the publish skips its repartition(sid), which both added an
+    # exchange and capped tree-coarse publishes at n_super tasks
+    # (VERDICT r14 wrong #1)
     w = Window.partitionBy("cell")
     recapped = (index["postings"]
                 .withColumn("csz", F.count("*").over(w))
@@ -1460,7 +1539,33 @@ def pq_index_rebuild(spark: SparkSession, path: str,
         "id_col STRING, id_type STRING, seq INT, coarse STRING, "
         "n_super INT, k2 INT")
     _publish_postings(spark, path, recapped, "sid", meta_df, new_seq,
-                      keep_versions)
+                      keep_versions, already_clustered=True)
+    # just-published version's handle (no tombstones by contract) —
+    # a rebuild-then-serve caller skips the manifest re-read (r15)
+    out = {
+        "meta": Row(version=meta.version, dim=int(meta.dim),
+                    m=int(meta.m), k=int(meta.k),
+                    n_cells=int(meta.n_cells),
+                    cell_cap=int(meta.cell_cap), id_col=meta.id_col,
+                    id_type=getattr(meta, "id_type", None) or "bigint",
+                    seq=new_seq,
+                    coarse=getattr(meta, "coarse", "flat") or "flat",
+                    n_super=int(getattr(meta, "n_super", -1) or -1),
+                    k2=int(getattr(meta, "k2", -1) or -1)),
+        "path": path,
+        "codebook": spark.read.parquet(os.path.join(path, "codebook")),
+        "lut": spark.read.parquet(os.path.join(path, "lut")),
+        "postings": _read_postings(spark, path, new_seq)
+        .withColumn("sid", F.col("sid").cast("long")),
+    }
+    if getattr(meta, "coarse", "flat") == "tree":
+        out["sup_anchors"] = spark.read.parquet(
+            os.path.join(path, "sup_anchors"))
+        out["sub_anchors"] = spark.read.parquet(
+            os.path.join(path, "sub_anchors"))
+    else:
+        out["anchors"] = spark.read.parquet(os.path.join(path, "anchors"))
+    return out
 
 
 def _tier_of(meta) -> tuple[str, tuple[str, ...], int]:

@@ -782,8 +782,27 @@ def _train_two_level(
     if persisted is not None:
         persisted.append(sup)
     supt = sup.where(gate) if gate is not None else sup
+    # level-2 seeds: each cell's first k2 members by id. A single
+    # row_number window partitioned by sid would shuffle the WHOLE
+    # corpus into n_super partitions (8 tasks at the default — the
+    # r14 low-cardinality parallelism collapse, here inside the
+    # trainer): a salted pre-window keeps ≤ k2 candidates per
+    # (sid, salt) at full shuffle parallelism, then the exact window
+    # ranks only the ≤ k2·n_salt survivors. Any cell-wide top-k2 row
+    # is also its salt group's top-k2, so the seed set is
+    # bit-identical to the single-window form (round 15).
+    from left_join_on_timeout_spark.partitioning import (
+        session_shuffle_partitions,
+    )
+
+    n_salt = max(1, session_shuffle_partitions(sup))
+    pre = supt.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
+    w1 = Window.partitionBy("sid", "_salt").orderBy(id_col)
+    cand = (pre.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") <= k2).drop("rn", "_salt"))
     w = Window.partitionBy("sid").orderBy(id_col)
-    sub0 = (supt.withColumn("rn", F.row_number().over(w))
+    sub0 = (cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k2)
             .select("sid", (F.col("rn") - 1).cast("long").alias("sub"),
                     F.col("v").alias("av"), F.col("nrm").alias("anrm")))
@@ -796,13 +815,19 @@ def _train_two_level(
         # mirrored in the DuckDB oracle, and vanishing as train_frac or
         # the corpus grows (a sid with any sampled member trains
         # normally).
-        wf = Window.partitionBy("sid").orderBy(id_col)
+        # min-id row per seedless sid as a partial-aggregating MIN over
+        # struct(id, v, nrm) — ids are unique so the comparison never
+        # reaches the payload fields; bit-identical to the rn == 1
+        # window it replaces, without shuffling the anti-join output
+        # into |seedless sids| partitions (round 15)
         fb = (sup.join(sub_anchors.select("sid").distinct(), "sid",
                        "left_anti")
-              .withColumn("rn", F.row_number().over(wf))
-              .where(F.col("rn") == 1)
+              .groupBy("sid")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("v"), F.col("nrm"))).alias("m"))
               .select("sid", F.lit(0).cast("long").alias("sub"),
-                      F.col("v").alias("av"), F.col("nrm").alias("anrm")))
+                      F.col("m.v").alias("av"),
+                      F.col("m.nrm").alias("anrm")))
         sub_anchors = sub_anchors.unionByName(fb)
     return v, sup_anchors, sup, sub_anchors
 
@@ -1398,6 +1423,19 @@ def _pq_cand_fn(s: F.Column, b: int, sub: int):
     return _cand
 
 
+def _pq_best(cb: F.Column, s: F.Column, b: int, sub: int) -> F.Column:
+    """The per-block PQ argmin — ``struct(d2, code)`` of the nearest
+    codeword: a LINEAR native ``array_min`` struct-compare over the
+    broadcast codebook array (min d2, ties to the lowest code — the
+    same total ordering as ``array_sort(...)[1]``, which this replaces:
+    the sort materialized and ordered all k candidates per row per
+    block, O(k log k) + an array allocation, for a head-1 read —
+    round 15, guide §1.2 per-task work). The single shared argmin site
+    for every encoder (fused, trainer, saved-index build/search), so
+    the lifecycle can never drift on encoding arithmetic."""
+    return F.array_min(F.transform(cb, _pq_cand_fn(s, b, sub)))
+
+
 # One-slot, plan-keyed cache for the PQ trainer's persisted codebook
 # chain (ADVICE r8): a training call whose logical plan is the SAME
 # RESULT as the slot's (same corpus, same knobs — Catalyst
@@ -1494,9 +1532,7 @@ def _train_pq_codebook(v: DataFrame, id_col: str, dim: int, m: int,
         entries = []
         for b in range(m):
             s = F.slice(F.col("vu"), b * sub + 1, sub)
-            best = F.element_at(
-                F.array_sort(F.transform(F.col("cb"),
-                                         _pq_cand_fn(s, b, sub))), 1)
+            best = _pq_best(F.col("cb"), s, b, sub)
             entries.append(F.struct(F.lit(b).alias("b"),
                                     best["code"].alias("code"),
                                     s.alias("s")))
@@ -1578,8 +1614,7 @@ def pq_codes(emb: DataFrame,
     d2_cols = []
     for b in range(m):
         s = F.slice(F.col("v"), b * sub + 1, sub)
-        best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"), _pq_cand_fn(s, b, sub))), 1)
+        best = _pq_best(F.col("cb"), s, b, sub)
         out_cols.append(best["code"].alias(f"code{b}"))
         d2_cols.append(best["d2"])
     recon = d2_cols[0]
@@ -1662,8 +1697,7 @@ def pq_sdc_top_neighbor(emb: DataFrame,
     enc_cols = [F.col(id_col), F.col("cell")]
     for b in range(m):
         s = F.slice(F.col("vu"), b * sub + 1, sub)
-        best = F.element_at(
-            F.array_sort(F.transform(F.col("cb"), _pq_cand_fn(s, b, sub))), 1)
+        best = _pq_best(F.col("cb"), s, b, sub)
         enc_cols.append(best["code"].alias(f"code{b}"))
     index = assigned.join(F.broadcast(cb_arr)).select(*enc_cols)
     w = Window.partitionBy("cell")

@@ -52,7 +52,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from left_join_on_timeout_spark.functions.text import gram_rows, words
@@ -214,8 +214,26 @@ def _stats_and_ids(spark: SparkSession, path: str,
     collect share its single materialization."""
     from pyspark import StorageLevel
 
+    pdir = _postings_dir(path, seq)
+    # guard the read-back (ADVICE r14): a build over an empty corpus /
+    # a rebuild after every doc was deleted writes NO parquet files
+    # into the partitioned dir, and schema inference would fail with
+    # an opaque 'Unable to infer schema'. Fail-stop here happens
+    # BEFORE the meta pointer flip, so the index is never corrupted —
+    # make the error say what actually happened.
+    # one directory listing: a committed EMPTY partitioned write
+    # leaves only _SUCCESS — any partition directory ("tb=...") or
+    # bare parquet file means data landed
+    names = fsio.list_names(spark, pdir)
+    if not any("=" in n or n.endswith(".parquet") for n in names):
+        raise ValueError(
+            f"text index build/rebuild at {path} produced an EMPTY "
+            f"postings version (v{seq}): the corpus had no documents "
+            f"(or every doc was deleted before this rebuild). The "
+            f"previous version, if any, is still live — nothing was "
+            f"published.")
     per_doc = _per_doc(
-        spark.read.parquet(_postings_dir(path, seq)).select("id", "dl")) \
+        spark.read.parquet(pdir).select("id", "dl")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
         _write_ids(per_doc, path, seq)
@@ -263,7 +281,7 @@ def text_index_build(docs: DataFrame, path: str,
                      text_col: str = "text",
                      n_buckets: int = DEFAULT_TERM_BUCKETS,
                      token_mode: str = "word",
-                     ngram_n: int = 5) -> None:
+                     ngram_n: int = 5) -> dict:
     """Tokenize the corpus ONCE and persist the term postings under
     ``path`` (overwrite semantics). One scan → explode → one
     (doc, term) hash-agg → write; the corpus stats aggregate is
@@ -276,15 +294,29 @@ def text_index_build(docs: DataFrame, path: str,
     probes by, with the doc's distinct-gram count denormalized as
     ``dl`` (see :func:`_posting_rows`). The mode and n ride the
     manifest so append/rebuild tokenize identically and a probe can
-    validate it is talking to the right index kind."""
+    validate it is talking to the right index kind.
+
+    Returns the loaded-index handle (same dict as
+    :func:`text_index_load`) built from the manifest THIS call just
+    published — a caller that probes right after building skips the
+    load's pointer read + meta parquet collect (round 15, VERDICT r14
+    next #6; the stats scalars are already driver-side). The handle
+    pins this build's postings listing: after a later APPEND, re-load
+    to see the new files (the usual snapshot-reader contract)."""
     if token_mode not in ("word", "ngram"):
         raise ValueError(f"unknown token_mode {token_mode!r}")
     rows = _posting_rows(docs, id_col, text_col, n_buckets,
                          token_mode, ngram_n)
-    # cluster by the directory key before the write (the ann builders'
-    # files ≈ tasks × dirs note); repartition(col) keeps the session's
-    # shuffle parallelism, it only co-locates rows of a bucket
-    (rows.repartition(F.col("tb"))
+    # cluster for the partitioned write WITHOUT capping the write at
+    # n_buckets tasks: one exchange on (tb, term-group) — full shuffle
+    # parallelism at any scale, files per tb dir bounded by the
+    # session's parallelism budget (VERDICT r14 wrong #1 applied to
+    # the 64-bucket tier; locally g=1 so the plan is unchanged)
+    from left_join_on_timeout_spark.partitioning import (
+        cluster_for_partitioned_write,
+    )
+
+    (cluster_for_partitioned_write(rows, "tb", "term", n_buckets)
      .write.mode("overwrite").partitionBy("tb")
      .parquet(_postings_dir(path, 1)))
     spark = docs.sparkSession
@@ -299,6 +331,29 @@ def text_index_build(docs: DataFrame, path: str,
         _META_SCHEMA)
     _write_meta(meta, path, 1)
     _reset_maintenance_state(spark, path)
+    return _fresh_handle(
+        spark, path,
+        Row(version=INDEX_FORMAT_VERSION, id_col=id_col,
+            id_type=id_type, n_buckets=int(n_buckets),
+            n_docs=int(n_docs), avgdl=float(avgdl),
+            token_mode=token_mode,
+            ngram_n=int(ngram_n) if token_mode == "ngram" else 0,
+            seq=1))
+
+
+def _fresh_handle(spark: SparkSession, path: str, meta_row) -> dict:
+    """The loaded-index dict for a version THIS process just
+    published: the meta rides the locally-known scalars (no pointer
+    read, no meta parquet collect) and the postings scan needs no
+    tombstone anti-join — a fresh build resets tombstones and a
+    rebuild publishes a version that starts with none, so the plan is
+    identical to what :func:`text_index_load` would build."""
+    return {
+        "meta": meta_row,
+        "path": path,
+        "postings": _read_postings(spark, path, meta_row.seq)
+        .withColumn("tb", F.col("tb").cast("long")),
+    }
 
 
 def text_index_load(spark: SparkSession, path: str,
@@ -628,7 +683,8 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
                       path: str,
                       id_col: str = "doc_id",
                       text_col: str = "text",
-                      on_existing: str = "error") -> None:
+                      on_existing: str = "error",
+                      index: dict | None = None) -> None:
     """APPEND a new batch's postings to the saved index — tokenize
     through the SAME shared normalizer and bucket layout, one
     batch-sized pass. The manifest's (n_docs, avgdl) are NOT updated
@@ -659,14 +715,23 @@ def text_index_append(new_docs: DataFrame, spark: SparkSession,
     drop them with the stale ones; the doc would vanish, not update.
     ``on_existing='unchecked'`` skips the scan for callers whose ids
     are provably fresh (an exactly-once keyed ingest stream that wants
-    the per-batch scan back)."""
+    the per-batch scan back).
+
+    ``index`` (round 15): a caller appending in a loop against a
+    manifest it KNOWS is stable (no rebuild can land mid-loop — e.g.
+    the streaming ingest body, which built the index itself) passes
+    the loaded handle to skip the per-batch pointer read + meta
+    collect; the clash check still reads the LIVE ids sidecar per
+    call, so cross-batch duplicate enforcement is unaffected. Leave
+    it None anywhere a concurrent rebuild could flip the manifest."""
     from pyspark import StorageLevel
 
     if on_existing not in ("error", "unchecked"):
         raise ValueError(
             f"on_existing must be 'error' or 'unchecked', "
             f"got {on_existing!r}")
-    index = text_index_load(spark, path)
+    if index is None:
+        index = text_index_load(spark, path)
     _check_id_col(index["meta"], id_col, "append")
     meta = index["meta"]
     # the batch is evaluated up to three times below (clash check,
@@ -744,7 +809,7 @@ def text_index_delete(spark: SparkSession, path: str, ids) -> None:
 
 
 def text_index_rebuild(spark: SparkSession, path: str,
-                       keep_versions: int = 2) -> None:
+                       keep_versions: int = 2) -> dict:
     """Compaction: drop tombstoned docs PHYSICALLY, recompute the
     manifest's (n_docs, avgdl) from the live postings (folding in
     every append since the last publish), and publish
@@ -763,8 +828,15 @@ def text_index_rebuild(spark: SparkSession, path: str,
     # publish). The pointer flips LAST (inside _write_meta), so no
     # load can see a published pointer without its sidecar; a crash
     # before the flip leaves the old version fully live and the stray
-    # v{new} dirs are overwritten by the next rebuild.
-    (live.repartition(F.col("tb"))
+    # v{new} dirs are overwritten by the next rebuild. Write-clustered
+    # on (tb, term-group), not tb alone — the rebuild rewrite must not
+    # serialize into n_buckets tasks (VERDICT r14 wrong #1).
+    from left_join_on_timeout_spark.partitioning import (
+        cluster_for_partitioned_write,
+    )
+
+    (cluster_for_partitioned_write(live, "tb", "term",
+                                   int(meta.n_buckets))
      .write.mode("overwrite").partitionBy("tb")
      .parquet(_postings_dir(path, new_seq)))
     n_docs, avgdl = _stats_and_ids(spark, path, new_seq)
@@ -777,3 +849,14 @@ def text_index_rebuild(spark: SparkSession, path: str,
         _META_SCHEMA)
     _write_meta(meta_df, path, new_seq)
     _gc_versions(spark, path, new_seq, keep_versions)
+    # the just-published version's handle — a rebuild-then-serve
+    # caller skips the load's manifest re-read (VERDICT r14 next #6)
+    return _fresh_handle(
+        spark, path,
+        Row(version=meta.version, id_col=meta.id_col,
+            id_type=getattr(meta, "id_type", None) or "bigint",
+            n_buckets=int(meta.n_buckets), n_docs=int(n_docs),
+            avgdl=float(avgdl),
+            token_mode=getattr(meta, "token_mode", None) or "word",
+            ngram_n=int(getattr(meta, "ngram_n", 0) or 0),
+            seq=new_seq))
