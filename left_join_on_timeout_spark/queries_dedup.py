@@ -1138,7 +1138,6 @@ def q_dedup_lsh_probe_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.dedup import shingle_sets
     from left_join_on_timeout_spark.operators.lsh_index import (
         lsh_index_build,
-        lsh_index_load,
         lsh_index_probe,
     )
 
@@ -1148,8 +1147,7 @@ def q_dedup_lsh_probe_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "lsh_" + os.path.basename(os.path.normpath(sf_dir)))
-    lsh_index_build(old_docs, path)
-    index = lsh_index_load(spark, path)
+    index = lsh_index_build(old_docs, path)
     cand = (lsh_index_probe(new_docs, index)
             .withColumnRenamed("probe_id", "new_id")
             .withColumnRenamed("index_id", "old_id"))

@@ -778,7 +778,6 @@ def q_ann_filtered_ivf2_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_search,
     )
 
@@ -786,9 +785,8 @@ def q_ann_filtered_ivf2_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "ivf2filt_" + os.path.basename(os.path.normpath(sf_dir)))
-    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2,
-                     attr_cols=["label"])
-    index = ivf2_index_load(spark, path)
+    index = ivf2_index_build(emb, path, n_super=_IVF2_SUPER,
+                             k2=_IVF2_K2, attr_cols=["label"])
     return ivf2_index_search(emb, index, where=F.col("label") < 3)
 
 
@@ -812,7 +810,6 @@ def q_ann_pruned_ivf2_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_search,
     )
 
@@ -820,8 +817,8 @@ def q_ann_pruned_ivf2_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "ivf2prune_" + os.path.basename(os.path.normpath(sf_dir)))
-    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
-    index = ivf2_index_load(spark, path)
+    index = ivf2_index_build(emb, path, n_super=_IVF2_SUPER,
+                             k2=_IVF2_K2)
     batch = emb.where(F.col("vec_id") % 10 == 0)
     return ivf2_index_search(batch, index, prune=True)
 
@@ -843,7 +840,6 @@ def q_ann_top1_ivf2_saved_probe2(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_search,
     )
 
@@ -851,8 +847,8 @@ def q_ann_top1_ivf2_saved_probe2(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "ivf2srv2_" + os.path.basename(os.path.normpath(sf_dir)))
-    ivf2_index_build(emb, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
-    index = ivf2_index_load(spark, path)
+    index = ivf2_index_build(emb, path, n_super=_IVF2_SUPER,
+                             k2=_IVF2_K2)
     return ivf2_index_search(emb, index, nprobe=2)
 
 
@@ -911,7 +907,6 @@ def q_ann_rebuild_ivf2_saved(spark: SparkSession,
         default_index_root,
         ivf2_index_append,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_rebuild,
         ivf2_index_search,
     )
@@ -924,8 +919,7 @@ def q_ann_rebuild_ivf2_saved(spark: SparkSession,
         root, "ivf2rb_" + os.path.basename(os.path.normpath(sf_dir)))
     ivf2_index_build(base, path, n_super=_IVF2_SUPER, k2=_IVF2_K2)
     ivf2_index_append(batch, spark, path)
-    ivf2_index_rebuild(spark, path)
-    index = ivf2_index_load(spark, path)
+    index = ivf2_index_rebuild(spark, path)
     return ivf2_index_search(emb, index)
 
 
@@ -1609,7 +1603,6 @@ def q_ann_filtered_pq_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         pq_index_build,
-        pq_index_load,
         pq_index_search,
     )
 
@@ -1617,9 +1610,8 @@ def q_ann_filtered_pq_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "pqfilt_" + os.path.basename(os.path.normpath(sf_dir)))
-    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K,
-                   attr_cols=["label"])
-    index = pq_index_load(spark, path)
+    index = pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K,
+                           attr_cols=["label"])
     return pq_index_search(emb, index, where=F.col("label") < 3)
 
 
@@ -1640,7 +1632,6 @@ def q_ann_pruned_pq_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         pq_index_build,
-        pq_index_load,
         pq_index_search,
     )
 
@@ -1648,8 +1639,7 @@ def q_ann_pruned_pq_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "pqprune_" + os.path.basename(os.path.normpath(sf_dir)))
-    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
-    index = pq_index_load(spark, path)
+    index = pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
     batch = emb.where(F.col("vec_id") % 10 == 0)
     return pq_index_search(batch, index, prune=True)
 
@@ -1675,7 +1665,6 @@ def q_ann_rerank_pq_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         pq_index_build,
-        pq_index_load,
         pq_index_search,
     )
 
@@ -1683,8 +1672,7 @@ def q_ann_rerank_pq_saved(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "pqrr_" + os.path.basename(os.path.normpath(sf_dir)))
-    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
-    index = pq_index_load(spark, path)
+    index = pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
     return pq_index_search(emb, index, rerank=_PQ_RERANK, corpus=emb)
 
 
@@ -1706,7 +1694,6 @@ def q_ann_top1_ivfpq_saved_probe2(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         pq_index_build,
-        pq_index_load,
         pq_index_search,
     )
 
@@ -1714,8 +1701,7 @@ def q_ann_top1_ivfpq_saved_probe2(spark: SparkSession,
     root = default_index_root()
     path = os.path.join(
         root, "pqsrv2_" + os.path.basename(os.path.normpath(sf_dir)))
-    pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
-    index = pq_index_load(spark, path)
+    index = pq_index_build(emb, path, dim=_DIM, m=_PQ_M, k=_PQ_K)
     return pq_index_search(emb, index, nprobe=2)
 
 
@@ -2197,7 +2183,6 @@ def q_bitext_margin_mine_saved(spark: SparkSession,
     )
     from left_join_on_timeout_spark.operators.srp_index import (
         srp_index_build,
-        srp_index_load,
         srp_index_probe,
     )
 
@@ -2211,8 +2196,7 @@ def q_bitext_margin_mine_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "srpidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    srp_index_build(y, path, dim=_DIM)
-    cand = (srp_index_probe(x, srp_index_load(spark, path))
+    cand = (srp_index_probe(x, srp_index_build(y, path, dim=_DIM))
             .select(F.col("probe_id").alias("x_id"),
                     F.col("index_id").alias("y_id")))
     return margin_mine_pairs(x, y, k=_MARGIN_K,

@@ -638,7 +638,6 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_probe_hits,
     )
 
@@ -649,9 +648,8 @@ def q_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = default_index_root()
     path = os.path.join(
         root, "ivf2probe_" + os.path.basename(os.path.normpath(sf_dir)))
-    ivf2_index_build(corpus, path, n_super=_ANN_PROBE_SUPER,
-                     k2=_ANN_PROBE_K2, cell_cap=_ANN_PROBE_CAP)
-    index = ivf2_index_load(spark, path)
+    index = ivf2_index_build(corpus, path, n_super=_ANN_PROBE_SUPER,
+                             k2=_ANN_PROBE_K2, cell_cap=_ANN_PROBE_CAP)
 
     def probe(stream: DataFrame) -> DataFrame:
         return ivf2_index_probe_hits(stream, index, _ANN_PROBE_T)
@@ -784,7 +782,6 @@ def q_stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         pq_index_build,
-        pq_index_load,
         pq_index_probe_hits,
     )
 
@@ -795,9 +792,8 @@ def q_stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = default_index_root()
     path = os.path.join(
         root, "pqprobe_" + os.path.basename(os.path.normpath(sf_dir)))
-    pq_index_build(corpus, path, m=_SPQ_M, k=_SPQ_K, n_cells=_SPQ_CELLS,
-                   cell_cap=_SPQ_CAP)
-    index = pq_index_load(spark, path)
+    index = pq_index_build(corpus, path, m=_SPQ_M, k=_SPQ_K,
+                           n_cells=_SPQ_CELLS, cell_cap=_SPQ_CAP)
 
     def probe(stream: DataFrame) -> DataFrame:
         return pq_index_probe_hits(stream, index, _SPQ_T)
@@ -1206,12 +1202,10 @@ def q_stream_curation_ingest(spark: SparkSession,
     from left_join_on_timeout_spark.operators.dedup import shingle_sets
     from left_join_on_timeout_spark.operators.lsh_index import (
         lsh_index_build,
-        lsh_index_load,
         lsh_index_probe,
     )
     from left_join_on_timeout_spark.operators.srp_index import (
         srp_index_build,
-        srp_index_load,
         srp_index_probe,
     )
     from left_join_on_timeout_spark.operators.text_index import (
@@ -1223,8 +1217,12 @@ def q_stream_curation_ingest(spark: SparkSession,
     from left_join_on_timeout_spark.queries_pipeline import (
         SEM_DUP_THRESHOLD,
         _curation_fixtures,
+        release_tracked_persists,
     )
 
+    # release the previous curation-family invocation's persists
+    # (VERDICT r14 wrong #3) before the fixtures register this one's
+    release_tracked_persists()
     fx = _curation_fixtures(spark, sf_dir)
     bench, arrivals = fx["bench"], fx["arrivals"]
     emb, standing = fx["emb"], fx["standing"]
@@ -1237,14 +1235,12 @@ def q_stream_curation_ingest(spark: SparkSession,
     # three independent standing-index builds (disjoint roots) —
     # overlap them from driver threads (guide §2.6)
     from left_join_on_timeout_spark.concurrency import overlap
-    overlap([
+    lidx, sidx, gidx = overlap([
         lambda: lsh_index_build(standing, lpath),
         lambda: srp_index_build(emb_standing, spath, dim=64),
         lambda: text_index_build(standing, gpath, token_mode="ngram",
                                  ngram_n=5),
     ])
-    lidx = lsh_index_load(spark, lpath)
-    sidx = srp_index_load(spark, spath)
     emb_by_gid = emb.select(F.col("vec_id").alias("gid"), "embedding")
 
     stage = tempfile.mkdtemp(prefix="ljot_strcur_")
@@ -1321,8 +1317,12 @@ def q_stream_curation_ingest(spark: SparkSession,
         admitted = uniq.join(F.broadcast(semdup), "doc_id", "left_anti")
         try:
             try:
+                # the manifest is loop-stable (this query built the
+                # index; no rebuild can land mid-stream) — the build
+                # handle skips the per-batch pointer/meta re-read; the
+                # clash check still reads the LIVE ids sidecar (r15)
                 text_index_append(admitted.select("doc_id", "text"),
-                                  spark, gpath)
+                                  spark, gpath, index=gidx)
             except ValueError:
                 # an epoch RETRY re-offers ids the first attempt
                 # already appended — the r14 duplicate enforcement

@@ -1423,7 +1423,6 @@ def q_text_bm25_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
-        text_index_load,
         text_index_search,
     )
 
@@ -1431,8 +1430,7 @@ def q_text_bm25_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         default_index_root(),
         "textidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(docs, path)
-    index = text_index_load(spark, path)
+    index = text_index_build(docs, path)
     scored = text_index_search(index, list(BM25_TERMS),
                                k1=_BM25_K1, b=_BM25_B)
     return top_k_ranked(scored, "bm25", "doc_id", 20)
@@ -1510,7 +1508,6 @@ def q_hybrid_search_rrf_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_search,
     )
     from left_join_on_timeout_spark.operators.retrieval import (
@@ -1519,7 +1516,6 @@ def q_hybrid_search_rrf_saved(spark: SparkSession,
     )
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
-        text_index_load,
         text_index_search,
     )
 
@@ -1533,16 +1529,16 @@ def q_hybrid_search_rrf_saved(spark: SparkSession,
     vpath = os.path.join(root, "hybivf_" + base)
     # the two arms' builds are independent (disjoint roots, different
     # sources) — overlap them from driver threads (guide §2.6)
-    overlap([
+    tidx, vidx = overlap([
         lambda: text_index_build(docs, tpath),
         lambda: ivf2_index_build(emb, vpath, n_super=8, k2=8),
     ])
     text_arm = top_k_ranked(
-        text_index_search(text_index_load(spark, tpath),
+        text_index_search(tidx,
                           list(BM25_TERMS), k1=_BM25_K1, b=_BM25_B),
         "bm25", "doc_id", 20)
     vec_arm = (ivf2_index_search(emb.where(F.col("vec_id") == 0),
-                                 ivf2_index_load(spark, vpath), k=20)
+                                 vidx, k=20)
                .select(F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"text": text_arm.select("doc_id", "rank"),
                      "vec": vec_arm}, "doc_id", k_out=10)
@@ -1630,7 +1626,6 @@ def q_text_bm25_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
-        text_index_load,
         text_index_search_many,
     )
 
@@ -1638,8 +1633,7 @@ def q_text_bm25_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         default_index_root(),
         "textidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(docs, path)
-    index = text_index_load(spark, path)
+    index = text_index_build(docs, path)
     qdf = spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in SWEEP_QUERIES],
         "query_id LONG, terms ARRAY<STRING>")
@@ -1723,13 +1717,15 @@ def q_stream_text_index_append(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "textstream_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(base, path)
+    bidx = text_index_build(base, path)
     stage = tempfile.mkdtemp(prefix="ljot_textidx_")
     src, ckpt = (os.path.join(stage, d) for d in ("in", "ck"))
     arrivals.write.mode("overwrite").parquet(src)
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        text_index_append(batch_df, spark, path)
+        # the manifest is loop-stable (no rebuild can land mid-
+        # stream) — skip the per-batch pointer/meta re-read (r15)
+        text_index_append(batch_df, spark, path, index=bidx)
 
     q = (spark.readStream.schema(arrivals.schema).parquet(src)
          .writeStream.foreachBatch(_append)
@@ -1788,7 +1784,6 @@ def q_contamination_sweep_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
         text_index_gram_probe,
-        text_index_load,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1796,8 +1791,8 @@ def q_contamination_sweep_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(train, path, token_mode="ngram", ngram_n=5)
-    index = text_index_load(spark, path)
+    index = text_index_build(train, path, token_mode="ngram",
+                             ngram_n=5)
     bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     return text_index_gram_probe(index, bench, threshold=0.05)
 
@@ -1849,7 +1844,6 @@ def q_text_bm25_rebuilt_saved(spark: SparkSession,
         text_index_append,
         text_index_build,
         text_index_delete,
-        text_index_load,
         text_index_rebuild,
         text_index_search,
     )
@@ -1862,11 +1856,10 @@ def q_text_bm25_rebuilt_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "textrb_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(base, path)
-    text_index_append(arrivals, spark, path)
+    bidx = text_index_build(base, path)
+    text_index_append(arrivals, spark, path, index=bidx)
     text_index_delete(spark, path, dead)
-    text_index_rebuild(spark, path)
-    index = text_index_load(spark, path)
+    index = text_index_rebuild(spark, path)
     scored = text_index_search(index, list(BM25_TERMS),
                                k1=_BM25_K1, b=_BM25_B)
     return top_k_ranked(scored, "bm25", "doc_id", 20)
@@ -1960,7 +1953,6 @@ def q_hybrid_search_sweep_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.ann_index import (
         default_index_root,
         ivf2_index_build,
-        ivf2_index_load,
         ivf2_index_search,
     )
     from left_join_on_timeout_spark.operators.retrieval import (
@@ -1968,7 +1960,6 @@ def q_hybrid_search_sweep_saved(spark: SparkSession,
     )
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
-        text_index_load,
         text_index_search_many,
     )
 
@@ -1980,15 +1971,14 @@ def q_hybrid_search_sweep_saved(spark: SparkSession,
     vpath = os.path.join(root, "hybivf_" + base)
     # independent builds, disjoint roots — overlap (guide §2.6)
     from left_join_on_timeout_spark.concurrency import overlap
-    overlap([
+    tidx, vidx = overlap([
         lambda: text_index_build(docs, tpath),
         lambda: ivf2_index_build(emb, vpath, n_super=8, k2=8),
     ])
     qdf = spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in SWEEP_QUERIES],
         "query_id LONG, terms ARRAY<STRING>")
-    scored = text_index_search_many(
-        text_index_load(spark, tpath), qdf)
+    scored = text_index_search_many(tidx, qdf)
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
                                                F.asc("doc_id"))
     tarm = (scored.withColumn("rank", F.row_number().over(w))
@@ -1996,7 +1986,7 @@ def q_hybrid_search_sweep_saved(spark: SparkSession,
             .select("query_id", "doc_id", "rank"))
     varm = (ivf2_index_search(
         emb.where(F.col("vec_id").isin(list(_HS_QVECS))),
-        ivf2_index_load(spark, vpath), k=20)
+        vidx, k=20)
         .select(F.col("vec_id").alias("query_id"),
                 F.col("neighbor_id").alias("doc_id"), "rank"))
     return rrf_fuse({"text": tarm, "vec": varm}, "doc_id", k_out=10,
@@ -2034,15 +2024,14 @@ def q_crossdoc_dup_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
         text_index_dup_stats,
-        text_index_load,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     path = os.path.join(
         default_index_root(),
         "gramidx8_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(docs, path, token_mode="ngram", ngram_n=8)
-    return text_index_dup_stats(text_index_load(spark, path))
+    return text_index_dup_stats(
+        text_index_build(docs, path, token_mode="ngram", ngram_n=8))
 
 
 @query("contamination_suites_saved", f"""
@@ -2083,7 +2072,6 @@ def q_contamination_suites_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
         text_index_gram_probe_many,
-        text_index_load,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2091,8 +2079,8 @@ def q_contamination_suites_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(train, path, token_mode="ngram", ngram_n=5)
-    index = text_index_load(spark, path)
+    index = text_index_build(train, path, token_mode="ngram",
+                             ngram_n=5)
     bench = (gram_rows(docs.where(F.col("doc_id") % 20 == 0)
                        .select((((F.col("doc_id") % 40) / 20)
                                 .cast("bigint")).alias("suite"), "text"),
@@ -2145,7 +2133,6 @@ def q_decontaminate_corpus_saved(spark: SparkSession,
     from left_join_on_timeout_spark.operators.text_index import (
         text_index_build,
         text_index_gram_probe,
-        text_index_load,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2153,8 +2140,8 @@ def q_decontaminate_corpus_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramidx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(train, path, token_mode="ngram", ngram_n=5)
-    index = text_index_load(spark, path)
+    index = text_index_build(train, path, token_mode="ngram",
+                             ngram_n=5)
     bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     flagged = (text_index_gram_probe(index, bench, threshold=0.05)
                .where(F.col("flagged"))
@@ -2221,7 +2208,6 @@ def q_contamination_rebuilt_saved(spark: SparkSession,
         text_index_build,
         text_index_delete,
         text_index_gram_probe,
-        text_index_load,
         text_index_rebuild,
     )
 
@@ -2234,11 +2220,11 @@ def q_contamination_rebuilt_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramrb_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(base, path, token_mode="ngram", ngram_n=5)
-    text_index_append(arrivals, spark, path)
+    bidx = text_index_build(base, path, token_mode="ngram",
+                             ngram_n=5)
+    text_index_append(arrivals, spark, path, index=bidx)
     text_index_delete(spark, path, dead)
-    text_index_rebuild(spark, path)
-    index = text_index_load(spark, path)
+    index = text_index_rebuild(spark, path)
     bench = gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
     return text_index_gram_probe(index, bench, threshold=0.05)
 
@@ -2295,13 +2281,15 @@ def q_stream_gram_index_append(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramstream_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(base, path, token_mode="ngram", ngram_n=5)
+    bidx = text_index_build(base, path, token_mode="ngram",
+                             ngram_n=5)
     stage = tempfile.mkdtemp(prefix="ljot_gramidx_")
     src, ckpt = (os.path.join(stage, d) for d in ("in", "ck"))
     arrivals.write.mode("overwrite").parquet(src)
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        text_index_append(batch_df, spark, path)
+        # manifest loop-stable — skip per-batch meta re-read (r15)
+        text_index_append(batch_df, spark, path, index=bidx)
 
     q = (spark.readStream.schema(arrivals.schema).parquet(src)
          .writeStream.foreachBatch(_append)
@@ -2387,8 +2375,8 @@ def q_decontaminate_indexes_saved(spark: SparkSession,
     path = os.path.join(
         default_index_root(),
         "gramdx_" + os.path.basename(os.path.normpath(sf_dir)))
-    text_index_build(train, path, token_mode="ngram", ngram_n=5)
-    index = text_index_load(spark, path)
+    index = text_index_build(train, path, token_mode="ngram",
+                             ngram_n=5)
     # the eval gram set is MB-sized by the benchmark contract and both
     # audits probe with it — persist it once (a recurring real audit
     # would hold it resident); same for the audit-hit-bounded flagged
@@ -2591,7 +2579,7 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
     # sources) — submit them from driver threads so each build's
     # straggler tail back-fills with the next build's tasks
     # (guide §2.6); results are identical to the sequential order
-    overlap([
+    gidx, _widx, _vidx = overlap([
         lambda: text_index_build(train, gx, token_mode="ngram",
                                  ngram_n=5),
         lambda: text_index_build(train, wx),
@@ -2599,7 +2587,10 @@ def q_decontaminate_all_tiers_saved(spark: SparkSession,
     ])
     bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
              .persist(StorageLevel.MEMORY_AND_DISK))
-    flagged = (text_index_gram_probe(text_index_load(spark, gx), bench,
+    # the PRE-delete audit probes the build handle (manifest just
+    # published by this call, no tombstones yet — r15); the post-
+    # delete serves below re-load to pick the tombstones up
+    flagged = (text_index_gram_probe(gidx, bench,
                                      threshold=0.05)
                .where(F.col("flagged")).select("doc_id")
                .persist(StorageLevel.MEMORY_AND_DISK))
