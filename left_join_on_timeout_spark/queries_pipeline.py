@@ -27,6 +27,41 @@ _T_NORM = "trim(lower(text))"
 
 
 # ---------------------------------------------------------------------------
+# Tracked within-query persists (VERDICT r14 wrong #3 / ADVICE r14)
+# ---------------------------------------------------------------------------
+# The curation chains persist batch/hit-bounded decision sets that the
+# RETURNED frame still references lazily — they cannot unpersist before
+# the caller's action runs, but leaving them registered forever churns
+# the context cache in a long-lived serving session (DataFrame persists
+# are held by the CacheManager and are NOT GC-reclaimed). Each
+# pipeline-family query therefore registers its persists here and
+# RELEASES the previous invocation's at entry: at most one query's
+# (KB–MB-sized) decision sets are ever outstanding, and a serving loop
+# that calls these queries repeatedly is accumulation-free.
+
+_TRACKED_PERSISTS: list = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> None:
+    """Unpersist every decision set a previous curation-family query
+    left cached (safe while no such query's returned frame is still
+    being materialized — the per-invocation contract of the bench,
+    the oracle runner, and any sequential serving loop)."""
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # Corpus-adaptive boilerplate stripping
 # ---------------------------------------------------------------------------
 
@@ -1424,23 +1459,25 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from left_join_on_timeout_spark.operators.lsh_index import (
         lsh_index_build,
-        lsh_index_load,
         lsh_index_probe,
     )
     from left_join_on_timeout_spark.operators.text_index import (
         contamination_screen,
         text_index_build,
         text_index_gram_probe,
-        text_index_load,
     )
     import os
 
+    # release the PREVIOUS curation-family invocation's decision-set
+    # persists (VERDICT r14 wrong #3 — bounded cache churn in a
+    # long-lived session); this invocation re-registers its own below
+    release_tracked_persists()
     docs = load_table(spark, sf_dir, "documents")
     # the eval gram set gates BOTH the ingest screen and the
     # decontamination audit — MB-sized by the benchmark contract, so
     # persist one materialization across the stages
-    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    bench = _tracked_persist(
+        gram_digest_set(docs.where(F.col("doc_id") % 20 == 0)))
     # The candidate batch carries a CONTAMINATED SPIKE: eval docs
     # re-keyed as new candidates (the leak a screen exists to stop —
     # and the canary that guarantees the screen arm FIRES at every
@@ -1458,10 +1495,10 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("doc_id"), "source", "text"))
     # the arrival batch feeds the screen, the dedup probe, and three
     # per-source accounting joins — batch-sized, persist it once
-    arrivals = (docs.where(F.col("doc_id") % 10 == 5)
-                .select("doc_id", "source", "text")
-                .unionByName(spike)
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    arrivals = _tracked_persist(
+        docs.where(F.col("doc_id") % 10 == 5)
+        .select("doc_id", "source", "text")
+        .unionByName(spike))
     standing = docs.where((F.col("doc_id") % 20 != 0)
                           & (F.col("doc_id") % 10 != 5))
 
@@ -1475,7 +1512,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = default_index_root()
     lpath = os.path.join(root, "caplsh_" + base)
     gpath = os.path.join(root, "capgix_" + base)
-    overlap([
+    lidx, gidx = overlap([
         lambda: lsh_index_build(standing, lpath),
         lambda: text_index_build(standing, gpath, token_mode="ngram",
                                  ngram_n=5),
@@ -1487,8 +1524,8 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them so no accounting column replays the upstream chain (r14).
     scr = contamination_screen(arrivals.select("doc_id", "text"),
                                bench, ngram_n=5)
-    screened = (scr.where(F.col("flagged")).select("doc_id")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    screened = _tracked_persist(
+        scr.where(F.col("flagged")).select("doc_id"))
     admitted = arrivals.join(F.broadcast(screened), "doc_id",
                              "left_anti")
 
@@ -1496,8 +1533,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify shingles only docs that appear in candidate pairs (one
     # broadcast semi-join per pair side), never the %20-slice corpus
     # (r14 — results unchanged: jac joins on cand anyway)
-    cand = (lsh_index_probe(admitted, lsh_index_load(spark, lpath))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    cand = _tracked_persist(lsh_index_probe(admitted, lidx))
     probed_docs = docs.where(F.col("doc_id") % 20 != 0)
     cand_pids = cand.select(F.col("probe_id").alias("doc_id")).distinct()
     cand_iids = cand.select(F.col("index_id").alias("doc_id")).distinct()
@@ -1519,21 +1555,20 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("inter")
                   / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                   >= 0.5))
-    dup = (jac.select(F.col("probe_id").alias("doc_id")).distinct()
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    dup = _tracked_persist(
+        jac.select(F.col("probe_id").alias("doc_id")).distinct())
     uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
 
     # stage 3 — decontaminate the standing corpus via the saved grams
-    flagged = (text_index_gram_probe(
-        text_index_load(spark, gpath), bench, threshold=0.05)
-        .where(F.col("flagged")).select("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    flagged = _tracked_persist(
+        text_index_gram_probe(gidx, bench, threshold=0.05)
+        .where(F.col("flagged")).select("doc_id"))
     clean = standing.join(F.broadcast(flagged), "doc_id", "left_anti")
 
     # stage 4 — cluster-aware split over the final corpus
-    final = (clean.select("doc_id", "source", "text")
-             .unionByName(uniq.select("doc_id", "source", "text"))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    final = _tracked_persist(
+        clean.select("doc_id", "source", "text")
+        .unionByName(uniq.select("doc_id", "source", "text")))
     sig = minhash_signature(final, "doc_id", "text")
     pairs = lsh_candidate_pairs(sig, "doc_id")
     cc = connected_components(pairs).select(
@@ -1546,37 +1581,45 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.when(gate < "0ccc", F.lit("val"))
                       .otherwise(F.lit("train")).alias("split")))
 
-    # stage 5 — sequence packing of the train split, per source
-    w = (Window.partitionBy("source").orderBy("doc_id")
+    # stage 5 + report — ONE pass over the splits lineage (round 15,
+    # VERDICT r14 next #4: asplit and binstats each re-evaluated the
+    # final⋈CC subtree; the packing window moves to partitionBy
+    # (source, split) — its train partitions are identical to the old
+    # train-only partitionBy(source) window, and val rows carry NULL
+    # bins that count_distinct ignores — so split counts, bin count,
+    # and token mass come out of one aggregate over one evaluation).
+    w = (Window.partitionBy("source", "split").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ptoks = (splits.where(F.col("split") == "train")
-             .select("doc_id", "source",
-                     token_count("text").alias("n_tok")))
-    packed = ptoks.withColumn(
-        "bin",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 256))
-    binstats = packed.groupBy("source").agg(
+    is_train = F.col("split") == "train"
+    packed = (splits.select(
+        "doc_id", "source", "split",
+        F.when(is_train, token_count("text")).otherwise(F.lit(0))
+        .alias("n_tok"))
+        .withColumn("bin", F.when(is_train, F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / 256))))
+    asplit = packed.groupBy("source").agg(
+        F.sum(F.when(is_train, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(~is_train, 1).otherwise(0)).alias("n_val"),
         F.count_distinct("bin").alias("n_bins"),
-        F.sum("n_tok").alias("train_tokens"))
+        F.sum(F.when(is_train, F.col("n_tok"))).alias("train_tokens"))
 
-    # the per-source lineage report — one column per stage
-    acand = arrivals.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_candidates"))
-    ascr = (screened.join(arrivals.select("doc_id", "source"),
-                          "doc_id")
-            .groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_screened_out")))
-    adup = (dup.join(arrivals.select("doc_id", "source"), "doc_id")
-            .groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_dup_dropped")))
+    # arrival-side accounting — the screened/dup memberships attach to
+    # the persisted arrival batch as broadcast flags, so candidates,
+    # screen-outs and dup-drops come from ONE aggregate instead of
+    # three join+agg subtrees (both drop sets are ⊆ arrivals by
+    # construction, so the left joins cannot fan out or lose rows)
+    amarks = (arrivals.select("doc_id", "source")
+              .join(F.broadcast(screened.withColumn("_scr", F.lit(1))),
+                    "doc_id", "left")
+              .join(F.broadcast(dup.withColumn("_dup", F.lit(1))),
+                    "doc_id", "left"))
+    acand = amarks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("_scr").alias("n_screened_out"),
+        F.sum("_dup").alias("n_dup_dropped"))
     adec = (flagged.join(standing.select("doc_id", "source"), "doc_id")
             .groupBy("source").agg(
                 F.count(F.lit(1)).alias("n_decontaminated")))
-    asplit = splits.groupBy("source").agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-        .alias("n_train"),
-        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
-        .alias("n_val"))
     # drive the report from every source that ENTERED the pipeline —
     # a source whose docs were all screened/dropped still reports,
     # with zero survivors (the asplit-driven shape silently lost it)
@@ -1585,10 +1628,7 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (srcs
            .join(F.broadcast(asplit), "source", "left")
            .join(F.broadcast(acand), "source", "left")
-           .join(F.broadcast(ascr), "source", "left")
-           .join(F.broadcast(adup), "source", "left")
-           .join(F.broadcast(adec), "source", "left")
-           .join(F.broadcast(binstats), "source", "left"))
+           .join(F.broadcast(adec), "source", "left"))
     z = F.lit(0)
     return out.select(
         "source",
@@ -1807,8 +1847,8 @@ def _curation_fixtures(spark: SparkSession, sf_dir: str) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     _check_spike_offset(docs)
-    bench = (gram_digest_set(docs.where(F.col("doc_id") % 20 == 0))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    bench = _tracked_persist(
+        gram_digest_set(docs.where(F.col("doc_id") % 20 == 0)))
     organic = (docs.where(F.col("doc_id") % 10 == 5)
                .select("doc_id", "source", "text",
                        F.col("doc_id").alias("gid")))
@@ -1826,8 +1866,8 @@ def _curation_fixtures(spark: SparkSession, sf_dir: str) -> dict:
                                   F.col("doc_id").cast("string"))
                          .alias("text"),
                          F.col("doc_id").alias("gid")))
-    arrivals = (organic.unionByName(gram_spike).unionByName(sem_spike)
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    arrivals = _tracked_persist(
+        organic.unionByName(gram_spike).unionByName(sem_spike))
     return {
         "docs": docs,
         "emb": emb,
@@ -1888,12 +1928,10 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     from left_join_on_timeout_spark.operators.dedup import shingle_sets
     from left_join_on_timeout_spark.operators.lsh_index import (
         lsh_index_build,
-        lsh_index_load,
         lsh_index_probe,
     )
     from left_join_on_timeout_spark.operators.srp_index import (
         srp_index_build,
-        srp_index_load,
         srp_index_probe,
     )
     from left_join_on_timeout_spark.operators.text_index import (
@@ -1902,6 +1940,9 @@ def q_curation_pipeline_semantic(spark: SparkSession,
 
     from left_join_on_timeout_spark.concurrency import overlap
 
+    # release the previous curation-family invocation's persists
+    # (VERDICT r14 wrong #3) before the fixtures register this one's
+    release_tracked_persists()
     fx = _curation_fixtures(spark, sf_dir)
     bench, arrivals = fx["bench"], fx["arrivals"]
     emb, standing = fx["emb"], fx["standing"]
@@ -1915,7 +1956,7 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     root = default_index_root()
     lpath = os.path.join(root, "semlsh_" + base)
     spath = os.path.join(root, "semsrp_" + base)
-    overlap([
+    lidx, sidx = overlap([
         lambda: lsh_index_build(standing, lpath),
         lambda: srp_index_build(emb_standing, spath, dim=64),
     ])
@@ -1927,8 +1968,8 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     # every accounting column replay the whole upstream chain).
     scr = contamination_screen(arrivals.select("doc_id", "text"),
                                bench, ngram_n=5)
-    screened = (scr.where(F.col("flagged")).select("doc_id")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    screened = _tracked_persist(
+        scr.where(F.col("flagged")).select("doc_id"))
     admitted = arrivals.join(F.broadcast(screened), "doc_id",
                              "left_anti")
 
@@ -1937,9 +1978,8 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     # pairs (a broadcast semi-join on each side of the pair relation),
     # never the whole standing corpus — candidate-bounded like the
     # probe itself (r14; results unchanged: jac joins on cand anyway).
-    cand = (lsh_index_probe(admitted.select("doc_id", "text"),
-                            lsh_index_load(spark, lpath))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    cand = _tracked_persist(
+        lsh_index_probe(admitted.select("doc_id", "text"), lidx))
     psets = (shingle_sets(admitted, "doc_id", "text")
              .select(F.col("doc_id").alias("probe_id"),
                      F.col("sh_set").alias("set_a"),
@@ -1958,20 +1998,19 @@ def q_curation_pipeline_semantic(spark: SparkSession,
            .where(F.col("inter")
                   / (F.col("n_a") + F.col("n_b") - F.col("inter"))
                   >= 0.5))
-    dup = (jac.select(F.col("probe_id").alias("doc_id")).distinct()
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    dup = _tracked_persist(
+        jac.select(F.col("probe_id").alias("doc_id")).distinct())
     uniq = admitted.join(F.broadcast(dup), "doc_id", "left_anti")
 
     # stage 3 — saved-SRP semantic dedup (exact-cosine verified; the
     # index-side norms are computed for candidate vectors only — the
     # same bounding as the lexical verify)
-    qvec = (uniq.select("doc_id", "gid")
-            .join(emb.select(F.col("vec_id").alias("gid"), "embedding"),
-                  "gid")
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .persist(StorageLevel.MEMORY_AND_DISK))
-    scand = (srp_index_probe(qvec, srp_index_load(spark, spath))
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    qvec = _tracked_persist(
+        uniq.select("doc_id", "gid")
+        .join(emb.select(F.col("vec_id").alias("gid"), "embedding"),
+              "gid")
+        .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    scand = _tracked_persist(srp_index_probe(qvec, sidx))
     qv = qvec.select(F.col("vec_id").alias("probe_id"),
                      as_double("embedding").alias("va"))
     qv = qv.select("probe_id", "va", l2_norm(F.col("va")).alias("na"))
@@ -1987,30 +2026,31 @@ def q_curation_pipeline_semantic(spark: SparkSession,
                     F.round(dot(F.col("va"), F.col("vb"))
                             / (F.col("na") * F.col("nb")), 6)
                     .alias("cos_sim")))
-    semdup = (scos.where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
-              .select(F.col("probe_id").alias("doc_id")).distinct()
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    fin = uniq.join(F.broadcast(semdup), "doc_id", "left_anti")
-
-    # per-source lineage report, driven from every arriving source
-    asrc = arrivals.select("doc_id", "source")
-    acand = arrivals.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_candidates"))
-    ascr = (screened.join(asrc, "doc_id").groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_screened_out")))
-    adup = (dup.join(asrc, "doc_id").groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_dup_dropped")))
-    asem = (semdup.join(asrc, "doc_id").groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_semdup_dropped")))
-    aadm = (fin.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_admitted")))
+    semdup = _tracked_persist(
+        scos.where(F.col("cos_sim") >= SEM_DUP_THRESHOLD)
+        .select(F.col("probe_id").alias("doc_id")).distinct())
+    # per-source lineage report — ONE aggregate over the persisted
+    # arrival batch with the three drop sets attached as broadcast
+    # flags (round 15, the e2e fusion applied here: five join+agg
+    # subtrees collapse into one; the sets are DISJOINT subsets of
+    # arrivals by construction — each stage drops from the previous
+    # stage's survivors — so admitted = no flag set, exactly `fin`)
+    amarks = (arrivals.select("doc_id", "source")
+              .join(F.broadcast(screened.withColumn("_scr", F.lit(1))),
+                    "doc_id", "left")
+              .join(F.broadcast(dup.withColumn("_dup", F.lit(1))),
+                    "doc_id", "left")
+              .join(F.broadcast(semdup.withColumn("_sem", F.lit(1))),
+                    "doc_id", "left"))
+    acc = amarks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("_scr").alias("n_screened_out"),
+        F.sum("_dup").alias("n_dup_dropped"),
+        F.sum("_sem").alias("n_semdup_dropped"),
+        F.sum(F.when(F.col("_scr").isNull() & F.col("_dup").isNull()
+                     & F.col("_sem").isNull(), 1)).alias("n_admitted"))
     srcs = arrivals.select("source").distinct()
-    out = (srcs
-           .join(F.broadcast(acand), "source", "left")
-           .join(F.broadcast(ascr), "source", "left")
-           .join(F.broadcast(adup), "source", "left")
-           .join(F.broadcast(asem), "source", "left")
-           .join(F.broadcast(aadm), "source", "left"))
+    out = srcs.join(F.broadcast(acc), "source", "left")
     z = F.lit(0)
     return out.select(
         "source",
