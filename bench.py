@@ -212,6 +212,18 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the scaling axis must be PROVABLE from the output (VERDICT r14
+    # wrong #2: a flat 8-vs-32-core result could not be distinguished
+    # from a session that silently fell back to another width): record
+    # the parallelism the session ACTUALLY got, straight from the
+    # SparkContext, alongside the requested core count.
+    sc = spark.sparkContext
+    env = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": sc.master,
+        "default_parallelism": int(sc.defaultParallelism),
+        "sf_dir": SF_DIR,
+    }
     unknown = [n for n in HEADLINE if n not in q.QUERIES]
     if unknown:
         raise SystemExit(f"bench: headline queries not registered: {unknown}")
@@ -241,19 +253,28 @@ def main() -> None:
     # "What's wrong" #1).  Emit the summary fields first, then as many
     # per-query entries (heaviest first, 2 dp) as fit a conservative line
     # budget; the COMPLETE per-query dict goes to BENCH_FULL.json alongside.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as fh:
-        json.dump({"metric": "headline_queries_total_sec", "value": total,
-                   "unit": "sec", "sf": float(sf),
-                   "shared_with_prev_total_sec": shared,
-                   "shared_with_prev_n": len(PREV_HEADLINE),
-                   "queries": timings}, fh)
-    print(build_line(timings, total, shared, float(sf)))
+    full_payload = {"metric": "headline_queries_total_sec", "value": total,
+                    "unit": "sec", "sf": float(sf), **env,
+                    "shared_with_prev_total_sec": shared,
+                    "shared_with_prev_n": len(PREV_HEADLINE),
+                    "queries": timings}
+    here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_FULL.json is rewritten by EVERY invocation (the driver's
+    # low-core re-run clobbered the 32-core close-of-round file in
+    # r14 — VERDICT r14 wrong #4); the cpus-suffixed twin keeps each
+    # core count's run on disk, and both carry the self-reported
+    # parallelism so the next reader knows which run they hold.
+    for name in ("BENCH_FULL.json", f"BENCH_FULL_c{env['cpus']}.json"):
+        with open(os.path.join(here, name), "w") as fh:
+            json.dump(full_payload, fh)
+    print(build_line(timings, total, shared, float(sf), env))
 
 
 def build_line(timings: dict, total: float, shared: float,
-               sf: float) -> str:
-    """The printed JSON line: summary fields FIRST, then as many
+               sf: float, env: dict | None = None) -> str:
+    """The printed JSON line: summary fields FIRST (including the
+    session's ACTUAL master/parallelism — the scaling contract must be
+    provable from the output, VERDICT r14 wrong #2), then as many
     per-query entries (heaviest first, 2 dp) as fit the line budget —
     the driver records only the last ~2000 chars of stdout and
     json-parses that tail, so the whole line must fit it
@@ -263,6 +284,7 @@ def build_line(timings: dict, total: float, shared: float,
         "value": total,
         "unit": "sec",
         "sf": sf,
+        **(env or {}),
         "shared_with_prev_total_sec": shared,
         "shared_with_prev_n": len(PREV_HEADLINE),
         "queries_n": len(timings),
