@@ -28,10 +28,13 @@ from typing import Any, Callable, Sequence
 def overlap(thunks: Sequence[Callable[[], Any]]) -> list:
     """Run the given zero-arg callables concurrently (one driver thread
     each) and return their results in input order. Exceptions propagate
-    — the first failing thunk's error is raised after all threads have
-    finished (ThreadPoolExecutor joins its workers on shutdown), so a
+    — the first failing thunk's error (in INPUT order) is raised after
+    all threads have finished (the pool joins its workers first), so a
     failure cannot leave a half-finished sibling write racing the
-    caller's error handling.
+    caller's error handling. Every OTHER thunk's exception is attached
+    to the raised one as a ``__notes__`` line (ADVICE r14: two builds
+    failing for different reasons must not hide the second root
+    cause).
 
     Callers must only overlap INDEPENDENT work: disjoint output paths,
     no shared mutable driver state. Job groups / descriptions are
@@ -41,4 +44,18 @@ def overlap(thunks: Sequence[Callable[[], Any]]) -> list:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futures]
+        results, errors = [], []
+        for i, f in enumerate(futures):
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errors.append((i, e))
+                results.append(None)
+        if errors:
+            first = errors[0][1]
+            for i, e in errors[1:]:
+                first.add_note(
+                    f"overlap: thunk #{i} also failed: "
+                    f"{type(e).__name__}: {e}")
+            raise first
+        return results
