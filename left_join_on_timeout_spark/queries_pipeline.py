@@ -38,8 +38,21 @@ _T_NORM = "trim(lower(text))"
 # RELEASES the previous invocation's at entry: at most one query's
 # (KB–MB-sized) decision sets are ever outstanding, and a serving loop
 # that calls these queries repeatedly is accumulation-free.
+#
+# The family's index paths are PER-INVOCATION (a monotone counter in
+# the path base): a repeated invocation must never mode("overwrite")
+# a directory whose files an earlier invocation's plan state might
+# still reference — with a fixed path, the overwrite + the cache
+# registry's path-keyed refresh machinery raced intermittently into
+# FAILED_READ_FILE on the next materialization (caught by this
+# round's bench; r14's never-released cache entries had masked it by
+# serving repeat invocations from stale-but-identical cached blocks).
+# The previous invocation's trees are removed at the next release —
+# bounded disk, no live reader (same contract as the unpersists).
 
 _TRACKED_PERSISTS: list = []
+_TRACKED_CLEANUPS: list = []
+_INVOCATION_SEQ = iter(range(1, 1 << 62))
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -48,15 +61,33 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _tracked_index_path(root: str, name: str) -> str:
+    """A fresh, never-before-used index path for this invocation,
+    registered for removal at the NEXT release."""
+    import os
+    import shutil
+
+    path = os.path.join(root, f"{name}_i{next(_INVOCATION_SEQ)}")
+    _TRACKED_CLEANUPS.append(
+        lambda: shutil.rmtree(path, ignore_errors=True))
+    return path
+
+
 def release_tracked_persists() -> None:
-    """Unpersist every decision set a previous curation-family query
-    left cached (safe while no such query's returned frame is still
-    being materialized — the per-invocation contract of the bench,
-    the oracle runner, and any sequential serving loop)."""
+    """Unpersist every decision set — and remove every per-invocation
+    index tree — a previous curation-family query left behind (safe
+    while no such query's returned frame is still being materialized —
+    the per-invocation contract of the bench, the oracle runner, and
+    any sequential serving loop)."""
     while _TRACKED_PERSISTS:
         df = _TRACKED_PERSISTS.pop()
         try:
             df.unpersist()
+        except Exception:
+            pass
+    while _TRACKED_CLEANUPS:
+        try:
+            _TRACKED_CLEANUPS.pop()()
         except Exception:
             pass
 
@@ -1510,8 +1541,8 @@ def q_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.basename(os.path.normpath(sf_dir))
     root = default_index_root()
-    lpath = os.path.join(root, "caplsh_" + base)
-    gpath = os.path.join(root, "capgix_" + base)
+    lpath = _tracked_index_path(root, "caplsh_" + base)
+    gpath = _tracked_index_path(root, "capgix_" + base)
     lidx, gidx = overlap([
         lambda: lsh_index_build(standing, lpath),
         lambda: text_index_build(standing, gpath, token_mode="ngram",
@@ -1954,8 +1985,8 @@ def q_curation_pipeline_semantic(spark: SparkSession,
     # build inside its stage
     base = os.path.basename(os.path.normpath(sf_dir))
     root = default_index_root()
-    lpath = os.path.join(root, "semlsh_" + base)
-    spath = os.path.join(root, "semsrp_" + base)
+    lpath = _tracked_index_path(root, "semlsh_" + base)
+    spath = _tracked_index_path(root, "semsrp_" + base)
     lidx, sidx = overlap([
         lambda: lsh_index_build(standing, lpath),
         lambda: srp_index_build(emb_standing, spath, dim=64),

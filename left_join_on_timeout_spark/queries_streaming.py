@@ -1217,6 +1217,7 @@ def q_stream_curation_ingest(spark: SparkSession,
     from left_join_on_timeout_spark.queries_pipeline import (
         SEM_DUP_THRESHOLD,
         _curation_fixtures,
+        _tracked_index_path,
         release_tracked_persists,
     )
 
@@ -1229,9 +1230,9 @@ def q_stream_curation_ingest(spark: SparkSession,
     emb_standing = fx["emb_standing"]
     base = os.path.basename(os.path.normpath(sf_dir))
     root = default_index_root()
-    lpath = os.path.join(root, "strlsh_" + base)
-    spath = os.path.join(root, "strsrp_" + base)
-    gpath = os.path.join(root, "strgix_" + base)
+    lpath = _tracked_index_path(root, "strlsh_" + base)
+    spath = _tracked_index_path(root, "strsrp_" + base)
+    gpath = _tracked_index_path(root, "strgix_" + base)
     # three independent standing-index builds (disjoint roots) —
     # overlap them from driver threads (guide §2.6)
     from left_join_on_timeout_spark.concurrency import overlap
