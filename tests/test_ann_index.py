@@ -330,12 +330,15 @@ def test_append_id_col_mismatch_raises(spark, tmp_path):
 
 
 def test_degenerate_build_fails_loud_at_load(spark, tmp_path):
-    """ADVICE r7: every cell over cell_cap → empty postings dir; load
-    must raise a clear empty/corrupt-index error, not DuckDB-opaque
-    'Unable to infer schema'."""
+    """ADVICE r7: every cell over cell_cap → empty postings dir; the
+    clear empty/corrupt-index error (not DuckDB-opaque 'Unable to
+    infer schema') now fires already at BUILD time — the build's
+    returned serve handle reads the just-written postings (round 15)
+    — and still fires for any later load of the degenerate dir."""
     emb = _corpus(spark, n=24)
     path = str(tmp_path / "idx")
-    ivf2_index_build(emb, path, n_super=2, k2=2, cell_cap=0)
+    with pytest.raises(ValueError, match="empty or corrupt"):
+        ivf2_index_build(emb, path, n_super=2, k2=2, cell_cap=0)
     with pytest.raises(ValueError, match="empty or corrupt"):
         ivf2_index_load(spark, path)
 
